@@ -1,0 +1,98 @@
+"""Core plumbing: query registry, table loaders, session prep.
+
+The engine re-expresses the capabilities of the reference repo
+(``csetiawanaxexcellence/ingest-sharepoint-file-to-fabric-lakehouse``) Spark-first.  Every
+operator is registered here as a ``(spark, sf_dir) -> DataFrame``
+callable plus (where SQL-expressible) a DuckDB oracle string, per the
+driver contract in ``__spark_entry__.py``.
+
+Design notes for scale (100 TB target):
+
+* All tables are read through :func:`t` → plain ``spark.read.parquet``
+  so Catalyst performs predicate pushdown / column pruning / partition
+  pruning on every query.  No collect-based staging anywhere.
+* ``prep`` pins the session timezone to UTC (oracle parity — DuckDB
+  treats parquet timestamps as naive) and enables AQE so skewed
+  shuffles re-plan at runtime.
+* Money aggregates go through :func:`dec` (cast to ``decimal(18,4)``)
+  before ``sum`` — decimal addition is exact and order-independent, so
+  a 1000-executor partial-aggregate tree produces bit-identical totals
+  to any single-node engine.  The final value is rounded and cast back
+  to double for output.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator registering a query key (SURVEY.md §2 Part B).
+
+    ``oracle`` is the equivalent DuckDB SQL over the pre-registered
+    views; ``None`` ⇒ the driver records a weaker rows-only check.
+    """
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prep(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = textwrap.dedent(oracle).strip()
+        return fn
+
+    return deco
+
+
+def prep(spark: SparkSession) -> None:
+    """Session settings applied before every query (runtime-safe confs).
+
+    UTC session tz keeps collected timestamps byte-identical to the
+    DuckDB oracle's naive parquet timestamps.  AQE handles runtime
+    coalescing + skew-join splitting at scale.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table (TESTDATA.md layout)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(col: str | Column, precision: int = 18, scale: int = 4) -> Column:
+    """Exact-decimal cast for order-independent money sums (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def money(sum_col: Column, ndigits: int = 2) -> Column:
+    """round(sum(decimal), n) → double; bit-stable across engines."""
+    return F.round(sum_col, ndigits).cast("double")

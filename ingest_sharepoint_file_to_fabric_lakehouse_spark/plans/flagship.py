@@ -1,0 +1,57 @@
+"""Flagship query — TPC-H-Q3-shaped join+agg (SURVEY.md §7 M0).
+
+Exercises in ONE Catalyst plan: parquet scan w/ pushdown, filter,
+broadcast hash join (small dim), shuffle join (two large tables),
+expression math, partial+final hash aggregation, sort, limit.
+
+Scale notes: ``customer`` is the small side → explicit ``broadcast()``
+hint (at 100 TB the customer slice for one mktsegment still fits the
+default 10 MB–1 GB broadcast budget per ~1.5M rows/GB).  The
+``lineitem ⋈ orders`` join shuffles on the orderkey — the natural,
+uniformly-distributed TPC-H key, so no skew handling needed; AQE would
+split stragglers anyway.  Revenue is summed as exact decimal so the
+distributed aggregation tree is order-independent (core.dec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import dec, money, query, t
+
+FLAGSHIP_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("flagship_q3_topk", FLAGSHIP_ORACLE)
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, filtered, top-10 revenue orders."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    revenue = money(F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
