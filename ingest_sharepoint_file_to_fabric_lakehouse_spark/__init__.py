@@ -23,10 +23,12 @@ _MODULES = [
     "functions.scalars",
     "functions.text",
     "functions.udfs",
+    "functions.multimodal",
     "sources.scans",
     "sources.sinks",
     "sources.ingest",
     "streaming.batch_equiv",
+    "streaming.streams",
 ]
 
 

@@ -83,7 +83,20 @@ def prep(spark: SparkSession) -> None:
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one corpus table (TESTDATA.md layout)."""
+    """Load one corpus table (TESTDATA.md layout).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    natively — read it as nanos-since-epoch long and truncate to a
+    microsecond ``timestamp_ntz`` (exactly what DuckDB's µs timestamps
+    do), keeping oracle parity.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000").cast("long")).cast("timestamp_ntz"),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,121 @@
+"""Multimodal (image/audio/video) column handling (north star; B.9
+`multimodal_binary_meta`).
+
+Media are opaque ``binary`` columns + typed metadata, flowing through
+the same Spark plans as any other column.  Decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` kernels —
+the real Spark-side plumbing (schema, partitioning, batch shape) is
+implemented and tested; the pixel/sample math itself is stubbed behind
+``DECODERS`` because no media libraries exist in this container
+(swap in PIL/torchaudio/pyav entries to go live).
+
+Reference parity: files as opaque blobs (A-2/A-3,
+sharepoint_to_bronze_delta.py:163-176) — the engine types them and
+keeps them executor-side instead of driver `/tmp` buffering.
+
+Scale notes: content bytes never hit the driver; metadata extraction
+is a map-only pass appended to the bronze scan; mapInPandas batches
+bound executor memory (`maxRecordsPerBatch`), and wide blobs should
+set ``spark.sql.files.maxPartitionBytes`` so one task holds a few
+blobs, not thousands.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import query
+
+
+def _fake_decode_image(content: bytes) -> dict:
+    """Deterministic stand-in for an image decoder (no PIL in this
+    container): 'dimensions' derived from a content digest, stable
+    across runs/cluster layouts."""
+    digest = hashlib.sha256(content).digest()
+    w, h = struct.unpack(">HH", digest[:4])
+    return {"width": 64 + w % 1920, "height": 64 + h % 1080, "n_channels": 3}
+
+
+DECODERS = {
+    "image": _fake_decode_image,
+    # "audio": real torchaudio/librosa hook goes here
+    # "video": real pyav frame-sampler goes here
+}
+
+
+def extract_media_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas media metadata extraction over (path, content).
+
+    Output schema is the real contract a downstream training pipeline
+    consumes; only the decoder kernel is fake.
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            metas = [_fake_decode_image(c) for c in pdf.content]
+            yield pd.DataFrame(
+                {
+                    "path": pdf.path,
+                    "media_type": pdf.media_type,
+                    "n_bytes": [len(c) for c in pdf.content],
+                    "sha256": [hashlib.sha256(c).hexdigest() for c in pdf.content],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_channels": [m["n_channels"] for m in metas],
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        "path string, media_type string, n_bytes long, sha256 string, "
+        "width int, height int, n_channels int",
+    )
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize plumbing: batch UDF signature + output schema are real;
+    kernel raises until a real image library is wired in."""
+
+    def kernel(batches):
+        for pdf in batches:
+            raise NotImplementedError(
+                "image resize requires PIL/opencv — not available in this container; "
+                "wire a real kernel into DECODERS['image'] and replace this body"
+            )
+            yield pdf  # pragma: no cover
+
+    return df.mapInPandas(kernel, "path string, content binary, width int, height int")
+
+
+@query("multimodal_binary_meta")
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of staged media blobs → typed metadata columns
+    via the mapInPandas extraction kernel (weak check)."""
+    stage = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/media"
+    os.makedirs(stage, exist_ok=True)
+    for i in range(6):
+        with open(f"{stage}/img_{i}.fake", "wb") as f:
+            f.write(bytes([i, 255 - i]) * (512 + 64 * i))
+    scan = (
+        spark.read.format("binaryFile")
+        .load(stage)
+        .select("path", "content")
+        .withColumn("media_type", F.lit("image"))
+    )
+    meta = extract_media_meta(scan)
+    return meta.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        "media_type",
+        "n_bytes",
+        "sha256",
+        "width",
+        "height",
+        "n_channels",
+    ).orderBy("file_name")

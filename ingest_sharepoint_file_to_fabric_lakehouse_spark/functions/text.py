@@ -1,1 +1,203 @@
-"""Placeholder — populated during round 1 build."""
+"""Text analysis for LLM training-data pipelines (SURVEY.md §2 B.9 +
+north-star extensions): per-language stats, quality scoring, token
+counting, language-ID heuristic, document fingerprinting.
+
+Everything is built-in expression work — regexp/split/length/hash run
+inside whole-stage codegen, so at 100 TB these are pure map-side
+columns appended during a single scan, shuffling only the final
+per-group aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import query, t
+
+
+@query(
+    "text_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (char/token counts)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars") / F.count("*").cast("double"), 6).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_lang_filter",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def text_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language slice + per-source aggregate."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           n_tokens,
+           ROUND(avg_token_len, 6) AS avg_token_len,
+           ROUND(stopword_ratio, 6) AS stopword_ratio,
+           ROUND(short_doc_penalty * 0.4 + stopword_ratio * 0.6, 6) AS quality_score
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+             CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1.0
+                  ELSE len(string_split(text, ' ')) / 50.0 END AS short_doc_penalty
+      FROM documents
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token length, stopword ratio, length
+    penalty — the classic pre-training filter features."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    avg_tok = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to"))).cast("double")
+        / n_tokens
+    )
+    short_pen = F.when(n_tokens >= 50, F.lit(1.0)).otherwise(n_tokens / F.lit(50.0))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(short_pen * 0.4 + stop_ratio * 0.6, 6).alias("quality_score"),
+    )
+
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_estimate_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex word/number/
+    punct pieces, and the chars/4 estimate."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("byte_estimate_tokens"),
+    )
+
+
+@query(
+    "text_langid_ngram",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, 'th|he|in|er|an')) AS s_en,
+             len(regexp_extract_all(text, 'en|er|ch|de|ei')) AS s_de,
+             len(regexp_extract_all(text, 'de|es|en|el|la')) AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS predicted,
+           s_en, s_de, s_es
+    FROM scored
+    """,
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language-ID heuristic: count signature bigrams
+    per language, argmax with deterministic tie-break order.
+
+    (The fixture corpus shares one vocabulary across langs, so accuracy
+    is meaningless here — the operator exercises the scoring plumbing.)
+    """
+    d = t(spark, sf_dir, "documents")
+    s_en = F.size(F.regexp_extract_all("text", F.lit("th|he|in|er|an"), 0))
+    s_de = F.size(F.regexp_extract_all("text", F.lit("en|er|ch|de|ei"), 0))
+    s_es = F.size(F.regexp_extract_all("text", F.lit("de|es|en|el|la"), 0))
+    df = d.select("doc_id", "lang", s_en.alias("s_en"), s_de.alias("s_de"), s_es.alias("s_es"))
+    return df.select(
+        "doc_id",
+        "lang",
+        F.when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+        .alias("predicted"),
+        "s_en",
+        "s_de",
+        "s_es",
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i:i+3], ' ')
+                     FOR i IN range(1, greatest(len(toks)-3, 1) + 1)]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id,
+           min(md5(shingle)) AS fingerprint,
+           count(DISTINCT shingle) AS n_shingles
+    FROM sh
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: minimum md5 over 4-gram shingles (the
+    1-hash MinHash / winnowing primitive, engine-portable via md5)."""
+    from ..operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"), 4)).alias("shingle"))
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )

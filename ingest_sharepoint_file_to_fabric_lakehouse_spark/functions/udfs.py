@@ -1,1 +1,188 @@
-"""Placeholder — populated during round 1 build."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 B.10) — the extension
+points, each with a built-in-SQL oracle proving semantic equivalence.
+
+Performance doctrine (north star): built-ins first; when Python is
+unavoidable, Arrow-vectorized ``pandas_udf`` / ``applyInPandas`` /
+``mapInPandas`` (batch transfer, numpy kernels) — never row-at-a-time
+``udf`` in a hot path.  ``udf_python_scalar`` exists to document the
+slow path, deliberately on a tiny dimension table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from ..core import query, t
+
+
+@query(
+    "udf_python_scalar",
+    """
+    SELECT p_partkey,
+           lower(replace(p_name, '''', '_')) AS safe_name
+    FROM part
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF: the reference's filename sanitizer
+    (sharepoint_to_bronze_delta.py:208) — slow path, small table only."""
+
+    @F.udf(returnType=StringType())
+    def sanitize(name: str) -> str:
+        return name.replace("'", "_").lower()
+
+    return t(spark, sf_dir, "part").select("p_partkey", sanitize("p_name").alias("safe_name"))
+
+
+@query(
+    "udf_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF (Series→Series numpy kernel)."""
+
+    @pandas_udf(DoubleType())
+    def disc_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@query(
+    "udaf_pandas_grouped",
+    """
+    SELECT l_returnflag,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate UDAF via applyInPandas: quantity-weighted
+    average price per return flag.
+
+    Sums are exact: values are scaled by 10^4 to int64 (both columns
+    have ≤4 decimal digits), products summed as arbitrary-precision
+    Python ints — matching the decimal-SQL oracle bit-for-bit,
+    independent of partitioning (same discipline as core.dec).
+    """
+    import numpy as np
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = np.rint(pdf.l_extendedprice.to_numpy() * 10_000).astype("int64")
+        w = np.rint(pdf.l_quantity.to_numpy() * 10_000).astype("int64")
+        # per-element products fit int64; the total may not — sum as Python ints
+        num = sum((p * w).tolist())  # scaled by 10^8
+        den = sum(w.tolist())  # scaled by 10^4
+        # int/int division is correctly rounded — mirrors the oracle's
+        # CAST(decimal AS DOUBLE) / CAST(decimal AS DOUBLE) exactly
+        avg = (num / 10**8) / (den / 10**4)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf.l_returnflag.iloc[0]],
+                "weighted_avg_price": [round(avg, 6)],
+            }
+        )
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_quantity")
+    return li.groupBy("l_returnflag").applyInPandas(
+        weighted, "l_returnflag string, weighted_avg_price double"
+    )
+
+
+@query(
+    "udtf_map_in_pandas",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_bytes
+    FROM documents
+    """,
+)
+def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition batch transform via mapInPandas — the distributed
+    replacement for the reference's driver-side iterrows loop
+    (sharepoint_to_bronze_delta.py:206)."""
+
+    def tokenize(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf.doc_id,
+                    "n_tokens": pdf.text.str.split(" ").str.len(),
+                    "n_bytes": pdf.text.str.len(),
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(tokenize, "doc_id long, n_tokens int, n_bytes int")
+
+
+@query(
+    "udf_pandas_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    q AS (SELECT v AS q_vec FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(q.q_vec, e.v), 6) AS cos_sim
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM (
+      SELECT vec_id, cos_sim,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batch numpy cosine kernel — the vectorized re-rank path
+    for similarity search (B.9 meets B.10).
+
+    numpy accumulates in float64; result rounded to 6 so pairwise-sum
+    order differences vs the sequential SQL oracle can't surface.
+    """
+    import numpy as np
+
+    e = t(spark, sf_dir, "embeddings")
+    qvec = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()[0]["v"]
+    )
+    qarr = pd.Series(qvec).to_numpy()
+    qnorm = float(np.sqrt((qarr * qarr).sum()))
+
+    @pandas_udf(DoubleType())
+    def cos(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy())
+        sims = m.astype("float64") @ qarr / (np.sqrt((m.astype("float64") ** 2).sum(axis=1)) * qnorm)
+        return pd.Series(sims)
+
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos("embedding"), 6).alias("cos_sim"))
+    )
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+    return top.select("vec_id", "cos_sim")

@@ -1,1 +1,324 @@
-"""Placeholder — populated during round 1 build."""
+"""Aggregation surface (SURVEY.md §2 B.4).
+
+Reference parity: the reference's only aggregates are per-folder and
+total counts (sharepoint_to_bronze_delta.py:138,150-152 →
+agg_group_sum counts) and the empty-check existence aggregate
+(:200-202).  Everything else generalizes those for the analytics
+engine.
+
+Scale notes: every groupBy here is a hash aggregate with map-side
+partial aggregation (Spark does partial+final automatically), so the
+shuffle carries pre-aggregated state, not rows.  Money sums use exact
+decimal (core.dec) — order-independent across any number of
+executors.  Float statistics (stddev/corr) are computed on
+small-magnitude columns and rounded to stay hash-stable.
+approx_count_distinct is the explicit 100-TB path where exact distinct
+would shuffle every key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import dec, money, query, t
+
+
+@query(
+    "agg_group_sum",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           min(l_quantity) AS min_qty,
+           max(l_extendedprice) AS max_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: sum/avg/min/max/count hash aggregate."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money(F.sum(dec("l_quantity"))).alias("sum_qty"),
+        money(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+        money(F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.sum(dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (manifest dedup accounting)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100-TB path (weak check: approx).
+
+    At scale, exact countDistinct shuffles every distinct key;
+    approx_count_distinct carries a fixed-size sketch per group.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name,
+           GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+           count(*) AS n_custs,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over the region→nation hierarchy."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").alias("g_region"),
+            F.grouping("n_name").alias("g_nation"),
+            F.count("*").alias("n_custs"),
+            money(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL on a temp view."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
+           ROUND(var_samp(l_quantity), 6) AS qty_var,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates on small-magnitude columns, rounded for
+    cross-engine float stability."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        )
+    )
+
+
+@query(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (DuckDB quantile_cont ≡ Spark
+    percentile: linear interpolation over sorted values)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.5), 6).alias("qty_median"),
+            F.round(F.percentile("l_quantity", 0.25), 6).alias("qty_p25"),
+            F.round(F.percentile("l_extendedprice", 0.9), 6).alias("price_p90"),
+        )
+    )
+
+
+@query(
+    "agg_collect",
+    """
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           list_sort(list(DISTINCT substring(n_name, 1, 6))) AS name_prefixes
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/set aggregation, order-normalized with sort_array for
+    deterministic comparison (per-folder manifest rollups)."""
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.sort_array(F.collect_set(F.substring("n_name", 1, 6))).alias("name_prefixes"),
+        )
+    )
+
+
+@query(
+    "agg_min_max_by",
+    """
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (arg-extrema) — latest-file-per-folder pattern.
+
+    Deterministic because o_totalprice values are distinct per group in
+    practice; ties would be engine-arbitrary.
+    """
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "agg_empty_check",
+    """
+    SELECT count(*) > 0 AS has_rows, count(*) AS n_rows
+    FROM orders
+    WHERE o_totalprice > 1000000
+    """,
+)
+def agg_empty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence aggregate — the reference's empty-manifest guard
+    (sharepoint_to_bronze_delta.py:200-202)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000000)
+    return o.agg((F.count("*") > 0).alias("has_rows"), F.count("*").alias("n_rows"))

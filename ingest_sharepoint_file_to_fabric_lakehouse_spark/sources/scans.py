@@ -1,1 +1,137 @@
-"""Placeholder — populated during round 1 build."""
+"""Source scans (SURVEY.md §2 B.1): parquet, CSV w/ explicit schema,
+JSON-lines, binaryFile, in-memory manifest.
+
+Reference parity: the Graph folder-children listing (A-1) becomes a
+manifest DataFrame; whole-file downloads (A-2) become ``binaryFile``
+scans; Graph JSON payloads (:55,65,76) become JSON-lines scans.
+
+CSV/JSON fixtures are derived deterministically from the parquet corpus
+into ``/tmp/sgdata/<sf>/`` (written once per run, overwrite mode) so
+the DuckDB oracle can read the very same files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core import query, t
+
+
+def _staging(sf_dir: str) -> str:
+    return f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+@query(
+    "scan_parquet",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity > 40
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar parquet scan with predicate pushdown + column pruning:
+    the plan reads 4 columns and skips row groups via min/max stats."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")) & (F.col("l_quantity") > 40))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    )
+
+
+@query(
+    "scan_csv_schema",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_csv('/tmp/sgdata/sf0.01/nation_csv/*.csv', header=true,
+                  columns={'n_nationkey': 'INT', 'n_name': 'VARCHAR', 'n_regionkey': 'INT'})
+    """,
+)
+def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with an explicit declared schema (bronze sales files →
+    typed table, config.py:13-17)."""
+    path = f"{_staging(sf_dir)}/nation_csv"
+    t(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+@query(
+    "scan_json_lines",
+    """
+    SELECT event_id, user_id, event_type
+    FROM read_json('/tmp/sgdata/sf0.01/events_json/*.json',
+                   columns={'event_id': 'BIGINT', 'user_id': 'BIGINT', 'event_type': 'VARCHAR'})
+    WHERE event_id < 2000
+    """,
+)
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan — the Graph-API payload shape
+    (sharepoint_to_bronze_delta.py:55,65,76)."""
+    path = f"{_staging(sf_dir)}/events_json"
+    (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(path)
+    )
+    return spark.read.json(path, schema="event_id bigint, user_id bigint, event_type string")
+
+
+@query("scan_binaryfile")
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary whole-file scan (multimodal bronze landing, A-2/A-3).
+
+    Files land as (path, modificationTime, length, content) — the
+    engine's replacement for driver-RAM buffering
+    (sharepoint_to_bronze_delta.py:166-170).  Weak check: hashes of
+    deterministic staged blobs.
+    """
+    stage = f"{_staging(sf_dir)}/blobs"
+    os.makedirs(stage, exist_ok=True)
+    for i in range(8):
+        with open(f"{stage}/doc_{i}.bin", "wb") as f:
+            f.write(bytes([i]) * (100 + i))
+    df = spark.read.format("binaryFile").load(stage)
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        "length",
+        F.sha2("content", 256).alias("content_sha256"),
+    ).orderBy("file_name")
+
+
+@query("scan_manifest")
+def scan_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory manifest → DataFrame with declared schema — the
+    reference's discovery output (FIXTURES.md file_manifest;
+    sharepoint_to_bronze_delta.py:141-153), flags typed boolean at the
+    edge instead of "True"/"False" strings."""
+    rows = [
+        ("report_q1.csv", "finance", "contoso", "https://sp/f/report_q1.csv", "Files/finance", True, False),
+        ("report_q2.csv", "finance", "contoso", "https://sp/f/report_q2.csv", "Files/finance", True, True),
+        ("logo.png", "assets", "contoso", "https://sp/a/logo.png", "Files/assets", False, False),
+        ("notes'2024.txt", "shared", "contoso", "https://sp/s/notes'2024.txt", "Files/shared", False, False),
+    ]
+    schema = (
+        "file_name string, folder_name string, site_name string, file_url string, "
+        "lakehouse_folder string, copy_to_archive boolean, delete_original boolean"
+    )
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("file_name", F.regexp_replace("file_name", "'", "_"))

@@ -1,1 +1,128 @@
-"""Placeholder — populated during round 1 build."""
+"""Sinks (SURVEY.md §2 B.1): parquet write, partitioned write, MERGE
+upsert — each verified by reading the written data back and checking
+it against an oracle computed from the *source* tables, so the write
+path itself is under the correctness gate.
+
+Reference parity: upload/copy sinks (A-3, A-5) and the declared Delta
+table target (A-4, config.py:16).
+
+Scale notes: partitioned writes use ``partitionBy`` on a
+low-cardinality derived column (year) — the layout that gives
+partition-pruned reads at 100 TB.  Writers never coalesce to 1 except
+tiny staging fixtures; file counts follow the shuffle partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import dec, money, query, t
+from ..plans.merge import merge_upsert
+
+
+def _staging(sf_dir: str) -> str:
+    return f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+@query(
+    "sink_parquet",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered slice to parquet, read it back, aggregate —
+    oracle computes the same aggregate straight from the source."""
+    path = f"{_staging(sf_dir)}/sink_orders_f"
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    src.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        money(F.sum(dec("o_totalprice"))).alias("total"),
+    )
+
+
+@query(
+    "sink_partitioned",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY year(o_orderdate)
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partitionBy(year) write + read-back aggregation per partition.
+
+    The read side filters nothing, but the layout is what enables
+    partition pruning: a ``WHERE order_year = X`` scan reads one
+    directory.  (100-TB note: partition by a bounded-cardinality
+    column; never by a key.)
+    """
+    path = f"{_staging(sf_dir)}/sink_orders_by_year"
+    src = t(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    src.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("order_year").agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum(dec("o_totalprice"))).alias("total"),
+    )
+
+
+@query(
+    "sink_delta_merge",
+    """
+    WITH target AS (
+      SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    merged AS (
+      SELECT * FROM source
+      UNION ALL
+      SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+    )
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM merged
+    """,
+)
+def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert into a table sink — the realization of the
+    reference's declared ``sink_table`` (config.py:16).
+
+    Target: orders before 1998.  Source: orders from 1997 on, with
+    price bumped 10% (the overlap year updates, the tail inserts).
+    Oracle reconstructs the merged state relationally from the source
+    table — a strong, value-level check of the whole write path.
+    """
+    path = f"{_staging(sf_dir)}/sink_merge_orders"
+    orders = t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    target.write.mode("overwrite").parquet(path)
+    source = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    merge_upsert(spark, path, source, "o_orderkey")
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        money(F.sum(dec("o_totalprice"))).alias("total"),
+    )

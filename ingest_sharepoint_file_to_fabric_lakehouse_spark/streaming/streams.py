@@ -1,0 +1,231 @@
+"""Real Structured Streaming runs (SURVEY.md §2 B.8): file-source
+micro-batches over the events fixture with Trigger.AvailableNow,
+exercising watermarks, stateful dedup, and transactional foreachBatch
+sinks.  The tumbling aggregation reuses the batch oracle — streaming
+complete-mode output must equal the batch answer.
+
+Scale notes: state stores are keyed by (window/key); watermarks bound
+state growth; ``foreachBatch`` gives exactly-once sinks when the write
+is idempotent per epoch (here: overwrite-by-epoch parquet, the Delta
+MERGE slot-in point).  Post-commit archive/delete actions (A-5/A-6)
+belong *inside* the epoch commit — ordering the reference got wrong
+(sharepoint_to_bronze_delta.py:222-231).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import dec, money, query, t
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+)
+
+
+def _staging(sf_dir: str, name: str) -> str:
+    return f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/{name}"
+
+
+def stage_event_files(spark: SparkSession, sf_dir: str, base: str, n_files: int = 4) -> str:
+    """Write events as N time-ordered parquet files — a deterministic
+    replayable 'stream' (file names fix the micro-batch order)."""
+    src_dir = f"{base}/input"
+    if not os.path.isdir(src_dir):
+        stage = f"{src_dir}/_stage"
+        # one shuffle: range-partition by ts → part files are time-ordered
+        (
+            t(spark, sf_dir, "events")
+            .repartitionByRange(n_files, F.col("ts"), F.col("event_id"))
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        for b, part in enumerate(parts):
+            os.replace(f"{stage}/{part}", f"{src_dir}/batch_{b:02d}.parquet")
+        shutil.rmtree(stage)
+    return src_dir
+
+
+def run_stream_to_parquet(
+    stream_df, out_path: str, checkpoint: str, mode: str = "append"
+) -> None:
+    """Drain a stream with AvailableNow into parquet via foreachBatch
+    (idempotent overwrite-per-epoch layout).
+
+    State-store partition count is pinned low for the fixture scale:
+    each micro-batch pays per-partition state checkpointing, so 8
+    partitions beat the session's 32 at 600k rows (at real scale this
+    is sized to state volume, and is fixed at first checkpoint).
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
+    "stream_tumbling_live",
+    """
+    SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows through a REAL readStream (complete mode,
+    AvailableNow) — final state must equal the batch oracle exactly."""
+    base = _staging(sf_dir, "stream_tumbling")
+    src = stage_event_files(spark, sf_dir, base)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), money(F.sum(dec("value"))).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    run_stream_to_parquet(stream, out, ckpt, mode="complete")
+    epochs = sorted(int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("epoch="))
+    return spark.read.parquet(f"{out}/epoch={epochs[-1]}")
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT count(*) AS n_unique, CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM (SELECT DISTINCT event_id FROM events)
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the input stream carries every event
+    TWICE (staged files read twice via union of two file streams ⇒
+    duplicates across micro-batches); watermarked dropDuplicates must
+    reduce to exactly the distinct set."""
+    base = _staging(sf_dir, "stream_dedup")
+    src = stage_event_files(spark, sf_dir, base)
+    dup_src = f"{base}/input_dup"
+    if not os.path.isdir(dup_src):
+        os.makedirs(dup_src, exist_ok=True)
+        for f in os.listdir(src):
+            shutil.copy(f"{src}/{f}", f"{dup_src}/dup_{f}")
+        for f in os.listdir(src):
+            shutil.copy(f"{src}/{f}", f"{dup_src}/{f}")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(dup_src)
+        # watermark requires TIMESTAMP (ltz); session tz is UTC so the cast is lossless
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id")
+    )
+    run_stream_to_parquet(stream, out, ckpt, mode="append")
+    deduped = spark.read.parquet(f"{out}/epoch=*")
+    return deduped.agg(
+        F.count("*").alias("n_unique"), F.sum("event_id").alias("id_checksum")
+    )
+
+
+@query("stream_watermark_late")
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data drop (weak check): micro-batches arrive in
+    event-time order with a 10-minute watermark; append-mode emits only
+    windows the watermark has closed — late stragglers are dropped from
+    closed windows."""
+    base = _staging(sf_dir, "stream_late")
+    src = stage_event_files(spark, sf_dir, base)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    run_stream_to_parquet(stream, out, ckpt, mode="append")
+    emitted = spark.read.parquet(f"{out}/epoch=*")
+    return emitted.groupBy("event_type").agg(
+        F.count("*").alias("n_closed_windows"), F.sum("n_events").alias("n_events_emitted")
+    )
+
+
+@query("stream_foreach_sink")
+def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional micro-batch sink with post-commit actions: each
+    epoch writes parquet, then appends a commit-marker row (the
+    archive/delete mirror of A-5/A-6 — actions keyed to the committed
+    epoch, the ordering fix for sharepoint_to_bronze_delta.py:222-231)."""
+    base = _staging(sf_dir, "stream_sink")
+    src = stage_event_files(spark, sf_dir, base)
+    out, ckpt, commits = f"{base}/out", f"{base}/ckpt", f"{base}/commits"
+    for d in (out, ckpt, commits):
+        shutil.rmtree(d, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        counted = batch_df.count()
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+        # post-commit action: marker written only after the data commit
+        batch_df.sparkSession.createDataFrame(
+            [(epoch_id, counted)], "epoch long, n_rows long"
+        ).write.mode("append").parquet(commits)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("event_id", "ts", "event_type", "value")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    log = spark.read.parquet(commits)
+    data = spark.read.parquet(f"{out}/epoch=*")
+    return (
+        log.agg(F.count("*").alias("n_epochs"), F.sum("n_rows").alias("rows_via_log"))
+        .crossJoin(data.agg(F.count("*").alias("rows_on_disk")))
+    )

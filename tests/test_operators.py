@@ -1,0 +1,157 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine
+
+engine.load_all()
+
+
+def test_asof_join_literal(spark):
+    """As-of semantics on a hand-built case: latest right row ≤ left ts."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.joins import asof_join_latest
+
+    left = spark.createDataFrame(
+        [(1, 10, datetime(2024, 1, 1, 10, 0)), (2, 10, datetime(2024, 1, 1, 12, 0)),
+         (3, 20, datetime(2024, 1, 1, 9, 0))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, datetime(2024, 1, 1, 9, 30), 1.0), (10, datetime(2024, 1, 1, 11, 0), 2.0),
+         (20, datetime(2024, 1, 1, 10, 0), 9.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = asof_join_latest(left, right, "k", "ts", "ts", ["v"])
+    got = {r.id: r.asof_v for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: None}
+
+
+def test_merge_upsert_literal(spark, tmp_path):
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import merge_upsert
+
+    path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, val double"
+    ).write.parquet(path)
+    source = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], "id long, name string, val double"
+    )
+    merge_upsert(spark, path, source, "id")
+    got = {r.id: (r.name, r.val) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
+
+
+def test_merge_upsert_null_source_column(spark, tmp_path):
+    """A NULL in the source must overwrite (MERGE update), not be
+    coalesced away."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import merge_upsert
+
+    path = str(tmp_path / "target2")
+    spark.createDataFrame([(1, "keep")], "id long, name string").write.parquet(path)
+    merge_upsert(
+        spark, path, spark.createDataFrame([(1, None)], "id long, name string"), "id"
+    )
+    assert spark.read.parquet(path).collect()[0].name is None
+
+
+def test_ingest_incremental(spark, tmp_path):
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.sources.ingest import make_source_fixture, run_ingest
+
+    src, bronze = str(tmp_path / "sp"), str(tmp_path / "bronze")
+    make_source_fixture(src)
+    log1 = run_ingest(spark, src, bronze)
+    n1 = log1.count()
+    assert n1 == 9  # 3+2+4 files
+    assert log1.filter(F.col("status") != "ingested").count() == 0
+    # quote sanitization (A-15)
+    assert log1.filter(F.col("file_name") == "budget'24.csv").select("target_name").collect()[0][0] == "budget_24.csv"
+    # archive names only where configured, timestamp-prefixed (A-16)
+    arch = log1.filter(F.col("archive_name").isNotNull())
+    assert arch.count() == 7  # finance(3) + shared(4)
+    assert arch.filter(~F.col("archive_name").rlike("^[0-9]{12}_")).count() == 0
+    # idempotent second run
+    log2 = run_ingest(spark, src, bronze)
+    assert log2.count() == n1
+    # new file appears incrementally
+    with open(f"{src}/finance/report_q3.csv", "wb") as f:
+        f.write(b"id,amount\n5,500\n")
+    log3 = run_ingest(spark, src, bronze)
+    assert log3.count() == n1 + 1
+
+
+def test_session_window_matches_manual_islands(spark, sf_dir):
+    """session_window must agree with the lag+cumsum island rebuild."""
+    native = engine.QUERIES["stream_session"](spark, sf_dir)
+    e = engine.t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            >= 300_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    islands = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    manual = islands.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.count("*").alias("n_events")
+    )
+    a = {(r.user_id, r.session_start): r.n_events for r in native.collect()}
+    b = {(r.user_id, r.session_start): r.n_events for r in manual.collect()}
+    assert a == b
+
+
+def test_simhash_close_docs_collide(spark):
+    """Two docs differing by one word land within small Hamming distance."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup import shingles  # noqa: F401
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [(1, base + "alpha"), (2, base + "beta"), (3, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    toks = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("s"),
+    )
+    s = {r.doc_id: r.s for r in sig.collect()}
+    mask = (1 << 64) - 1
+    ham12 = bin((s[1] ^ s[2]) & mask).count("1")
+    ham13 = bin((s[1] ^ s[3]) & mask).count("1")
+    assert ham12 < ham13
+
+
+def test_queries_all_return_rows_smoke(spark, sf_dir):
+    """Every registered query runs at sf0.001 and yields a DataFrame
+    with ≥0 rows and a stable schema (driver t1-style smoke)."""
+    skip_slow = set()
+    for key, fn in engine.QUERIES.items():
+        if key in skip_slow:
+            continue
+        df = fn(spark, sf_dir)
+        assert df.columns, key
+        assert df.count() >= 0, key
