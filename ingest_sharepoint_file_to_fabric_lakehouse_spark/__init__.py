@@ -13,6 +13,7 @@ from .core import ORACLES, QUERIES, prep, t
 
 _MODULES = [
     "plans.flagship",
+    "plans.layout",
     "operators.projections",
     "operators.joins",
     "operators.aggregates",

@@ -1,0 +1,108 @@
+"""Storage-layout operators: bucketed joins and partition-pruned scans
+(SCALE.md "repeated joins on the same key" / "partition pruning").
+
+These two demonstrate the physical layouts that remove the dominant
+costs at 100 TB: bucketing pre-shuffles data once at write time so
+every subsequent equi-join on the key is shuffle-free; partitioned
+layout turns selective scans into directory pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import dec, money, query, t
+
+
+def _staging(sf_dir: str) -> str:
+    return f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}"
+
+
+@query(
+    "join_bucketed",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free large⋈large join via bucketed tables.
+
+    Both sides are written ``bucketBy(8, orderkey)`` once; the join
+    then reads co-located buckets — zero exchange in the plan (verified
+    in tests).  At 100 TB this converts the recurring lineitem⋈orders
+    shuffle (the single biggest cost in the star schema) into a
+    one-time write cost.
+    """
+    import shutil
+
+    wh = f"{_staging(sf_dir)}/warehouse"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sg_bucketed LOCATION '{wh}'")
+    li_tbl, o_tbl = "sg_bucketed.lineitem_b", "sg_bucketed.orders_b"
+    # bucket metadata lives in the session catalog: a leftover directory
+    # from another session is unusable — rebuild it
+    if not spark.catalog.tableExists(li_tbl):
+        shutil.rmtree(f"{wh}/lineitem_b", ignore_errors=True)
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .format("parquet")
+            .saveAsTable(li_tbl)
+        )
+    if not spark.catalog.tableExists(o_tbl):
+        shutil.rmtree(f"{wh}/orders_b", ignore_errors=True)
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .format("parquet")
+            .saveAsTable(o_tbl)
+        )
+    # MERGE hint pins the sort-merge strategy (at fixture scale the
+    # planner would broadcast the small side, hiding the bucket effect)
+    li = spark.table(li_tbl).hint("merge")
+    o = spark.table(o_tbl).filter(F.col("o_orderstatus") == "O").hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), money(F.sum(dec("l_quantity"))).alias("total_qty"))
+    )
+
+
+@query(
+    "scan_partition_pruned",
+    """
+    SELECT count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan over the year-partitioned layout: the
+    filter on the partition column prunes directories before any IO —
+    the plan lists exactly one partition (verified in tests)."""
+    path = f"{_staging(sf_dir)}/orders_by_year"
+    if not os.path.isdir(path):
+        (
+            t(spark, sf_dir, "orders")
+            .withColumn("order_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    return back.agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum(dec("o_totalprice"))).alias("total"),
+    )

@@ -1,0 +1,49 @@
+"""Plan-shape assertions: the physical plans the scale story depends on."""
+
+from __future__ import annotations
+
+import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine
+
+engine.load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_broadcasts_dim_and_pushes_filters(spark, sf_dir):
+    df = engine.QUERIES["flagship_q3_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    df = engine.QUERIES["join_bucketed"](spark, sf_dir)
+    plan = plan_of(df)
+    pre_agg = plan.split("HashAggregate")[-1]  # join subtree below the aggs
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # no shuffle between the two bucketed scans and the join
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    df.collect()
+
+
+def test_partition_pruning_lists_single_partition(spark, sf_dir):
+    df = engine.QUERIES["scan_partition_pruned"](spark, sf_dir)
+    scan = [
+        n for n in plan_of(df).split("\n") if "FileScan" in n or "PartitionFilters" in n
+    ]
+    joined = " ".join(scan)
+    assert "order_year" in joined
+    rows = df.collect()
+    assert rows[0].n_orders > 0
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    df = engine.QUERIES["scan_parquet"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "l_extendedprice" not in plan  # unreferenced column never read

@@ -1,0 +1,106 @@
+"""Property-based spot checks (hypothesis) for engine invariants that
+must hold at any scale: decimal-sum order independence, as-of join
+semantics, shingle construction, sanitizer idempotence."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine
+
+engine.load_all()
+
+MONEY = st.decimals(
+    min_value=-10**9, max_value=10**9, places=2, allow_nan=False, allow_infinity=False
+)
+
+
+@given(st.lists(MONEY, min_size=1, max_size=50), st.randoms())
+@settings(max_examples=30, deadline=None)
+def test_decimal_sum_is_order_independent(values, rnd):
+    """core.dec's premise: decimal addition is exact, so any partition
+    order / aggregation tree gives the same total."""
+    shuffled = list(values)
+    rnd.shuffle(shuffled)
+    assert sum(values) == sum(shuffled)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=1, max_size=30
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_matches_naive(left_rows, right_rows):
+    """asof_join_latest == per-row argmax over right_ts <= left_ts."""
+    spark = _spark()
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.joins import asof_join_latest
+
+    base = datetime(2024, 1, 1)
+    left = [
+        (i, k, base + timedelta(seconds=s)) for i, (k, s) in enumerate(left_rows)
+    ]
+    right = [
+        (k, base + timedelta(seconds=s), v) for (k, s, v) in right_rows
+    ]
+    ldf = spark.createDataFrame(left, "id long, k long, ts timestamp")
+    rdf = spark.createDataFrame(right or [(99, base, 0.0)], "k long, ts timestamp, v double").filter(
+        F.lit(bool(right))
+    )
+    got = {
+        r.id: r.asof_v
+        for r in asof_join_latest(ldf, rdf, "k", "ts", "ts", ["v"]).collect()
+    }
+    for i, k, ts in left:
+        cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, ts, cands)
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+@given(st.text(alphabet="abc '", min_size=0, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_sanitizer_idempotent(name):
+    """A-15 sanitizer: idempotent and quote-free (driver-side model)."""
+    once = name.replace("'", "_")
+    assert "'" not in once
+    assert once.replace("'", "_") == once
+
+
+@given(st.lists(st.sampled_from(["a", "bb", "ccc", "dd"]), min_size=1, max_size=12))
+@settings(max_examples=15, deadline=None)
+def test_shingles_count_and_width(tokens):
+    """shingles(text, n) emits max(len-n+1, 1) n-grams of n tokens
+    (shorter only for docs smaller than n)."""
+    spark = _spark()
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup import shingles
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(text,)], "text string").select(
+        shingles(F.col("text"), 3).alias("sh")
+    )
+    got = df.collect()[0].sh
+    expect_n = max(len(tokens) - 2, 1)
+    assert len(got) == expect_n
+    for s in got[: expect_n - 1] if len(tokens) >= 3 else got:
+        assert len(s.split(" ")) == min(3, len(tokens))
