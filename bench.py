@@ -32,7 +32,6 @@ def main() -> None:
         # 92 codegen'd queries in one JVM: default 240m code cache silently
         # disables the JIT when full — the classic long-session slowdown
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
-        .config("spark.cleaner.periodicGC.interval", "1min")
         .appName("ingest-sharepoint-file-to-fabric-lakehouse-spark-bench")
         .getOrCreate()
     )
@@ -42,9 +41,18 @@ def main() -> None:
 
     qs = e.queries()
 
-    # untimed warmup: initialize codegen/parquet/Arrow paths once
+    # untimed warmup: initialize codegen/parquet/Arrow/python-worker paths once
     try:
         e.entry(spark).collect()
+        spark.createDataFrame([(1, "x")], "a long, b string").count()
+        import pandas as _pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _warm(s: _pd.Series) -> _pd.Series:
+            return s
+
+        spark.range(64).select(_warm("id")).count()
     except Exception:
         pass
 

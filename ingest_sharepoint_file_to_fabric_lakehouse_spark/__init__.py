@@ -19,6 +19,7 @@ _MODULES = [
     "operators.aggregates",
     "operators.windows",
     "operators.sorts_sets",
+    "operators.reshape",
     "operators.dedup",
     "operators.similarity",
     "functions.scalars",

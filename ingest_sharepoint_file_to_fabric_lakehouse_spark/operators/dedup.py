@@ -257,32 +257,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine above threshold within a
     label bucket (weak check — float comparison).
 
-    Bucketing by label bounds the self-join to within-group pairs;
-    the 100-TB variant replaces label with an LSH bucket (see
-    similarity.sim_topk_lsh).  Cosine is computed with built-in
-    zip_with/aggregate — JVM codegen, no Python.
+    Block-wise kernel: one shuffle groups vectors by label, then each
+    bucket computes its full similarity block as a single numpy
+    matmul (Arrow-batched applyInPandas) and emits only
+    above-threshold pairs.  This is the 100-TB shape — at scale the
+    bucket key becomes an LSH/IVF cell (see similarity.sim_topk_lsh)
+    and each block stays executor-local; a pairwise expression join
+    would interpret ~|bucket|² higher-order folds instead.
     """
-    e = t(spark, sf_dir, "embeddings")
-    dbl = e.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    a, b = dbl.alias("a"), dbl.alias("b")
+    import numpy as np
+    import pandas as pd
 
-    def dot(u, v):
-        return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    threshold = 0.4
 
-    cos = dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
-    )
-    return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf.embedding.to_numpy()).astype("float64")
+        ids = pdf.vec_id.to_numpy()
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ m.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] > threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        swap = a > b  # emit (low, high) regardless of bucket order
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame(
+            {"vec_a": a2, "vec_b": b2, "cosine": np.round(sims[iu, ju][keep], 6)}
         )
-        .filter(F.col("cosine") > 0.4)
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return (
+        e.groupBy("label")
+        .applyInPandas(block, "vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
     )
