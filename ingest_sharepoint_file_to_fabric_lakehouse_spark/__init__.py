@@ -20,6 +20,7 @@ _MODULES = [
     "operators.windows",
     "operators.sorts_sets",
     "operators.reshape",
+    "operators.corpus",
     "operators.dedup",
     "operators.similarity",
     "functions.scalars",

@@ -1,0 +1,205 @@
+"""Corpus-level text operators (north-star LLM-pipeline depth):
+vocabulary extraction, TF-IDF, and connected-components clustering of
+near-duplicate pairs.
+
+Scale notes:
+* vocab/TF-IDF are explode → aggregate pipelines: map-side partial
+  aggregation keyed by token; document frequency is one extra
+  aggregate over distinct (doc, token).  At 100 TB the token key is
+  Zipf-skewed — AQE skew handling plus the fact that partial
+  aggregation collapses each partition's token counts first keeps the
+  shuffle bounded by |vocab| × partitions, not |tokens|.
+* Connected components: iterative small-star min-label propagation
+  over the dup-pair edge list — O(log n) joins, each a hash join on
+  node id.  The edge list (near-dup pairs) is tiny relative to the
+  corpus, so at scale this runs on the candidate graph, never the
+  full corpus.  Oracle: DuckDB recursive CTE computing min reachable
+  id — exact equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import query, t
+
+
+@query(
+    "vocab_topk",
+    """
+    SELECT token, n_occurrences, n_docs, rnk FROM (
+      SELECT token, n_occurrences, n_docs,
+             row_number() OVER (ORDER BY n_occurrences DESC, token) AS rnk
+      FROM (
+        SELECT token,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+      )
+    ) WHERE rnk <= 50
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency with document
+    frequency — the tokenizer-training / vocab-pruning primitive."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("token")).limit(50)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return top.select("token", "n_occurrences", "n_docs", F.row_number().over(w).alias("rnk"))
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 100
+    ),
+    n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(CAST((SELECT n FROM n_docs) AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token
+    )
+    SELECT doc_id, token, tfidf, rnk FROM (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    n_docs = toks.select("doc_id").distinct().count()
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return scored.select("doc_id", "token", "tfidf", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 3
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list
+    (columns: a, b) → (node, component) with component = min reachable
+    node id.  Converges in O(log n) iterations; each iteration is one
+    groupBy-min over the symmetrized adjacency."""
+    sym = edges.selectExpr("a AS node", "b AS nbr").unionByName(
+        edges.selectExpr("b AS node", "a AS nbr")
+    )
+    labels = (
+        sym.groupBy("node")
+        .agg(F.min("nbr").alias("mn"))
+        .select("node", F.least("node", "mn").alias("comp"))
+    )
+    for _ in range(max_iter):
+        # propagate: each node takes min(own comp, min over neighbors' comp)
+        nbr_comp = (
+            sym.join(labels.withColumnRenamed("node", "nbr").withColumnRenamed("comp", "nbr_comp"), "nbr")
+            .groupBy("node")
+            .agg(F.min("nbr_comp").alias("min_nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_comp, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("min_nbr_comp", F.col("comp"))).alias("comp"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per iteration
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_cluster_cc",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a AS a, doc_b AS b FROM (
+        WITH sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+1], ' ')
+                           FOR i IN range(1, greatest(len(toks)-1, 1) + 1)]) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 120)
+          )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b
+        FROM cand JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.06
+      )
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM pairs UNION SELECT DISTINCT b FROM pairs),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT reach.node, p.x AS r
+      FROM reach
+      JOIN (SELECT a, b AS x FROM pairs UNION ALL SELECT b, a FROM pairs) p
+        ON reach.r = p.a
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the n-gram
+    Jaccard candidate graph (threshold 0.06), component id = min
+    doc_id.  Spark: iterative min-label propagation; oracle: recursive
+    CTE transitive closure — exact agreement required."""
+    from .dedup import shingles
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    edges = (
+        cand.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.06)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    comps = connected_components(edges)
+    return comps.select(F.col("node"), F.col("comp").alias("component"))

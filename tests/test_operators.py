@@ -155,3 +155,13 @@ def test_queries_all_return_rows_smoke(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, key
         assert df.count() >= 0, key
+
+
+def test_connected_components_known_graph(spark):
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.corpus import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7), (9, 8)], "a long, b long"
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 8}
