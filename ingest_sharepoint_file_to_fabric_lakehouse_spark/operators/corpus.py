@@ -99,11 +99,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Min-label propagation over an undirected edge list
-    (columns: a, b) → (node, component) with component = min reachable
-    node id.  Converges in O(log n) iterations; each iteration is one
-    groupBy-min over the symmetrized adjacency."""
+def connected_components(edges: DataFrame, max_iter: int = 20, collect_threshold: int = 500_000) -> DataFrame:
+    """(node, component) with component = min reachable node id, over an
+    undirected edge list (columns: a, b).
+
+    Hybrid strategy: near-dup candidate graphs are orders of magnitude
+    smaller than the corpus (only docs sharing a bucket/shingle), so
+    when the edge list fits comfortably on the driver
+    (≤ ``collect_threshold``) a union-find there beats scheduling
+    O(log n) distributed join rounds.  Larger graphs fall through to
+    min-label propagation: one groupBy-min per round over the
+    symmetrized adjacency, lineage truncated per round — the shape
+    that scales to billions of edges.
+    """
+    n_edges = edges.limit(collect_threshold + 1).count()
+    if n_edges <= collect_threshold:
+        pairs = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in pairs:
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(rows, "node long, comp long")
+    return _cc_label_propagation(edges, max_iter)
+
+
+def _cc_label_propagation(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Distributed min-label propagation (the at-scale path)."""
     sym = edges.selectExpr("a AS node", "b AS nbr").unionByName(
         edges.selectExpr("b AS node", "a AS nbr")
     )

@@ -1,0 +1,53 @@
+"""Recall checks for the approximate similarity/dedup paths: the weak
+(rows-only) driver checks don't measure quality, so these tests pin
+minimum recall vs the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine
+
+engine.load_all()
+
+
+def _topk_sets(df, k_col="q_id", v_col="vec_id"):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r[k_col], set()).add(r[v_col])
+    return out
+
+
+def test_ivf_probe_recall_vs_bruteforce(spark, sf_dir):
+    exact = _topk_sets(engine.QUERIES["sim_topk_bruteforce"](spark, sf_dir))
+    approx = _topk_sets(engine.QUERIES["sim_ivf_probe"](spark, sf_dir))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    # 2-of-10 cells probed on random vectors: modest but real recall
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_lsh_candidates_are_bucket_consistent(spark, sf_dir):
+    """LSH top-k must be a subset of the full ranking and every
+    returned neighbor shares the query's bucket by construction —
+    sanity: results are valid vectors with sane cosine range."""
+    res = engine.QUERIES["sim_topk_lsh"](spark, sf_dir).collect()
+    assert len(res) > 0
+    for r in res:
+        assert -1.0 <= r.cos_sim <= 1.0
+        assert r.vec_id != r.q_id
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    """MinHash estimated Jaccard within 0.35 absolute of exact n-gram
+    Jaccard on the pairs both report (32 hashes ⇒ se ≈ 0.09)."""
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in engine.QUERIES["dedup_fuzzy_minhash"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in engine.QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    common = set(est) & set(exact)
+    for pair in common:
+        assert abs(est[pair] - exact[pair]) <= 0.35, (pair, est[pair], exact[pair])

@@ -165,3 +165,20 @@ def test_connected_components_known_graph(spark):
     )
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 8}
+
+
+def test_cc_label_propagation_matches_unionfind(spark):
+    """The distributed CC path must agree with driver union-find."""
+    import random
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.corpus import (
+        _cc_label_propagation,
+        connected_components,
+    )
+
+    rnd = random.Random(7)
+    edge_list = [(rnd.randint(0, 40), rnd.randint(0, 40)) for _ in range(60)]
+    edges = spark.createDataFrame(edge_list, "a long, b long")
+    fast = {r.node: r.comp for r in connected_components(edges).collect()}
+    dist = {r.node: r.comp for r in _cc_label_propagation(edges, 20).collect()}
+    assert fast == dist
