@@ -21,6 +21,7 @@ _MODULES = [
     "operators.sorts_sets",
     "operators.reshape",
     "operators.corpus",
+    "operators.analytics",
     "operators.dedup",
     "operators.similarity",
     "functions.scalars",

@@ -1,0 +1,179 @@
+"""Applied analytics shapes over the star schema and event stream:
+event-time range frames, boolean aggregates, date-spine gap filling,
+funnel conversion.  These are the queries a user of the engine
+actually writes day-to-day; each is a strong-oracle composition of
+primitives from SURVEY.md §2.
+
+Scale notes: all are single-shuffle groupBy/window plans.  The date
+spine is generated (``sequence``), never materialized as a table —
+a few thousand rows broadcast to join against pre-aggregated facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core import dec, money, query, t
+
+
+@query(
+    "win_range_interval",
+    """
+    SELECT event_id, user_id, ts,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+             AS n_last_10min,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_last_10min
+    FROM events
+    WHERE user_id < 15
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per event, activity in the trailing
+    10 minutes (true time-based frame, not row-count based).
+
+    Spark's rangeBetween needs a numeric ordering column → order by
+    epoch microseconds with the equivalent µs bounds.
+    """
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 15)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-10 * 60 * 1_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_last_10min"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_last_10min"),
+    )
+
+
+@query(
+    "agg_bool",
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_discount > 0.09) AS any_big_discount,
+           CAST(count(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_tax_free
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + filtered count."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.some(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )
+
+
+@query(
+    "date_series_gapfill",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                    INTERVAL 1 DAY))::TIMESTAMP AS day
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             count(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31 23:59:59'
+      GROUP BY 1
+    )
+    SELECT spine.day,
+           COALESCE(daily.n_orders, 0) AS n_orders,
+           COALESCE(daily.revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def date_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: generated calendar LEFT JOIN daily
+    aggregates — zero-filled days where no orders exist."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    ).select(F.col("d").cast("timestamp_ntz").alias("day"))
+    daily = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("1995-03-31 23:59:59").cast("timestamp"),
+            )
+        )
+        .groupBy(F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS first_view,
+             min(ts) FILTER (WHERE event_type = 'click') AS first_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      count(*) AS n_users,
+      CAST(count(first_view) AS BIGINT) AS n_viewed,
+      CAST(count(CASE WHEN first_click > first_view THEN 1 END) AS BIGINT) AS n_clicked_after_view,
+      CAST(count(CASE WHEN first_purchase > first_click AND first_click > first_view
+                 THEN 1 END) AS BIGINT) AS n_full_funnel
+    FROM stages
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: users whose first events occur
+    in funnel order (single groupBy pass, conditional min aggregates)."""
+    e = t(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count(F.when(F.col("first_click") > F.col("first_view"), 1)).alias(
+            "n_clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("first_purchase") > F.col("first_click"))
+                & (F.col("first_click") > F.col("first_view")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
