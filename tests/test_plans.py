@@ -47,3 +47,13 @@ def test_scan_prunes_columns(spark, sf_dir):
     df = engine.QUERIES["scan_parquet"](spark, sf_dir)
     plan = plan_of(df)
     assert "l_extendedprice" not in plan  # unreferenced column never read
+
+
+def test_side_effect_queries_are_rerunnable(spark, sf_dir):
+    """Queries that write staging/warehouse state must be idempotent
+    within one session (the driver may invoke them repeatedly)."""
+    for key in ["scan_csv_schema", "sink_parquet", "sink_partitioned",
+                "sink_delta_merge", "join_bucketed", "scan_partition_pruned"]:
+        a = engine.QUERIES[key](spark, sf_dir).count()
+        b = engine.QUERIES[key](spark, sf_dir).count()
+        assert a == b, key
