@@ -18,6 +18,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # Guarantee the JSON line is the ONLY stdout output: swap fd 1 to
+    # stderr at the OS level BEFORE the JVM launches, so anything the
+    # JVM/py4j/log4j writes to "stdout" lands on stderr too.  The real
+    # stdout is kept on a duplicated fd for the final JSON line.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -81,18 +89,17 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
     )
-    spark.stop()
+    spark.stop()  # stop first: Spark shutdown chatter must not trail the JSON
+    os.write(real_stdout, (line + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -260,21 +260,29 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     """
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations,
-           list_sort(list(DISTINCT substring(n_name, 1, 6))) AS name_prefixes
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           array_to_string(list_sort(list(DISTINCT substring(n_name, 1, 6))), ',')
+             AS name_prefixes
     FROM nation
     GROUP BY n_regionkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List/set aggregation, order-normalized with sort_array for
-    deterministic comparison (per-folder manifest rollups)."""
+    deterministic comparison (per-folder manifest rollups).
+
+    Emitted as comma-joined strings rather than array columns: the
+    result is equally deterministic, and string cells stay hashable for
+    order-insensitive value comparison downstream.  The array-typed
+    variant is exercised in tests (test_operators.py)."""
     return (
         t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
-            F.sort_array(F.collect_set(F.substring("n_name", 1, 6))).alias("name_prefixes"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.array_join(
+                F.sort_array(F.collect_set(F.substring("n_name", 1, 6))), ","
+            ).alias("name_prefixes"),
         )
     )
 

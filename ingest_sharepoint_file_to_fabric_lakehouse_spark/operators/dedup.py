@@ -252,42 +252,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(F.col("hamming") <= 16).orderBy("doc_a", "doc_b")
 
 
+def cosine_block_kernel(threshold: float, block_rows: int = 2048):
+    """Build the per-bucket near-dup kernel for ``applyInPandas``.
+
+    Skew guard: the OOM driver in a hot bucket is the |bucket|²
+    similarity matrix, not the vectors themselves — so the matmul runs
+    in row chunks of ``block_rows``, bounding peak extra memory to
+    ``block_rows × |bucket|`` doubles regardless of how skewed the
+    bucket key is.  (Bounding the *linear* term too — splitting one
+    bucket's rows across executors — is the LSH/IVF cell refinement in
+    similarity.py.)  Pure pandas→pandas function: unit-tested directly
+    against an unchunked reference in tests/test_operators.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf.embedding.to_numpy()).astype("float64")
+        ids = pdf.vec_id.to_numpy()
+        n = len(ids)
+        norms = np.sqrt((m * m).sum(axis=1))
+        outs = []
+        for start in range(0, n, block_rows):
+            stop = min(start + block_rows, n)
+            sims = (m[start:stop] @ m.T) / np.outer(norms[start:stop], norms)
+            # strict upper triangle in GLOBAL indices: j > global row i
+            gi, gj = np.nonzero(sims > threshold)
+            keep = gj > gi + start
+            gi, gj = gi[keep], gj[keep]
+            a, b = ids[gi + start], ids[gj]
+            swap = a > b  # emit (low, high) regardless of bucket order
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.where(swap, b, a),
+                        "vec_b": np.where(swap, a, b),
+                        "cosine": np.round(sims[gi, gj], 6),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        return pd.concat(outs, ignore_index=True)
+
+    return block
+
+
 @query("dedup_embedding_cosine")
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine above threshold within a
     label bucket (weak check — float comparison).
 
     Block-wise kernel: one shuffle groups vectors by label, then each
-    bucket computes its full similarity block as a single numpy
-    matmul (Arrow-batched applyInPandas) and emits only
-    above-threshold pairs.  This is the 100-TB shape — at scale the
-    bucket key becomes an LSH/IVF cell (see similarity.sim_topk_lsh)
-    and each block stays executor-local; a pairwise expression join
-    would interpret ~|bucket|² higher-order folds instead.
+    bucket computes its similarity block with the chunked numpy matmul
+    kernel (Arrow-batched applyInPandas, skew-guarded — see
+    cosine_block_kernel) and emits only above-threshold pairs.  This is
+    the 100-TB shape — at scale the bucket key becomes an LSH/IVF cell
+    (see similarity.sim_topk_lsh) and each block stays executor-local;
+    a pairwise expression join would interpret ~|bucket|² higher-order
+    folds instead.
     """
-    import numpy as np
-    import pandas as pd
-
-    threshold = 0.4
-
-    def block(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(pdf.embedding.to_numpy()).astype("float64")
-        ids = pdf.vec_id.to_numpy()
-        norms = np.sqrt((m * m).sum(axis=1))
-        sims = (m @ m.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] > threshold
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        swap = a > b  # emit (low, high) regardless of bucket order
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame(
-            {"vec_a": a2, "vec_b": b2, "cosine": np.round(sims[iu, ju][keep], 6)}
-        )
-
     e = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     return (
         e.groupBy("label")
-        .applyInPandas(block, "vec_a long, vec_b long, cosine double")
+        .applyInPandas(cosine_block_kernel(0.4), "vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
     )

@@ -276,7 +276,23 @@ def asof_join_latest(
     ``last(..., ignorenulls=True)``.  ONE shuffle on the key, O(n log n)
     per partition — the scalable alternative to a per-key range join.
     DuckDB oracle equivalent: ``ASOF JOIN``.
+
+    Determinism: the right side is first reduced to ONE row per
+    (key, ts) — the lexicographically greatest ``right_cols`` tuple —
+    so duplicate right timestamps can never make the surviving match
+    engine- or partitioning-dependent.  (At equal ts the window orders
+    right rows (side 0) before left rows (side 1), so every left row
+    sees the carry including its own timestamp.)
     """
+    _extra = [c for c in right_cols if c not in (on, right_ts)]
+    if _extra:
+        right = (
+            right.groupBy(on, right_ts)
+            .agg(F.max(F.struct(*[F.col(c) for c in _extra])).alias("_s"))
+            .select(on, right_ts, *[F.col(f"_s.{c}").alias(c) for c in _extra])
+        )
+    else:
+        right = right.select(on, right_ts).distinct()
     lcols = left.columns
     l_tagged = left.select(
         F.col(on).alias("_k"),
@@ -312,7 +328,11 @@ def asof_join_latest(
     SELECT p.event_id, p.user_id, p.ts, p.value,
            c.ts AS asof_ts, c.value AS asof_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
 )

@@ -3,15 +3,28 @@ declared-but-unimplemented Delta sink (`config.py:16`,
 ``/Tables/dbo/sales_transaction``).
 
 delta-spark isn't available in this environment, so the engine ships a
-portable MERGE built from a full-outer join + atomic overwrite; the
-same call site swaps to ``DeltaTable.merge`` when Delta is on the
-classpath (import-gated below).
+portable MERGE built from a full-outer join; the same call site swaps
+to ``DeltaTable.merge`` when Delta is on the classpath (import-gated
+below).
 
-Scale notes: the join shuffles both sides on the merge key — identical
-shuffle shape to Delta's own MERGE; with a partitioned target only the
-touched partitions need rewriting (dynamic partition overwrite).  The
-rewrite is atomic per directory (write temp → swap), mirroring Delta's
-transaction-log commit at the filesystem level.
+Two write strategies, chosen by target layout:
+
+* **Partitioned target** (:func:`merge_upsert_partitioned`): only the
+  partitions present in the source are read (partition-pruned scan),
+  merged, and rewritten via dynamic partition overwrite — a single
+  write that replaces exactly the touched partition directories.
+  Untouched partitions are never read or written.  This is the 100 TB
+  path: a MERGE touching one day of a year-partitioned table costs one
+  day, not the table.
+* **Unpartitioned target** (:func:`merge_upsert`): full-outer-join
+  merge staged to a temp directory (ONE write of the merged result),
+  then swapped in with filesystem renames (target → backup, tmp →
+  target) so a mid-swap failure leaves either the old or the new
+  complete table, never a half-written one.  Staging/backup dirs are
+  removed in a ``finally`` block.
+
+The join shuffles both sides on the merge key — identical shuffle
+shape to Delta's own MERGE.
 """
 
 from __future__ import annotations
@@ -27,19 +40,12 @@ except ImportError:
     HAVE_DELTA = False
 
 
-def merge_upsert(
-    spark: SparkSession,
-    target_path: str,
-    source: DataFrame,
-    key: str,
-) -> None:
-    """MERGE INTO target USING source ON key: matched → update all
-    columns, not-matched → insert (the idempotent re-ingest semantics
-    the reference lacks, SURVEY.md §4.1 "Incremental/exactly-once")."""
-    target = spark.read.parquet(target_path)
+def _merged_frame(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """MERGE semantics as a relational plan: matched → take source row,
+    not-matched → keep target row / insert source row."""
     src = source.select(target.columns)  # align column order
     src_matched = F.col(f"s.{key}").isNotNull()
-    merged = (
+    return (
         target.alias("t")
         .join(src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full")
         .select(
@@ -49,7 +55,70 @@ def merge_upsert(
             ]
         )
     )
+
+
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` — rename/delete work on any
+    HDFS-compatible store, not just the local FS."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key: str,
+) -> None:
+    """MERGE INTO an *unpartitioned* parquet target (see module doc:
+    one staged write + rename swap; idempotent re-ingest semantics the
+    reference lacks, SURVEY.md §4.1 "Incremental/exactly-once")."""
+    target = spark.read.parquet(target_path)
+    merged = _merged_frame(target, source, key)
+
     tmp = target_path.rstrip("/") + "__merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap: rewrite target from the staged result
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(target_path)
+    bak = target_path.rstrip("/") + "__merge_bak"
+    fs, jtarget = _fs(spark, target_path)
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
+    jbak = spark._jvm.org.apache.hadoop.fs.Path(bak)
+    try:
+        fs.delete(jtmp, True)
+        fs.delete(jbak, True)
+        merged.write.mode("overwrite").parquet(tmp)
+        # swap: the only non-atomic window is between the two renames,
+        # and a failure there leaves the complete old table at `bak`.
+        if not fs.rename(jtarget, jbak):
+            raise OSError(f"rename {target_path} -> {bak} failed")
+        if not fs.rename(jtmp, jtarget):
+            fs.rename(jbak, jtarget)  # roll back
+            raise OSError(f"rename {tmp} -> {target_path} failed")
+    finally:
+        fs.delete(jtmp, True)
+        fs.delete(jbak, True)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    key: str,
+    part_col: str,
+) -> None:
+    """MERGE INTO a parquet target partitioned by ``part_col``:
+    partition-pruned read of only the touched partitions, one dynamic
+    partition overwrite write.
+
+    Assumes ``part_col`` is stable per key (a row never migrates
+    between partitions) — the standard partitioned-MERGE contract.
+    ``part_col`` must be bounded-cardinality (it's a partition column),
+    so collecting the touched-partition values is driver-safe.
+    """
+    touched = [r[0] for r in source.select(part_col).distinct().collect()]
+    target = spark.read.parquet(target_path).filter(F.col(part_col).isin(touched))
+    merged = _merged_frame(target, source, key)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(target_path)
+    )

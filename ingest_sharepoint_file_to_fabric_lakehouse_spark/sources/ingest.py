@@ -7,11 +7,13 @@ distributed and incremental):
 1. discover: folder listing → manifest DataFrame with per-folder
    config (A-1/A-10/A-11; is-file filter A-9; name sanitizer A-15).
 2. incremental: manifest ANTI JOIN ingestion log on (folder, name,
-   mtime) — re-runs skip already-ingested files, fixing the
-   reference's re-copy-everything behavior (SURVEY.md §4.1).
-3. transfer: ``binaryFile`` scan of exactly the manifest files —
-   content flows executor-side, never through driver RAM
-   (anti-pattern at sharepoint_to_bronze_delta.py:166-170).
+   mtime) — re-runs skip already-ingested files, and a *modified*
+   file (new mtime) is re-ingested; fixes the reference's
+   re-copy-everything behavior (SURVEY.md §4.1).
+3. transfer: ``binaryFile`` scan loaded with the explicit path list
+   of exactly the new files (never the whole source tree) — content
+   flows executor-side, never through driver RAM (anti-pattern at
+   sharepoint_to_bronze_delta.py:166-170).
 4. land: bronze parquet with (file metadata, content, sha256).
 5. log + post-commit: append ingestion log with timestamped archive
    names (A-16, :189-191) only after the bronze write commits —
@@ -72,6 +74,7 @@ def list_source_files(root: str, folders: list[str]) -> list[dict]:
                         "folder_name": folder,
                         "file_path": p,
                         "size_bytes": os.path.getsize(p),
+                        "mtime_epoch": int(os.path.getmtime(p)),
                     }
                 )
     return rows
@@ -81,15 +84,28 @@ def discover_manifest(spark: SparkSession, root: str) -> DataFrame:
     """Listing → typed manifest DataFrame (A-10/A-11): per-folder
     config joined in, quote-sanitized target names (A-15), boolean
     flags typed at the edge (A-17)."""
+    import pandas as pd
+
     listing = list_source_files(root, [f for f, *_ in FOLDER_CONFIG])
-    schema = "file_name string, folder_name string, file_path string, size_bytes long"
+    schema = (
+        "file_name string, folder_name string, file_path string, "
+        "size_bytes long, mtime_epoch long"
+    )
+    fcols = ["file_name", "folder_name", "file_path", "size_bytes", "mtime_epoch"]
+    # pandas + Arrow conversion: stays JVM-side after the driver handoff
+    # (a list-of-tuples createDataFrame would pickle to a Python RDD and
+    # pay Python-worker spin-up on every downstream action)
     files = (
-        spark.createDataFrame([tuple(r.values()) for r in listing], schema)
+        spark.createDataFrame(
+            pd.DataFrame([tuple(r[c] for c in fcols) for r in listing], columns=fcols),
+            schema,
+        )
         if listing
         else spark.createDataFrame([], schema)
     )
+    ccols = ["folder_name", "lakehouse_folder", "copy_to_archive", "delete_original"]
     cfg = spark.createDataFrame(
-        FOLDER_CONFIG,
+        pd.DataFrame(FOLDER_CONFIG, columns=ccols),
         "folder_name string, lakehouse_folder string, copy_to_archive boolean, delete_original boolean",
     )
     return files.join(F.broadcast(cfg), "folder_name").withColumn(
@@ -114,21 +130,27 @@ def run_ingest(
 
     try:
         log = spark.read.parquet(log_path)
+        # (folder, name, mtime) key: unseen files AND seen-but-modified
+        # files (new mtime) both survive the anti-join and re-ingest.
         new_files = manifest.join(
-            log.select("folder_name", "file_name").withColumn("_seen", F.lit(1)),
-            ["folder_name", "file_name"],
+            log.select("folder_name", "file_name", "mtime_epoch"),
+            ["folder_name", "file_name", "mtime_epoch"],
             "left_anti",
         )
     except Exception:
         new_files = manifest  # first run: empty log
 
-    if new_files.isEmpty():
+    new_paths = [r.file_path for r in new_files.select("file_path").collect()]
+    if not new_paths:
         return spark.read.parquet(log_path)
 
-    # executor-side content scan of exactly the new files (A-2, distributed)
+    # executor-side content scan of exactly the new files (A-2,
+    # distributed): explicit path list, never the whole source tree.
+    # The list is driver-resident by construction (the manifest listing
+    # is a control-plane call, A-1) and bounded by the per-run delta.
     blobs = (
         spark.read.format("binaryFile")
-        .load(os.path.join(source_root, "*"))
+        .load(new_paths)
         .withColumn("file_name", F.element_at(F.split("path", "/"), -1))
         .withColumn("folder_name", F.element_at(F.split("path", "/"), -2))
         .select("folder_name", "file_name", "length", "content")
@@ -141,6 +163,7 @@ def run_ingest(
         "copy_to_archive",
         "delete_original",
         "size_bytes",
+        "mtime_epoch",
         F.sha2(F.coalesce(F.col("content"), F.lit(b"")), 256).alias("content_sha256"),
         F.when(F.col("content").isNotNull() | (F.col("size_bytes") == 0), F.lit("ingested"))
         .otherwise(F.lit("error:missing-content"))
@@ -165,9 +188,11 @@ def run_ingest(
 
 @query("ingest_pipeline")
 def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end incremental ingest over the mock document library;
-    runs twice to prove idempotence (second run is a no-op), returns
-    the final ingestion log (weak check — filesystem side effects)."""
+    """End-to-end incremental ingest over the mock document library:
+    run 1 ingests everything, run 2 is a no-op (idempotence), then one
+    file is modified (content + mtime bump) and run 3 re-ingests
+    exactly that file.  Returns the final ingestion log (weak check —
+    filesystem side effects)."""
     import shutil
 
     base = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/ingest"
@@ -175,7 +200,13 @@ def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     make_source_fixture(src)
     run_ingest(spark, src, bronze)
-    log = run_ingest(spark, src, bronze)  # idempotent re-run
+    run_ingest(spark, src, bronze)  # idempotent re-run: no-op
+    # modified-file re-ingest: new content, deterministic future mtime
+    changed = os.path.join(src, "finance", "report_q1.csv")
+    with open(changed, "ab") as f:
+        f.write(b"3,999\n")
+    os.utime(changed, (4102444800, 4102444800))  # 2100-01-01, > any real mtime
+    log = run_ingest(spark, src, bronze, run_ts="2024-06-02 09:00:00")
     return log.select(
         "folder_name",
         "file_name",
@@ -184,4 +215,4 @@ def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_sha256",
         "status",
         "archive_name",
-    ).orderBy("folder_name", "file_name")
+    ).orderBy("folder_name", "file_name", "content_sha256")

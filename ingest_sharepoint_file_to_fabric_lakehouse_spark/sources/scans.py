@@ -6,8 +6,12 @@ manifest DataFrame; whole-file downloads (A-2) become ``binaryFile``
 scans; Graph JSON payloads (:55,65,76) become JSON-lines scans.
 
 CSV/JSON fixtures are derived deterministically from the parquet corpus
-into ``/tmp/sgdata/<sf>/`` (written once per run, overwrite mode) so
-the DuckDB oracle can read the very same files.
+into ``/tmp/sgdata/stage/`` (rewritten by the Spark query each run,
+overwrite mode) so the DuckDB oracle can read the very same files.  The
+staging path is deliberately scale-independent: each gate run writes
+from its own ``sf_dir`` immediately before the oracle reads it, so the
+oracle always sees the data of the run in progress regardless of scale
+factor.
 """
 
 from __future__ import annotations
@@ -27,7 +31,8 @@ from ..core import query, t
 
 
 def _staging(sf_dir: str) -> str:
-    return f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}"
+    # sf_dir-independent on purpose — see module docstring.
+    return "/tmp/sgdata/stage"
 
 
 @query(
@@ -52,7 +57,7 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_csv_schema",
     """
     SELECT n_nationkey, n_name, n_regionkey
-    FROM read_csv('/tmp/sgdata/sf0.01/nation_csv/*.csv', header=true,
+    FROM read_csv('/tmp/sgdata/stage/nation_csv/*.csv', header=true,
                   columns={'n_nationkey': 'INT', 'n_name': 'VARCHAR', 'n_regionkey': 'INT'})
     """,
 )
@@ -75,7 +80,7 @@ def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_json_lines",
     """
     SELECT event_id, user_id, event_type
-    FROM read_json('/tmp/sgdata/sf0.01/events_json/*.json',
+    FROM read_json('/tmp/sgdata/stage/events_json/*.json',
                    columns={'event_id': 'BIGINT', 'user_id': 'BIGINT', 'event_type': 'VARCHAR'})
     WHERE event_id < 2000
     """,
@@ -122,7 +127,14 @@ def scan_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-memory manifest → DataFrame with declared schema — the
     reference's discovery output (FIXTURES.md file_manifest;
     sharepoint_to_bronze_delta.py:141-153), flags typed boolean at the
-    edge instead of "True"/"False" strings."""
+    edge instead of "True"/"False" strings.
+
+    The rows go in via pandas + Arrow: a list-of-tuples createDataFrame
+    pickles to a Python RDD, so every downstream action pays Python
+    worker spin-up (measured 0.6-8s mid-bench); the Arrow path converts
+    driver-side and stays JVM-only afterwards (~0.2s)."""
+    import pandas as pd
+
     rows = [
         ("report_q1.csv", "finance", "contoso", "https://sp/f/report_q1.csv", "Files/finance", True, False),
         ("report_q2.csv", "finance", "contoso", "https://sp/f/report_q2.csv", "Files/finance", True, True),
@@ -133,5 +145,6 @@ def scan_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_name string, folder_name string, site_name string, file_url string, "
         "lakehouse_folder string, copy_to_archive boolean, delete_original boolean"
     )
-    df = spark.createDataFrame(rows, schema)
+    cols = [f.split()[0] for f in schema.split(", ")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
     return df.withColumn("file_name", F.regexp_replace("file_name", "'", "_"))

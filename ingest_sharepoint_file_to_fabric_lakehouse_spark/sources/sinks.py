@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core import dec, money, query, t
-from ..plans.merge import merge_upsert
+from ..plans.merge import merge_upsert, merge_upsert_partitioned
 
 
 def _staging(sf_dir: str) -> str:
@@ -124,5 +124,52 @@ def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("o_orderkey").alias("n_keys"),
+        money(F.sum(dec("o_totalprice"))).alias("total"),
+    )
+
+
+@query(
+    "sink_merge_partitioned",
+    """
+    WITH target AS (
+      SELECT *, year(o_orderdate) AS order_year
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+             o_orderdate, o_orderpriority, year(o_orderdate) AS order_year
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    merged AS (
+      SELECT * FROM source
+      UNION ALL
+      SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+    )
+    SELECT CAST(order_year AS INTEGER) AS order_year,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM merged
+    GROUP BY order_year
+    """,
+)
+def sink_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE: target partitioned by order year, source
+    touches only 1997+ — the merge reads and rewrites exactly those
+    partition directories (dynamic partition overwrite), leaving every
+    earlier year's files untouched (byte-identity asserted in
+    tests/test_plans.py).  This is the 100 TB MERGE shape."""
+    path = f"{_staging(sf_dir)}/sink_merge_part"
+    orders = t(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    target = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    target.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    source = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    merge_upsert_partitioned(spark, path, source, "o_orderkey", "order_year")
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("order_year").cast("int").alias("order_year")).agg(
+        F.count("*").alias("n_orders"),
         money(F.sum(dec("o_totalprice"))).alias("total"),
     )

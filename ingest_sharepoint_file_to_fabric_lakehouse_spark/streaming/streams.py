@@ -31,10 +31,15 @@ def _staging(sf_dir: str, name: str) -> str:
     return f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/{name}"
 
 
-def stage_event_files(spark: SparkSession, sf_dir: str, base: str, n_files: int = 4) -> str:
+def stage_event_files(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Write events as N time-ordered parquet files — a deterministic
-    replayable 'stream' (file names fix the micro-batch order)."""
-    src_dir = f"{base}/input"
+    replayable 'stream' (file names fix the micro-batch order).
+
+    Staged ONCE per sf_dir and shared by every streaming key: the
+    staging content is a pure function of the events table, so the
+    four live-stream queries read the same input directory instead of
+    each paying its own repartition+write pass."""
+    src_dir = _staging(sf_dir, "stream_shared_input")
     if not os.path.isdir(src_dir):
         stage = f"{src_dir}/_stage"
         # one shuffle: range-partition by ts → part files are time-ordered
@@ -97,7 +102,7 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling windows through a REAL readStream (complete mode,
     AvailableNow) — final state must equal the batch oracle exactly."""
     base = _staging(sf_dir, "stream_tumbling")
-    src = stage_event_files(spark, sf_dir, base)
+    src = stage_event_files(spark, sf_dir)
     out, ckpt = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -132,7 +137,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates across micro-batches); watermarked dropDuplicates must
     reduce to exactly the distinct set."""
     base = _staging(sf_dir, "stream_dedup")
-    src = stage_event_files(spark, sf_dir, base)
+    src = stage_event_files(spark, sf_dir)
     dup_src = f"{base}/input_dup"
     if not os.path.isdir(dup_src):
         os.makedirs(dup_src, exist_ok=True)
@@ -167,7 +172,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows the watermark has closed — late stragglers are dropped from
     closed windows."""
     base = _staging(sf_dir, "stream_late")
-    src = stage_event_files(spark, sf_dir, base)
+    src = stage_event_files(spark, sf_dir)
     out, ckpt = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -199,7 +204,7 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     archive/delete mirror of A-5/A-6 — actions keyed to the committed
     epoch, the ordering fix for sharepoint_to_bronze_delta.py:222-231)."""
     base = _staging(sf_dir, "stream_sink")
-    src = stage_event_files(spark, sf_dir, base)
+    src = stage_event_files(spark, sf_dir)
     out, ckpt, commits = f"{base}/out", f"{base}/ckpt", f"{base}/commits"
     for d in (out, ckpt, commits):
         shutil.rmtree(d, ignore_errors=True)

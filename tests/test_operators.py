@@ -182,3 +182,112 @@ def test_cc_label_propagation_matches_unionfind(spark):
     fast = {r.node: r.comp for r in connected_components(edges).collect()}
     dist = {r.node: r.comp for r in _cc_label_propagation(edges, 20).collect()}
     assert fast == dist
+
+
+def test_merge_upsert_cleans_staging_dirs(spark, tmp_path):
+    """The rename-swap MERGE must leave no __merge_tmp/__merge_bak."""
+    import os
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import merge_upsert
+
+    path = str(tmp_path / "target3")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.parquet(path)
+    merge_upsert(spark, path, spark.createDataFrame([(2, 2.0)], "id long, v double"), "id")
+    assert sorted(os.listdir(tmp_path)) == ["target3"]
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_merge_partitioned_untouched_partition_byte_identical(spark, tmp_path):
+    """Partition-scoped MERGE: an untouched partition's data files are
+    byte-identical afterwards (never read, never rewritten)."""
+    import pathlib
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import (
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "ptab")
+    spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0), (3, 2, 30.0), (4, 2, 40.0)],
+        "id long, p int, v double",
+    ).write.partitionBy("p").parquet(path)
+
+    def part_files(p):
+        return {
+            f.name: f.read_bytes()
+            for f in pathlib.Path(f"{path}/p={p}").glob("*.parquet")
+        }
+
+    before = part_files(1)
+    source = spark.createDataFrame([(3, 2, 99.0), (5, 2, 50.0)], "id long, p int, v double")
+    merge_upsert_partitioned(spark, path, source, "id", "p")
+    assert part_files(1) == before  # untouched partition: same files, same bytes
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 99.0, 4: 40.0, 5: 50.0}
+
+
+def test_cosine_block_kernel_chunked_matches_unchunked():
+    """Skew guard: chunked matmul emits exactly the unchunked pair set
+    on a hot-bucket fixture (300 rows ≫ block_rows=16)."""
+    import numpy as np
+    import pandas as pd
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup import (
+        cosine_block_kernel,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 8))
+    # 300 vectors clustered around 30 centers → plenty of near-dups
+    vecs = [base[i % 30] + rng.normal(scale=0.05, size=8) for i in range(300)]
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [v for v in vecs]})
+
+    def canon(out):
+        return sorted(map(tuple, out[["vec_a", "vec_b", "cosine"]].to_numpy().tolist()))
+
+    chunked = canon(cosine_block_kernel(0.8, block_rows=16)(pdf))
+    full = canon(cosine_block_kernel(0.8, block_rows=10**9)(pdf))
+    assert len(full) > 100
+    assert chunked == full
+
+
+def test_agg_collect_array_variant(spark, sf_dir):
+    """The array-typed collect stays covered here (the queries() entry
+    emits joined strings for hashability)."""
+    n = engine.t(spark, sf_dir, "nation")
+    arr = (
+        n.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .collect()
+    )
+    strs = {r.n_regionkey: r.nations for r in engine.QUERIES["agg_collect"](spark, sf_dir).collect()}
+    for r in arr:
+        assert r.nations == sorted(r.nations)
+        assert ",".join(r.nations) == strs[r.n_regionkey]
+
+
+def test_ingest_reingests_modified_file(spark, tmp_path):
+    """A file whose mtime changes is re-ingested (mtime in the
+    anti-join key); unchanged files are not."""
+    import os
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.sources.ingest import (
+        make_source_fixture,
+        run_ingest,
+    )
+
+    src, bronze = str(tmp_path / "sp"), str(tmp_path / "bronze")
+    make_source_fixture(src)
+    n1 = run_ingest(spark, src, bronze).count()
+    changed = os.path.join(src, "shared", "notes.txt")
+    with open(changed, "ab") as f:
+        f.write(b" (amended)")
+    os.utime(changed, (4102444800, 4102444800))
+    log = run_ingest(spark, src, bronze)
+    assert log.count() == n1 + 1  # exactly the modified file re-ingested
+    shas = (
+        log.filter((F.col("folder_name") == "shared") & (F.col("file_name") == "notes.txt"))
+        .select("content_sha256")
+        .collect()
+    )
+    assert len(shas) == 2 and shas[0][0] != shas[1][0]
