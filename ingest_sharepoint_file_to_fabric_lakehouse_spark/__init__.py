@@ -24,6 +24,7 @@ _MODULES = [
     "operators.analytics",
     "operators.dedup",
     "operators.similarity",
+    "operators.pipeline",
     "functions.scalars",
     "functions.text",
     "functions.udfs",

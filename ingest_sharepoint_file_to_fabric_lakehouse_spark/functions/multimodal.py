@@ -94,6 +94,60 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return df.mapInPandas(kernel, "path string, content binary, width int, height int")
 
 
+def sample_frames(df: DataFrame, frame_bytes: int = 256, stride: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-shaped blobs: every
+    ``stride``-th fixed-size slice of the content becomes one output
+    row (file, frame_idx, frame_n_bytes, frame_sha256).
+
+    The slicing stands in for a real pyav keyframe sampler (swap the
+    kernel body; schema/batching/partitioning are the real contract).
+    One input row fans out to many frame rows INSIDE the kernel —
+    executor-local, no explode through the shuffle; at scale the frame
+    rows land partitioned by source file, ready for per-frame feature
+    extraction."""
+
+    def kernel(batches):
+        for pdf in batches:
+            paths, idxs, sizes, shas = [], [], [], []
+            for path, content in zip(pdf.path, pdf.content):
+                frames = [
+                    content[off : off + frame_bytes]
+                    for off in range(0, len(content), frame_bytes)
+                ]
+                for i in range(0, len(frames), stride):
+                    paths.append(path)
+                    idxs.append(i)
+                    sizes.append(len(frames[i]))
+                    shas.append(hashlib.sha256(frames[i]).hexdigest())
+            yield pd.DataFrame(
+                {"path": paths, "frame_idx": idxs, "frame_n_bytes": sizes,
+                 "frame_sha256": shas}
+            )
+
+    return df.mapInPandas(
+        kernel, "path string, frame_idx int, frame_n_bytes int, frame_sha256 string"
+    )
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of staged fake 'videos' → strided frame sampling
+    via the mapInPandas kernel (weak check — deterministic blobs)."""
+    stage = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/video"
+    os.makedirs(stage, exist_ok=True)
+    for i in range(3):
+        with open(f"{stage}/clip_{i}.fakemp4", "wb") as f:
+            f.write(bytes(range(256)) * (24 + 8 * i))
+    scan = spark.read.format("binaryFile").load(stage).select("path", "content")
+    frames = sample_frames(scan, frame_bytes=256, stride=4)
+    return frames.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        "frame_idx",
+        "frame_n_bytes",
+        "frame_sha256",
+    ).orderBy("file_name", "frame_idx")
+
+
 @query("multimodal_binary_meta")
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile scan of staged media blobs → typed metadata columns

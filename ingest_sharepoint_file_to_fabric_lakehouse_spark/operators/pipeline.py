@@ -1,0 +1,235 @@
+"""Training-data pipeline operators beyond the dedup/similarity core
+(BASELINE north star): deterministic sampling & splits, PII scrubbing,
+source-mixture weighting, radius similarity search.
+
+Everything here is whole-stage-codegen expression work or one
+partial-aggregated groupBy — map-side at 100 TB except the final tiny
+per-stratum aggregates.
+
+Portability note: sampling/split hashing uses a multiplicative hash in
+plain BIGINT arithmetic (``(id * 2654435761) mod 2^32``, Knuth) instead
+of engine hash functions — xxhash64/md5-hex-to-int don't line up across
+engines, but integer arithmetic is bit-identical everywhere, so the
+oracle can verify EXACT membership, not just counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import query, t
+
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def _mix32(col, salt: int = 0):
+    """Portable deterministic 32-bit mix of a BIGINT column."""
+    return ((col + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(_M32)
+
+
+@query(
+    "corpus_sample_stratified",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ((doc_id * {_KNUTH}) % {_M32}) % 1000 <
+          CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 ELSE 500 END
+    ORDER BY doc_id
+    """,
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language rates (en 10%, de 30%,
+    rest 50%) — the rebalancing step of corpus curation.  Deterministic
+    hash-threshold sampling: no RNG state, stable under re-runs and
+    partitioning, exact-membership verifiable.  Pure map-side filter."""
+    d = t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "de", 300)
+        .otherwise(500)
+    )
+    return (
+        d.filter(_mix32(F.col("doc_id")) % 1000 < rate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_dataset_split",
+    f"""
+    WITH b AS (
+      SELECT *, ((doc_id + 9176) * {_KNUTH}) % {_M32} % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM b
+    GROUP BY 1
+    """,
+)
+def text_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hash bucket
+    (salted so it decorrelates from the sampling hash).  The id_checksum
+    makes the oracle verify exact membership of each split, not just
+    sizes.  Map-side assignment + one tiny aggregate."""
+    d = t(spark, sf_dir, "documents")
+    bucket = _mix32(F.col("doc_id"), salt=9176) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+@query(
+    "text_pii_scrub",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                  || ' id ' || CAST(doc_id * 7919 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           right(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{4,}', '<NUM>', 'g'),
+             60) AS scrubbed_tail,
+           len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS n_phones
+    FROM raw
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email / phone / long-number patterns replaced with
+    typed placeholders, plus per-doc redaction counts — the standard
+    pre-training scrub pass.  (The fixture corpus carries no PII, so a
+    deterministic contact string derived from doc_id is appended on
+    BOTH sides before scrubbing — the patterns then fire on every row.)
+    Pure map-side regexp work, codegen end to end."""
+    d = t(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call 555-01"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit(" id "),
+            (F.col("doc_id") * 7919).cast("string"),
+        ).alias("t"),
+    )
+    email_pat = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_pat = r"[0-9]{3}-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", email_pat, "<EMAIL>"), phone_pat, "<PHONE>"
+        ),
+        r"[0-9]{4,}",
+        "<NUM>",
+    )
+    return raw.select(
+        "doc_id",
+        F.right(scrubbed, F.lit(60)).alias("scrubbed_tail"),
+        F.size(F.regexp_extract_all("t", F.lit(email_pat), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(phone_pat), 0)).alias("n_phones"),
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    """
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM s), 6) AS actual_share,
+           ROUND(0.05 / (CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM s)), 6)
+             AS sample_factor
+    FROM s
+    ORDER BY source
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture weighting: per-source token share vs a uniform
+    target mixture → the sampling multiplier a data loader applies to
+    hit the target blend.  One partial-aggregated groupBy; the share
+    normalization broadcasts a single total."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    total = s.agg(F.sum("n_tokens").alias("_tot"))
+    share = F.col("n_tokens").cast("double") / F.col("_tot")
+    return (
+        s.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(share, 6).alias("actual_share"),
+            F.round(F.lit(0.05) / share, 6).alias("sample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sim_radius_search",
+    """
+    WITH e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    q AS (SELECT v AS q_vec FROM e WHERE vec_id = 7)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(q.q_vec, e.v), 6) AS cos_sim
+    FROM e CROSS JOIN q
+    WHERE e.vec_id <> 7 AND list_cosine_similarity(q.q_vec, e.v) >= 0.25
+    ORDER BY vec_id
+    """,
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every vector with cosine ≥ τ of
+    the query — the recall-oriented complement of top-k.  JVM-side
+    sequential fold (zip_with + aggregate) matches DuckDB's
+    list_cosine_similarity bit-for-bit; broadcastable query row, pure
+    map-side scan at scale (with IVF cells pruning candidates first —
+    see sim_ivf_probe)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 7).select(F.col("v").alias("q_vec"))
+    dot = F.aggregate(
+        F.zip_with("v", "q_vec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cos = dot / (norm(F.col("v")) * norm(F.col("q_vec")))
+    return (
+        e.filter(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.25)
+        .select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("vec_id")
+    )

@@ -291,3 +291,31 @@ def test_ingest_reingests_modified_file(spark, tmp_path):
         .collect()
     )
     assert len(shas) == 2 and shas[0][0] != shas[1][0]
+
+
+def test_minhash_mapside_signature_matches_explode_form(spark, sf_dir):
+    """The map-side array_min(transform(...)) signature must equal the
+    explode → groupBy → min(xxhash64(shingle, k)) formulation — guards
+    the binary-lambda pitfall where a default-arg lambda binds the seed
+    to the element index."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup import shingles
+
+    d = engine.t(spark, sf_dir, "documents").limit(50)
+    sh = d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+
+    def mh(k):
+        return lambda s: F.xxhash64(s, F.lit(k))
+
+    mapside = sh.select(
+        "doc_id", F.array(*[F.array_min(F.transform("sh", mh(k))) for k in range(4)]).alias("sig")
+    )
+    exploded = (
+        d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(F.array(*[F.min(F.xxhash64("shingle", F.lit(k))) for k in range(4)]).alias("sig"))
+    )
+    a = {r.doc_id: r.sig for r in mapside.collect()}
+    b = {r.doc_id: r.sig for r in exploded.collect()}
+    assert a == b
+    # seeds differ → signatures differ (the index-bound bug made them equal)
+    assert any(len(set(sig)) > 1 for sig in a.values())
