@@ -71,7 +71,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for key, fn in qs.items():
+    for qi, (key, fn) in enumerate(qs.items()):
+        if qi and qi % 20 == 0:
+            # periodic GC nudge (untimed): Spark's ContextCleaner frees
+            # broadcast/shuffle state only on GC, and ~114 queries in
+            # one JVM otherwise degrade late-position queries 2-4x
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)

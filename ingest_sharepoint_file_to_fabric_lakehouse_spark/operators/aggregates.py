@@ -101,6 +101,38 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_sketch_hll_merge",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches): per-year partial sketches
+    unioned into per-status estimates — the re-aggregatable rollup
+    pattern a 100 TB pipeline stores in its metric tables (build
+    sketches once per partition/day, union at query time; never
+    re-scan).
+
+    Oracle compares against EXACT distinct counts: with lgConfigK=14
+    the HLL relative error (~0.8%) rounds to the exact value at this
+    cardinality — asserted exactly; at real scale this check would be
+    tolerance-based.
+    """
+    o = t(spark, sf_dir, "orders")
+    partials = o.groupBy("o_orderstatus", F.year("o_orderdate").alias("yr")).agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk")
+    )
+    return (
+        partials.groupBy("o_orderstatus")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("exact_customers"))
+        .withColumn("exact_customers", F.col("exact_customers").cast("long"))
+    )
+
+
+@query(
     "agg_having",
     """
     SELECT o_custkey,

@@ -127,8 +127,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20, collect_threshold
             ra, rb = find(r.a), find(r.b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
+        import pandas as pd
+
         rows = [(n, find(n)) for n in parent]
-        return edges.sparkSession.createDataFrame(rows, "node long, comp long")
+        # Arrow path — a list-of-tuples createDataFrame pickles to a
+        # Python RDD and pays worker spin-up on every downstream action
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(rows, columns=["node", "comp"]), "node long, comp long"
+        )
     return _cc_label_propagation(edges, max_iter)
 
 

@@ -154,6 +154,13 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.array_min(F.transform("sh", _minhash(k))) for k in range(n_hashes)]
         ).alias("sig"),
     )
+    # One explicit exchange to materialize the signatures: three
+    # consumers (banding + both sides of the estimate join) hang off
+    # `sig`, and without a shuffle boundary Spark would recompute the
+    # 32-hash projection per consumer (measured 4× slower).  Exchange
+    # reuse makes them all read this one #docs-row shuffle — at scale
+    # you'd persist/checkpoint the signature table instead.
+    sig = sig.repartition("doc_id")
     banded = sig.select(
         "doc_id",
         F.explode(

@@ -210,11 +210,16 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import pandas as pd
+
         counted = batch_df.count()
         batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
-        # post-commit action: marker written only after the data commit
+        # post-commit action: marker written only after the data commit.
+        # Arrow path (pandas) — a list-of-tuples createDataFrame would
+        # pickle to a Python RDD and pay per-epoch worker spin-up.
         batch_df.sparkSession.createDataFrame(
-            [(epoch_id, counted)], "epoch long, n_rows long"
+            pd.DataFrame({"epoch": [epoch_id], "n_rows": [counted]}),
+            "epoch long, n_rows long",
         ).write.mode("append").parquet(commits)
 
     q = (
