@@ -53,7 +53,9 @@ def test_side_effect_queries_are_rerunnable(spark, sf_dir):
     """Queries that write staging/warehouse state must be idempotent
     within one session (the driver may invoke them repeatedly)."""
     for key in ["scan_csv_schema", "sink_parquet", "sink_partitioned",
-                "sink_delta_merge", "join_bucketed", "scan_partition_pruned"]:
+                "sink_delta_merge", "sink_merge_partitioned",
+                "multimodal_frame_sample", "join_bucketed",
+                "scan_partition_pruned"]:
         a = engine.QUERIES[key](spark, sf_dir).count()
         b = engine.QUERIES[key](spark, sf_dir).count()
         assert a == b, key
