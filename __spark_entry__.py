@@ -54,7 +54,7 @@ _WEAK_PRIORITY = ["ingest_pipeline", "dedup_fuzzy_minhash", "sim_topk_lsh"]
 _DEFERRED_NEW = [
     "corpus_sample_stratified", "text_dataset_split", "text_pii_scrub",
     "corpus_mix_weights", "sim_radius_search", "multimodal_frame_sample",
-    "agg_sketch_hll_merge",
+    "agg_sketch_hll_merge", "stream_stateful_custom",
 ]
 
 

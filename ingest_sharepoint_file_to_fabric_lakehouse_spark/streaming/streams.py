@@ -165,6 +165,72 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_stateful_custom",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events
+    WHERE user_id < 40
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, id-checksum) state updated across
+    micro-batches, emitting the running totals each batch (update
+    mode).  The LAST emission per user must equal the batch GROUP BY —
+    a strong cross-paradigm oracle.  Checksums are integer sums, so
+    batch arrival order can't introduce float drift.
+
+    Scale notes: state is two longs per user, partitioned by the
+    grouping key across the state store; this is the template for
+    custom session logic / online feature accumulation that
+    window/dropDuplicates can't express.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = _staging(sf_dir, "stream_stateful")
+    src = stage_event_files(spark, sf_dir)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def update(key, pdfs, state: GroupState):
+        n, chk = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            chk += int(pdf.event_id.sum())
+        state.update((n, chk))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "id_checksum": [chk]}
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("user_id") < 40)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, id_checksum long",
+            stateStructType="n long, chk long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    run_stream_to_parquet(stream, out, ckpt, mode="update")
+    emitted = spark.read.parquet(f"{out}/epoch=*")
+    # running totals are monotone: the max per user == final state
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("id_checksum").alias("id_checksum")
+    )
+
+
 @query("stream_watermark_late")
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + late-data drop (weak check): micro-batches arrive in
