@@ -240,25 +240,32 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_tokens,
            string_split(text, ' ')[1] AS first_token,
-           string_split(text, ' ')[2:4] AS tokens_2_to_4,
+           array_to_string(string_split(text, ' ')[2:4], ',') AS tokens_2_to_4,
            list_contains(string_split(text, ' '), 'spark') AS has_spark,
-           list_sort(string_split(substring(text, 1, 40), ' ')) AS sorted_head_tokens,
+           array_to_string(list_sort(string_split(substring(text, 1, 40), ' ')), ',')
+             AS sorted_head_tokens,
            len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long_tokens
     FROM documents
     """,
 )
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """explode-free array surface: size/element_at/slice/contains/sort +
-    higher-order filter — over tokenized document text."""
+    higher-order filter — over tokenized document text.
+
+    Array-typed intermediates are emitted comma-joined (array_join):
+    result cells stay hashable for order-insensitive value comparison
+    (same discipline as agg_collect)."""
     d = t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.element_at(toks, 1).alias("first_token"),
-        F.slice(toks, 2, 3).alias("tokens_2_to_4"),
+        F.array_join(F.slice(toks, 2, 3), ",").alias("tokens_2_to_4"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.sort_array(F.split(F.substring("text", 1, 40), " ")).alias("sorted_head_tokens"),
+        F.array_join(
+            F.sort_array(F.split(F.substring("text", 1, 40), " ")), ","
+        ).alias("sorted_head_tokens"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long_tokens"),
     )
 
