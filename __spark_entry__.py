@@ -55,6 +55,7 @@ _DEFERRED_NEW = [
     "corpus_sample_stratified", "text_dataset_split", "text_pii_scrub",
     "corpus_mix_weights", "sim_radius_search", "multimodal_frame_sample",
     "agg_sketch_hll_merge", "stream_stateful_custom",
+    "events_user_retention", "win_distribution",
 ]
 
 

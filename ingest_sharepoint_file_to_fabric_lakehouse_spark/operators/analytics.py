@@ -177,3 +177,43 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@query(
+    "events_user_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(d) AS cohort FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort,
+           datediff('day', c.cohort, a.d) AS day_offset,
+           count(DISTINCT a.user_id) AS n_active_users
+    FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+    WHERE datediff('day', c.cohort, a.d) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted
+    active at day offsets 0..7 — the standard growth-analytics matrix
+    (daily grain because the events fixture spans one month).
+
+    cohorts is a per-user aggregate — one shuffle on user_id, shared
+    with the activity join key, so AQE co-locates both sides."""
+    e = t(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        cohorts.join(activity, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
