@@ -211,6 +211,119 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_PORTABLE_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, greatest(len(toks)-2, 1) + 1)]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  )
+),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, ROUND(({agree}) / 12.0, 4) AS est_jaccard
+FROM cand
+JOIN sig a ON a.doc_id = doc_a
+JOIN sig b ON b.doc_id = doc_b
+WHERE ({agree}) / 12.0 >= 0.5
+ORDER BY doc_a, doc_b
+""".format(
+    mins=", ".join(f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(12)),
+    bands="\n  UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {cc} AS bucket FROM sig".format(
+            bi=bi, cc=" || ',' || ".join(f"h{bi * 3 + ri}" for ri in range(3))
+        )
+        for bi in range(4)
+    ),
+    agree=" + ".join(f"(a.h{k} = b.h{k})::INT" for k in range(12)),
+)
+
+
+@query("dedup_minhash_portable", _MINHASH_PORTABLE_ORACLE)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with an engine-portable hash → STRONG value oracle.
+
+    Same banded-LSH shape as :func:`dedup_fuzzy_minhash`, but each of
+    the k=12 min-hashes is the lexicographic min of ``md5(seed || ':'
+    || shingle)`` hex strings — md5 is bit-identical everywhere, so the
+    *entire* pipeline (signatures → b=4×r=3 band buckets → candidate
+    join → signature-agreement estimate) is replicated verbatim in the
+    DuckDB oracle and value-checked, not just row-counted.  This is the
+    correctness witness for the LSH construction itself; the xxhash64
+    variant stays the production hot path (~3× cheaper hashing).
+
+    Scale shape is identical: signatures are row-local map-side
+    projections (min over the doc's own shingle array), the only
+    shuffle is the (band, bucket) candidate join — #docs × 4 rows,
+    linear, never all-pairs.
+    """
+    n_hashes, bands, rpb = 12, 4, 3
+    d = t(spark, sf_dir, "documents")
+
+    def _mh(k: int):
+        # closure factory — see dedup_fuzzy_minhash note on lambda args.
+        return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
+
+    sh = d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    sig = sh.select(
+        "doc_id",
+        *[F.array_min(F.transform("sh", _mh(k))).alias(f"h{k}") for k in range(n_hashes)],
+    )
+    # materialization boundary: banding + both estimate joins reuse
+    # this one exchange instead of recomputing 12 md5 passes 3×.
+    sig = sig.repartition("doc_id")
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"h{bi * rpb + ri}") for ri in range(rpb)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    agree = sum(
+        [(F.col(f"a.h{k}") == F.col(f"b.h{k}")).cast("int") for k in range(n_hashes)],
+        F.lit(0),
+    )
+    est = agree / F.lit(n_hashes)
+    return (
+        cand.join(sig.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+        .join(sig.alias("b"), F.col("b.doc_id") == F.col("doc_b"))
+        .filter(est >= 0.5)
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures + banded Hamming candidates (weak).
@@ -327,10 +440,25 @@ def cosine_block_kernel(threshold: float, block_rows: int = 2048):
     return block
 
 
-@query("dedup_embedding_cosine")
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) > 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine above threshold within a
-    label bucket (weak check — float comparison).
+    label bucket.
+
+    Strong check: both sides compute the cosine in float64 (numpy
+    matmul here, DuckDB list_cosine_similarity over DOUBLE[] there) and
+    round to 6 dp — summation-order ulp drift is deterministic and far
+    below the rounding grain for 64-dim unit-scale vectors.
 
     Block-wise kernel: one shuffle groups vectors by label, then each
     bucket computes its similarity block with the chunked numpy matmul

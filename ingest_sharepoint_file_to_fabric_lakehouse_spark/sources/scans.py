@@ -100,14 +100,29 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.json(path, schema="event_id bigint, user_id bigint, event_type string")
 
 
-@query("scan_binaryfile")
+@query(
+    "scan_binaryfile",
+    """
+    SELECT * FROM (VALUES
+      ('doc_0.bin', CAST(100 AS BIGINT), 'cd00e292c5970d3c5e2f0ffa5171e555bc46bfc4faddfb4a418b6840b86e79a3'),
+      ('doc_1.bin', CAST(101 AS BIGINT), 'df5e7ef8b4a2dcbf2d99a0a0ac4527f9b3967daa799f7e0b7c11b06c4cd56a80'),
+      ('doc_2.bin', CAST(102 AS BIGINT), '3c2ee46702eaea9a3f06da0e5d27e906be993b625050130db26af49f5ba302fa'),
+      ('doc_3.bin', CAST(103 AS BIGINT), 'b59be665caf7e963d8019af0de3dd6ff1d6d040e084ed1d20c04b421dcc6cc0f'),
+      ('doc_4.bin', CAST(104 AS BIGINT), '01e7ec91ba83e758a90fce9430def28f0cb597a2714af8c6b4c97839b6fcca83'),
+      ('doc_5.bin', CAST(105 AS BIGINT), '43777d16de1669f962cf72767448875917c0657ce1a6de3a0e4c6bc73caa0160'),
+      ('doc_6.bin', CAST(106 AS BIGINT), '27b400ba73a97390a792482e0b93b8a3aed50f48e893c3bf3bc76192777491ca'),
+      ('doc_7.bin', CAST(107 AS BIGINT), '59ba9254408b49261965e91f7f53bb2737c9ca84855a73abf1ba32cce360b8f0')
+    ) AS t(file_name, length, content_sha256)
+    """,
+)
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary whole-file scan (multimodal bronze landing, A-2/A-3).
 
     Files land as (path, modificationTime, length, content) — the
     engine's replacement for driver-RAM buffering
-    (sharepoint_to_bronze_delta.py:166-170).  Weak check: hashes of
-    deterministic staged blobs.
+    (sharepoint_to_bronze_delta.py:166-170).  Strong check: the staged
+    blobs are deterministic (byte i repeated 100+i times), so the
+    oracle is the literal expected (name, length, sha256) table.
     """
     stage = f"{_staging(sf_dir)}/blobs"
     os.makedirs(stage, exist_ok=True)
@@ -122,7 +137,18 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("file_name")
 
 
-@query("scan_manifest")
+@query(
+    "scan_manifest",
+    """
+    SELECT * FROM (VALUES
+      ('report_q1.csv', 'finance', 'contoso', 'https://sp/f/report_q1.csv', 'Files/finance', true, false),
+      ('report_q2.csv', 'finance', 'contoso', 'https://sp/f/report_q2.csv', 'Files/finance', true, true),
+      ('logo.png', 'assets', 'contoso', 'https://sp/a/logo.png', 'Files/assets', false, false),
+      ('notes_2024.txt', 'shared', 'contoso', 'https://sp/s/notes''2024.txt', 'Files/shared', false, false)
+    ) AS t(file_name, folder_name, site_name, file_url, lakehouse_folder,
+           copy_to_archive, delete_original)
+    """,
+)
 def scan_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-memory manifest → DataFrame with declared schema — the
     reference's discovery output (FIXTURES.md file_manifest;
