@@ -33,25 +33,52 @@ def _staging(sf_dir: str, name: str) -> str:
 
 def stage_event_files(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Write events as N time-ordered parquet files — a deterministic
-    replayable 'stream' (file names fix the micro-batch order).
+    replayable 'stream'.
+
+    Two things pin the micro-batch semantics exactly (Spark's file
+    source orders batches by *modification time*, and the watermark a
+    batch sees is derived from the previous batches' max event time —
+    both were observed to silently reorder when mtimes were left to
+    the filesystem):
+
+    * batch membership is ``ntile(n_files)`` over ``(ts, event_id)``
+      — an exact, SQL-replicable quantile split (a DuckDB oracle can
+      reconstruct every batch), unlike ``repartitionByRange`` whose
+      sampled boundaries are not reproducible outside Spark;
+    * each batch file's mtime is explicitly set strictly increasing in
+      batch order, so arrival order == event-time order by
+      construction, not by accident of write scheduling.
 
     Staged ONCE per sf_dir and shared by every streaming key: the
     staging content is a pure function of the events table, so the
-    four live-stream queries read the same input directory instead of
-    each paying its own repartition+write pass."""
-    src_dir = _staging(sf_dir, "stream_shared_input")
+    live-stream queries read the same input directory instead of each
+    paying its own sort+write pass."""
+    src_dir = _staging(sf_dir, "stream_shared_input_v2")
     if not os.path.isdir(src_dir):
+        from pyspark.sql import Window
+
         stage = f"{src_dir}/_stage"
-        # one shuffle: range-partition by ts → part files are time-ordered
-        (
-            t(spark, sf_dir, "events")
-            .repartitionByRange(n_files, F.col("ts"), F.col("event_id"))
-            .write.mode("overwrite")
-            .parquet(stage)
+        ranked = t(spark, sf_dir, "events").withColumn(
+            "_b", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
         )
-        parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        for b, part in enumerate(parts):
-            os.replace(f"{stage}/{part}", f"{src_dir}/batch_{b:02d}.parquet")
+        # materialize the (one-off, fixture-scale) global sort once,
+        # then carve the N batch files out of it with cheap filters.
+        ranked.write.mode("overwrite").parquet(stage)
+        for b in range(1, n_files + 1):
+            bdir = f"{src_dir}/_b{b}"
+            (
+                spark.read.parquet(stage)
+                .filter(F.col("_b") == b)
+                .drop("_b")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(bdir)
+            )
+            part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+            os.replace(f"{bdir}/{part}", f"{src_dir}/batch_{b - 1:02d}.parquet")
+            shutil.rmtree(bdir)
+            # arrival order = batch order, explicitly.
+            os.utime(f"{src_dir}/batch_{b - 1:02d}.parquet", (1_000_000_000 + b, 1_000_000_000 + b))
         shutil.rmtree(stage)
     return src_dir
 
@@ -141,10 +168,15 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_src = f"{base}/input_dup"
     if not os.path.isdir(dup_src):
         os.makedirs(dup_src, exist_ok=True)
-        for f in os.listdir(src):
-            shutil.copy(f"{src}/{f}", f"{dup_src}/dup_{f}")
-        for f in os.listdir(src):
-            shutil.copy(f"{src}/{f}", f"{dup_src}/{f}")
+        # each file rides with its duplicate in the SAME micro-batch
+        # (maxFilesPerTrigger=2 + strictly increasing mtime pairs):
+        # the watermark can never advance past a pending duplicate, so
+        # dedup semantics don't depend on filesystem mtime accidents.
+        for b, f in enumerate(sorted(os.listdir(src))):
+            for j, name in enumerate((f, f"dup_{f}")):
+                shutil.copy(f"{src}/{f}", f"{dup_src}/{name}")
+                stamp = 1_000_000_000 + 2 * b + j
+                os.utime(f"{dup_src}/{name}", (stamp, stamp))
     out, ckpt = f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -231,12 +263,34 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_late")
+@query(
+    "stream_watermark_late",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTES AS w FROM events),
+    win AS (
+      SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS ws, event_type, count(*) AS n
+      FROM events, wm
+      WHERE time_bucket(INTERVAL 5 MINUTES, ts) + INTERVAL 5 MINUTES <= w
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*) AS n_closed_windows,
+           CAST(SUM(n) AS BIGINT) AS n_events_emitted
+    FROM win GROUP BY event_type
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark + late-data drop (weak check): micro-batches arrive in
-    event-time order with a 10-minute watermark; append-mode emits only
-    windows the watermark has closed — late stragglers are dropped from
-    closed windows."""
+    """Watermark + append-mode emission — STRONG closed-form oracle.
+
+    Micro-batches arrive in event-time order (ntile file split + pinned
+    mtimes, see stage_event_files), so the stream's final emitted set
+    is exactly determined: in-order arrival means no row is ever late
+    (nothing dropped), and AvailableNow runs a final flush batch after
+    the watermark advances past the last file — so the emitted windows
+    are exactly those whose end <= global max(ts) - 10min, with full
+    counts.  (With arbitrary mtime ordering this query silently lost
+    ~half its input to late-drops — the determinism fix is what makes
+    the strong oracle possible.)"""
     base = _staging(sf_dir, "stream_late")
     src = stage_event_files(spark, sf_dir)
     out, ckpt = f"{base}/out", f"{base}/ckpt"
@@ -263,12 +317,25 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_foreach_sink")
+@query(
+    "stream_foreach_sink",
+    """
+    SELECT CAST(4 AS BIGINT) AS n_epochs,
+           count(*) AS rows_via_log,
+           count(*) AS rows_on_disk
+    FROM events
+    """,
+)
 def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional micro-batch sink with post-commit actions: each
     epoch writes parquet, then appends a commit-marker row (the
     archive/delete mirror of A-5/A-6 — actions keyed to the committed
-    epoch, the ordering fix for sharepoint_to_bronze_delta.py:222-231)."""
+    epoch, the ordering fix for sharepoint_to_bronze_delta.py:222-231).
+
+    Strong oracle: staging pins 4 files × maxFilesPerTrigger=1 ⇒
+    exactly 4 epochs (stateless query, no flush batch), and the
+    commit-log row count must equal the on-disk row count must equal
+    the source row count — the exactly-once invariant."""
     base = _staging(sf_dir, "stream_sink")
     src = stage_event_files(spark, sf_dir)
     out, ckpt, commits = f"{base}/out", f"{base}/ckpt", f"{base}/commits"
