@@ -129,15 +129,49 @@ def sample_frames(df: DataFrame, frame_bytes: int = 256, stride: int = 4) -> Dat
     )
 
 
-@query("multimodal_frame_sample")
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT * FROM (VALUES
+      ('clip_0.fakemp4', 0, 256, '5bc31b283cef0072274e97d74916552954c935794536cab632641e5ea071379d'),
+      ('clip_0.fakemp4', 4, 256, '6c36da4e9919a6bc2fce222d9183eb1b2af8452b89d4f3ba3a523b27c707875a'),
+      ('clip_0.fakemp4', 8, 256, '0f6d594952653451acc38f9f99250c6d4a32cbe2ce3cb504943263bf4b61140a'),
+      ('clip_0.fakemp4', 12, 256, 'f5ef8c111a9844faaff0ff399f4b9742cd24fa1d0083aad9bc33eedf7208f653'),
+      ('clip_0.fakemp4', 16, 256, '54772f019c784efb2106f1f6d300765c2dd95eaa6577867c1a9744a21eed6e7a'),
+      ('clip_0.fakemp4', 20, 256, 'd6969785fce505ca0581caee366cd6f3c76d8817042c130c448f4b1951e70383'),
+      ('clip_1.fakemp4', 0, 256, '5bc31b283cef0072274e97d74916552954c935794536cab632641e5ea071379d'),
+      ('clip_1.fakemp4', 4, 256, '6c36da4e9919a6bc2fce222d9183eb1b2af8452b89d4f3ba3a523b27c707875a'),
+      ('clip_1.fakemp4', 8, 256, '0f6d594952653451acc38f9f99250c6d4a32cbe2ce3cb504943263bf4b61140a'),
+      ('clip_1.fakemp4', 12, 256, 'f5ef8c111a9844faaff0ff399f4b9742cd24fa1d0083aad9bc33eedf7208f653'),
+      ('clip_1.fakemp4', 16, 256, '54772f019c784efb2106f1f6d300765c2dd95eaa6577867c1a9744a21eed6e7a'),
+      ('clip_1.fakemp4', 20, 256, 'd6969785fce505ca0581caee366cd6f3c76d8817042c130c448f4b1951e70383'),
+      ('clip_1.fakemp4', 24, 256, '414018e93ed35bd783a3ddb60270e260b15ce32de4fd4821ae572cd62648b6dc'),
+      ('clip_1.fakemp4', 28, 256, '05787693b5709aed51a3d85b140d4963b9802fb11f280cf651b18299b1fbf132'),
+      ('clip_2.fakemp4', 0, 256, '5bc31b283cef0072274e97d74916552954c935794536cab632641e5ea071379d'),
+      ('clip_2.fakemp4', 4, 256, '6c36da4e9919a6bc2fce222d9183eb1b2af8452b89d4f3ba3a523b27c707875a'),
+      ('clip_2.fakemp4', 8, 256, '0f6d594952653451acc38f9f99250c6d4a32cbe2ce3cb504943263bf4b61140a'),
+      ('clip_2.fakemp4', 12, 256, 'f5ef8c111a9844faaff0ff399f4b9742cd24fa1d0083aad9bc33eedf7208f653'),
+      ('clip_2.fakemp4', 16, 256, '54772f019c784efb2106f1f6d300765c2dd95eaa6577867c1a9744a21eed6e7a'),
+      ('clip_2.fakemp4', 20, 256, 'd6969785fce505ca0581caee366cd6f3c76d8817042c130c448f4b1951e70383'),
+      ('clip_2.fakemp4', 24, 256, '414018e93ed35bd783a3ddb60270e260b15ce32de4fd4821ae572cd62648b6dc'),
+      ('clip_2.fakemp4', 28, 256, '05787693b5709aed51a3d85b140d4963b9802fb11f280cf651b18299b1fbf132'),
+      ('clip_2.fakemp4', 32, 256, '4ff4196f600ee6a147382304535f7c3ac4b82cc935ddee5f01de0f5426c0c8ad'),
+      ('clip_2.fakemp4', 36, 256, 'ee25acfdf10c8bd581f59acedf2c83f636cace6344fcec72dbbc28fb1688d012')
+    ) AS t(file_name, frame_idx, frame_n_bytes, frame_sha256)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile scan of staged fake 'videos' → strided frame sampling
-    via the mapInPandas kernel (weak check — deterministic blobs)."""
+    via the mapInPandas kernel.  Strong check: blobs are deterministic
+    (byte period 251 ⇒ every frame distinct), so the oracle is the
+    literal expected (file, frame_idx, size, sha256) table."""
     stage = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/video"
     os.makedirs(stage, exist_ok=True)
     for i in range(3):
         with open(f"{stage}/clip_{i}.fakemp4", "wb") as f:
-            f.write(bytes(range(256)) * (24 + 8 * i))
+            # byte period 251 is coprime to the 256-byte frame size, so
+            # every sampled frame has distinct content (and hash).
+            f.write(bytes(b % 251 for b in range(256 * (24 + 8 * i))))
     scan = spark.read.format("binaryFile").load(stage).select("path", "content")
     frames = sample_frames(scan, frame_bytes=256, stride=4)
     return frames.select(
@@ -148,10 +182,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("file_name", "frame_idx")
 
 
-@query("multimodal_binary_meta")
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT * FROM (VALUES
+      ('img_0.fake', 'image', CAST(1024 AS BIGINT), '0b3b4eba5c7d53beec5ac1aa3b64c56188bcbf52906e124e5ab3e77a96fdd9cd', 1019, 778, 3),
+      ('img_1.fake', 'image', CAST(1152 AS BIGINT), '0f51d140598b546b215c0e646f08a461b46f3941099ccfba75722b80cf7909b3', 145, 712, 3),
+      ('img_2.fake', 'image', CAST(1280 AS BIGINT), 'a0193eaa0273b74d3fa9f6ddb9684a6c66cbebe61bea1e0eecfc98c8d528fc37', 729, 986, 3),
+      ('img_3.fake', 'image', CAST(1408 AS BIGINT), '640ee69910e2b33926ac3101f34c0c8fb53dbe58e2f51b49c9dd76e2f7d64bc0', 718, 777, 3),
+      ('img_4.fake', 'image', CAST(1536 AS BIGINT), 'b2e9c5a28c54732832786de5d27e3b78e6c4d0309f6c66cc4630b2df5435e8f3', 1705, 978, 3),
+      ('img_5.fake', 'image', CAST(1664 AS BIGINT), 'c32aa2357714108b367c445b62ca13caa66d2db364aecb35d86189cdca08b184', 106, 549, 3)
+    ) AS t(file_name, media_type, n_bytes, sha256, width, height, n_channels)
+    """,
+)
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile scan of staged media blobs → typed metadata columns
-    via the mapInPandas extraction kernel (weak check)."""
+    via the mapInPandas extraction kernel.  Strong check: blobs are
+    deterministic, so the oracle is the literal expected metadata table
+    (including the digest-derived fake decoder dimensions)."""
     stage = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/media"
     os.makedirs(stage, exist_ok=True)
     for i in range(6):

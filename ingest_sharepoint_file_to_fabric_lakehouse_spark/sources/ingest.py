@@ -186,13 +186,35 @@ def run_ingest(
     return spark.read.parquet(log_path)
 
 
-@query("ingest_pipeline")
+@query(
+    "ingest_pipeline",
+    """
+    SELECT * FROM (VALUES
+      ('assets', 'banner.jpg', 'banner.jpg', CAST(11 AS BIGINT), 'f14549e1500b7fa59243f555ef487edb27a6f3de7d23765b28a676c1916a1b8b', 'ingested', CAST(NULL AS VARCHAR)),
+      ('assets', 'logo.png', 'logo.png', CAST(15 AS BIGINT), '21c9bd04d9b802a38d758dc5f0c2e4382eaa9d32415d5de8e7382b060507b932', 'ingested', CAST(NULL AS VARCHAR)),
+      ('finance', 'budget''24.csv', 'budget_24.csv', CAST(16 AS BIGINT), 'acee714c5fd0e79b59e87adf6429eb07231b85b46c88e2886154ff89de8e46b7', 'ingested', '010624120000_budget_24.csv'),
+      ('finance', 'report_q1.csv', 'report_q1.csv', CAST(22 AS BIGINT), '007de5b231eb394c0bbcc5d8032adb639d0c1d248415f56ee595f674a1d07764', 'ingested', '010624120000_report_q1.csv'),
+      ('finance', 'report_q1.csv', 'report_q1.csv', CAST(28 AS BIGINT), '5ed8757e80624838dca6322d5b75f732389f8ded47a493d8cbb32f4840e3ac32', 'ingested', '020624090000_report_q1.csv'),
+      ('finance', 'report_q2.csv', 'report_q2.csv', CAST(16 AS BIGINT), '19beb51bb1f5b909cfdd381ff927ab6d4cde02fa80d8fcd87d93226e7b17ebf4', 'ingested', '010624120000_report_q2.csv'),
+      ('shared', 'empty.txt', 'empty.txt', CAST(0 AS BIGINT), 'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855', 'ingested', '010624120000_empty.txt'),
+      ('shared', 'handbook.pdf', 'handbook.pdf', CAST(9 AS BIGINT), '9d75a845cfb792718578edb7cec48a82c7cd60a3c3b91009f326e52ce16891f9', 'ingested', '010624120000_handbook.pdf'),
+      ('shared', 'notes.txt', 'notes.txt', CAST(13 AS BIGINT), 'db78826009a9e6f5e388046abb7dc257a3afc2eb4a2f1d190618e7c8d838e217', 'ingested', '010624120000_notes.txt'),
+      ('shared', 'todo.txt', 'todo.txt', CAST(9 AS BIGINT), 'a47aaa25a66dfb5f961f506ff6897b4df39abdaf1de79b012a5e519d11a71e13', 'ingested', '010624120000_todo.txt')
+    ) AS t(folder_name, file_name, target_name, size_bytes, content_sha256,
+           status, archive_name)
+    """,
+)
 def ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental ingest over the mock document library:
     run 1 ingests everything, run 2 is a no-op (idempotence), then one
     file is modified (content + mtime bump) and run 3 re-ingests
-    exactly that file.  Returns the final ingestion log (weak check —
-    filesystem side effects)."""
+    exactly that file.  Returns the final ingestion log.
+
+    Strong check: the source fixture, run timestamps, and mtimes are
+    all pinned, so the expected log — including the re-ingested row
+    for the modified file and its second archive name — is a literal
+    table.  A wrong anti-join key (the round-1 advice finding: keying
+    only (folder, name) misses modified files) now fails the gate."""
     import shutil
 
     base = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/ingest"
