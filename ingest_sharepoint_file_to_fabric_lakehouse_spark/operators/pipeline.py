@@ -233,3 +233,146 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "text_pack_sequences",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             SUM(len(string_split(text, ' ')))
+               OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS start_tok
+      FROM documents
+    )
+    SELECT doc_id,
+           n_tokens AS n_tokens,
+           CAST(COALESCE(start_tok, 0) AS BIGINT) AS start_tok,
+           CAST(COALESCE(start_tok, 0) // 2048 AS BIGINT) AS first_seq,
+           CAST((COALESCE(start_tok, 0) + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+           (CAST(COALESCE(start_tok, 0) // 2048 AS BIGINT)
+              <> CAST((COALESCE(start_tok, 0) + n_tokens - 1) // 2048 AS BIGINT)) AS is_split
+    FROM c
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in doc_id
+    order and chop the token stream every 2048 tokens; each doc learns
+    its global token offset, first/last training sequence, and whether
+    the chop splits it across two sequences.
+
+    The global running offset is computed as a DISTRIBUTED two-phase
+    prefix sum — the 100 TB shape, because a single `Window.orderBy`
+    over the whole corpus would serialize on one task:
+
+    1. range-repartition by doc_id; each partition computes its LOCAL
+       cumulative sum with an in-partition window (parallel);
+    2. per-partition token totals (one tiny row each) are prefix-summed
+       on the driver and broadcast-joined back as partition offsets.
+
+    The driver-side step sees #partitions rows, never data rows.  The
+    result is bit-identical to the naive global window (asserted in
+    tests) and to the oracle's single-window SQL.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import spark_partition_id
+
+    seq_len = 2048
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .repartitionByRange(8, "doc_id")
+        .withColumn("_part", spark_partition_id())
+    )
+    local_w = Window.partitionBy("_part").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = d.withColumn("local_prefix", F.coalesce(F.sum("n_tokens").over(local_w), F.lit(0)))
+    # phase 2: tiny per-partition totals -> driver prefix sum -> broadcast.
+    totals = (
+        local.groupBy("_part").agg(F.sum("n_tokens").alias("part_total")).orderBy("_part").collect()
+    )
+    offsets, running = {}, 0
+    for row in totals:
+        offsets[row["_part"]] = running
+        running += row["part_total"]
+    off_df = spark.createDataFrame(
+        __import__("pandas").DataFrame(
+            {"_part": list(offsets), "part_offset": [offsets[p] for p in offsets]}
+        ),
+        "_part int, part_offset long",
+    )
+    packed = (
+        local.join(F.broadcast(off_df), "_part")
+        .withColumn("start_tok", (F.col("local_prefix") + F.col("part_offset")).cast("long"))
+        .withColumn("first_seq", (F.col("start_tok") / seq_len).cast("long"))
+        .withColumn(
+            "last_seq", ((F.col("start_tok") + F.col("n_tokens") - 1) / seq_len).cast("long")
+        )
+        .withColumn("is_split", F.col("first_seq") != F.col("last_seq"))
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "start_tok", "first_seq", "last_seq", "is_split"
+    )
+
+
+@query(
+    "text_decontaminate",
+    """
+    WITH ev AS (
+      SELECT DISTINCT shingle FROM (
+        SELECT unnest([array_to_string(toks[i:i+3], ' ')
+                       FOR i IN range(1, greatest(len(toks)-3, 1) + 1)]) AS shingle
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents
+              WHERE doc_id % 50 = 0)
+      )
+    ),
+    tr AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+3], ' ')
+                       FOR i IN range(1, greatest(len(toks)-3, 1) + 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+              WHERE doc_id % 50 <> 0)
+      )
+    )
+    SELECT tr.doc_id, count(*) AS n_shared_ngrams
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    ORDER BY tr.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any
+    word 4-gram with the held-out eval slice (doc_id % 50 == 0), with
+    the shared-shingle count as evidence.  The filtered corpus is
+    `training docs - these rows` (an anti-join on the result).
+
+    Scale shape: eval shingles are a broadcast-side hash join input
+    (eval sets are small by definition); training shingles explode
+    map-side and never shuffle — the join is executor-local against the
+    broadcast, and the per-doc count partial-aggregates before the one
+    #contaminated-docs-row exchange.  This is the standard
+    contamination sweep (the 13-gram form of GPT-3's paper, word-4-gram
+    here for fixture scale).
+    """
+    d = t(spark, sf_dir, "documents")
+    from ..operators.dedup import shingles
+
+    ev = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(shingles(F.col("text"), 4)).alias("shingle"))
+        .distinct()
+    )
+    tr = (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.explode(shingles(F.col("text"), 4)).alias("shingle"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )

@@ -319,3 +319,62 @@ def test_minhash_mapside_signature_matches_explode_form(spark, sf_dir):
     assert a == b
     # seeds differ → signatures differ (the index-bound bug made them equal)
     assert any(len(set(sig)) > 1 for sig in a.values())
+
+
+def test_pack_sequences_distributed_prefix_equals_global_window(spark, sf_dir):
+    """The two-phase (per-partition cumsum + broadcast offsets) prefix
+    sum must be bit-identical to the naive single-task global window."""
+    from pyspark.sql import Window
+
+    packed = engine.QUERIES["text_pack_sequences"](spark, sf_dir)
+    d = engine.t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = d.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    got = {r.doc_id: r.start_tok for r in packed.collect()}
+    want = {r.doc_id: r.start_tok for r in naive.collect()}
+    assert got == want
+
+
+def test_decontaminate_flags_planted_overlap(spark, sf_dir):
+    """A training doc sharing a 4-gram with an eval doc must be flagged
+    with the exact shared-shingle count."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "alpha beta gamma delta epsilon",      # eval (id % 50 == 0)
+                "alpha beta gamma delta unrelated",    # shares 1 4-gram
+                "totally different words here now",    # clean
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup import shingles
+
+    ev = (
+        sdf.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(shingles(F.col("text"), 4)).alias("shingle"))
+        .distinct()
+    )
+    tr = (
+        sdf.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.explode(shingles(F.col("text"), 4)).alias("shingle"))
+        .distinct()
+    )
+    out = {
+        r.doc_id: r.n_shared_ngrams
+        for r in tr.join(F.broadcast(ev), "shingle").groupBy("doc_id").agg(
+            F.count("*").alias("n_shared_ngrams")
+        ).collect()
+    }
+    # doc 1 shares: 'alpha beta gamma delta' plus the short tail
+    # shingles 'delta epsilon'-side differ, and trailing <4-token
+    # shingles ('gamma delta unrelated' vs 'gamma delta epsilon') don't
+    # match — exactly one shared shingle.
+    assert out == {1: 1}
