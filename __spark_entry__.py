@@ -43,19 +43,36 @@ _DRIVER_VERIFIED = {
     "dedup_subset_keyed", "pivot_wide", "unpivot_long", "explode_lateral",
 }
 
-# Weak (no-oracle) keys promoted into this round's window ahead of the
-# other weak keys: the ingestion flagship + the two core LSH dedup/ANN
-# paths.
-_WEAK_PRIORITY = ["ingest_pipeline", "dedup_fuzzy_minhash", "sim_topk_lsh"]
-
-# Keys added AFTER this round's 50-slot window was planned — deferred
-# behind the window so they don't displace the keys above; they enter
-# the window next round.
-_DEFERRED_NEW = [
-    "corpus_sample_stratified", "text_dataset_split", "text_pii_scrub",
-    "corpus_mix_weights", "sim_radius_search", "multimodal_frame_sample",
-    "agg_sketch_hll_merge", "stream_stateful_custom",
-    "events_user_retention", "win_distribution",
+# This round's 50-slot window, pinned explicitly: the agg_collect
+# re-check plus the never-driver-verified headline sections — all of
+# B.8 streaming, B.7 scalars, B.10 UDFs, B.1 scans/sinks + ingest, and
+# the LLM-pipeline core (now all strong-oracle).  Unverified keys that
+# don't fit (analytics/curation extras) queue right behind and rotate
+# into the window next round.
+_WINDOW_50 = [
+    "agg_collect",
+    # B.8 streaming (8)
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_tumbling_live", "stream_dedup", "stream_watermark_late",
+    "stream_foreach_sink", "stream_stateful_custom",
+    # B.7 scalar functions (10)
+    "str_basic", "str_regex", "date_format_tz", "date_arith", "math_expr",
+    "cond_case_when", "cast_types", "array_ops", "map_json_ops", "hash_funcs",
+    # B.10 UDF surface (5)
+    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
+    "udtf_map_in_pandas", "udf_pandas_cosine",
+    # B.1 scans (5) + sinks (4) + ingest flagship (1)
+    "scan_parquet", "scan_csv_schema", "scan_json_lines", "scan_binaryfile",
+    "scan_manifest",
+    "sink_parquet", "sink_partitioned", "sink_delta_merge",
+    "sink_merge_partitioned", "ingest_pipeline",
+    # B.9 LLM-pipeline core (16)
+    "dedup_exact_hash", "dedup_ngram_jaccard", "dedup_minhash_portable",
+    "dedup_embedding_cosine", "sim_topk_bruteforce", "sim_grouped_centroid",
+    "text_stats", "text_lang_filter", "text_quality_score",
+    "text_token_count", "text_langid_ngram", "text_fingerprint",
+    "vocab_topk", "tfidf_top_terms", "dedup_cluster_cc",
+    "multimodal_binary_meta",
 ]
 
 
@@ -66,17 +83,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _ordered_keys() -> list[str]:
     keys = list(engine.QUERIES)
-    deferred = set(_DEFERRED_NEW)
-    unverified = [k for k in keys if k not in _DRIVER_VERIFIED and k not in deferred]
-    strong = [k for k in unverified if k in engine.ORACLES]
-    weak_pri = [k for k in _WEAK_PRIORITY if k in engine.QUERIES]
-    weak_rest = [
-        k for k in unverified if k not in engine.ORACLES and k not in weak_pri
+    window = [k for k in _WINDOW_50 if k in engine.QUERIES]
+    seen = set(window)
+    rest_unverified_strong = [
+        k for k in keys
+        if k not in seen and k not in _DRIVER_VERIFIED and k in engine.ORACLES
     ]
-    new_keys = [k for k in keys if k in deferred]
-    front = strong + weak_pri + weak_rest + new_keys
-    seen = set(front)
-    return front + [k for k in keys if k not in seen]
+    seen.update(rest_unverified_strong)
+    rest_unverified_weak = [
+        k for k in keys if k not in seen and k not in _DRIVER_VERIFIED
+    ]
+    seen.update(rest_unverified_weak)
+    return window + rest_unverified_strong + rest_unverified_weak + [
+        k for k in keys if k not in seen
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
