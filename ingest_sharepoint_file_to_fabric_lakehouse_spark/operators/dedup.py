@@ -475,3 +475,126 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(cosine_block_kernel(0.4), "vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
     )
+
+
+_HEX_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+_SIMHASH_PORTABLE_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    WHERE doc_id < 200
+  )
+),
+votes AS (
+  SELECT doc_id, {votes}
+  FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+  GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+),
+banded AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 8)) & 255 AS bucket
+  FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+GROUP BY 1, 2, 3
+ORDER BY doc_a, doc_b
+""".format(
+    votes=", ".join(
+        "SUM(CASE WHEN substr(h, {pos}, 1) IN ('8','9','a','b','c','d','e','f')"
+        " THEN 1 ELSE -1 END) AS v{b}".format(pos=b + 1, b=b)
+        for b in range(32)
+    ),
+    sig=" + ".join(
+        "(CASE WHEN v{b} > 0 THEN {w} ELSE 0 END)".format(b=b, w=1 << b)
+        for b in range(32)
+    ),
+)
+
+
+@query("dedup_simhash_portable", _SIMHASH_PORTABLE_ORACLE)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with an engine-portable hash → STRONG value oracle.
+
+    Correctness witness for the SimHash construction (cf.
+    :func:`dedup_simhash`, whose xxhash64 bit-votes stay the production
+    hot path): each of 32 signature bits is voted by the high bit of
+    one md5 hex nibble per distinct token — md5 and substring are
+    bit-identical across engines, so signatures, 4×8-bit band buckets,
+    candidate pairs, and Hamming distances are all replicated verbatim
+    in DuckDB and value-checked.
+
+    Same scale shape as the production path: per-token hashing is
+    map-side, the bit-vote groupBy partial-aggregates to ~#docs rows
+    before its exchange, and the band-bucket candidate join is linear
+    in corpus size (4 rows per doc), never all-pairs.  Emits pairs at
+    Hamming <= 3 (pigeonhole-complete given 4 bands).
+    """
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = toks.withColumn("h", F.md5("tok"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", b + 1, 1).isin(*_HEX_HI), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    sig = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(32)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
