@@ -233,3 +233,103 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 10)
+
+
+def _frozen_planes(n_planes: int = 4, dims: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes, frozen from md5 nibbles — the
+    'no stored model' property of sim_topk_lsh with a derivation both
+    engines can share as literals."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for i in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _lsh_portable_oracle() -> str:
+    planes = _frozen_planes()
+    rows = ",\n      ".join(
+        "({p}, [{s}])".format(p=p, s=", ".join(str(x) for x in sig))
+        for p, sig in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    planes(plane, s) AS (VALUES
+      {rows}
+    ),
+    sig AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, p.s) >= 0
+                           THEN 1 << p.plane ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    ),
+    b AS (SELECT e.vec_id, e.v, s.bucket FROM e JOIN sig s USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, v AS q_vec, bucket AS q_bucket FROM b WHERE vec_id < 3),
+    scored AS (
+      SELECT q.q_id, b.vec_id,
+             ROUND(list_cosine_similarity(q.q_vec, b.v), 6) AS cos_sim
+      FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, rnk FROM (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+@query("sim_topk_lsh_portable", _lsh_portable_oracle())
+def sim_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH with frozen literal planes → STRONG oracle.
+
+    Correctness witness for the sign-projection LSH construction (cf.
+    :func:`sim_topk_lsh`, whose xxhash64-derived planes stay the
+    production path): the ±1 hyperplanes are frozen md5-nibble literals
+    shared with the DuckDB oracle, so bucket assignment (8 sign bits of
+    plane dot products), bucket-probe candidate sets, cosine scores,
+    and the per-query top-10 are all value-checked end to end.
+
+    Same scale shape as production: signatures are map-side folds over
+    the row's own vector against broadcast-sized literal planes; the
+    bucket column is the 100-TB ``partitionBy`` key; queries probe one
+    bucket.
+    """
+    planes = _frozen_planes()
+    e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+
+    def plane_dot(vec, signs: list[float]) -> Column:
+        lit_plane = F.array(*[F.lit(s) for s in signs])
+        return F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
+        )
+
+    sig = sum(
+        [
+            F.when(plane_dot(F.col("v"), planes[p]) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(len(planes))
+        ],
+        F.lit(0),
+    ).cast("long")
+    bucketed = e.withColumn("bucket", sig).repartition("vec_id")
+    q = bucketed.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"), F.col("bucket").alias("q_bucket")
+    )
+    cand = bucketed.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.select(
+        "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
