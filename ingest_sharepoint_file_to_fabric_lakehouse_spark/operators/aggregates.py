@@ -83,20 +83,49 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey) AS exact_parts,
+           true AS orders_within_5pct,
+           true AS parts_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct — the 100-TB path (weak check: approx).
+    """HLL++ approximate distinct — the 100-TB path, with a STRONG
+    error-bound oracle.
 
     At scale, exact countDistinct shuffles every distinct key;
-    approx_count_distinct carries a fixed-size sketch per group.
+    approx_count_distinct carries a fixed-size sketch per group.  The
+    sketch value itself is implementation-specific, so instead of
+    comparing it the query emits the exact counts plus booleans
+    asserting the sketch landed within its 5x-rsd error budget — the
+    oracle pins the exact counts and requires every bound to hold, so
+    an HLL regression (or a wildly-off estimate) fails the value gate.
     """
-    return (
+    approx_vs_exact = (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
             F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
         )
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.lit(0.05) * F.col(e)
+    )
+    return approx_vs_exact.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        within("approx_orders", "exact_orders").alias("orders_within_5pct"),
+        within("approx_parts", "exact_parts").alias("parts_within_5pct"),
     )
 
 
