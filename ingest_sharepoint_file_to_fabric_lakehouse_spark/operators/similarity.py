@@ -186,14 +186,70 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= 10)
 
 
-@query("sim_ivf_probe")
+@query(
+    "sim_ivf_probe",
+    """
+    WITH e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    cells AS (
+      SELECT label, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+      FROM (SELECT em.label, e.v FROM e JOIN embeddings em USING (vec_id)),
+           range(1, 65) t(i)
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM cells GROUP BY label),
+    assigned AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT e.vec_id, e.v, c.label AS cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 3),
+    probes AS (
+      SELECT q_id, q_vec, cell_id FROM (
+        SELECT q.q_id, q.q_vec, c.label AS cell_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.q_vec, c.centroid) DESC, c.label
+               ) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             ROUND(list_cosine_similarity(p.q_vec, a.v), 6) AS cos_sim
+      FROM assigned a JOIN probes p USING (cell_id)
+      WHERE a.vec_id <> p.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, rnk FROM (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
 def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (weak check): assign vectors to nearest of the
-    label centroids (the inverted file), probe the 2 nearest centroids
-    per query, exact-rank within the probed cells only.
+    """IVF-style ANN: assign vectors to nearest of the label centroids
+    (the inverted file), probe the 2 nearest centroids per query,
+    exact-rank within the probed cells only.
 
     This is the scale path for 100 TB: the corpus is written
     ``partitionBy(cell_id)``; a query touches 2/k of the data.
+
+    STRONG oracle: every stage is deterministic — centroids are
+    decimal-exact label means (bit-identical to the oracle's
+    DECIMAL(28,12) sums), cosine is the sequential fold that matches
+    DuckDB's list_cosine_similarity bit-for-bit, and both argmax
+    assignment and probe selection tie-break on cell_id — so the
+    DuckDB replica reproduces cell assignment, probe sets, and the
+    final top-10 exactly.
     """
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
     cent = centroids_by_label(spark, sf_dir).withColumnRenamed("label", "cell_id")
