@@ -372,3 +372,113 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.agg(F.count("*").alias("n_epochs"), F.sum("n_rows").alias("rows_via_log"))
         .crossJoin(data.agg(F.count("*").alias("rows_on_disk")))
     )
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT e.event_type,
+           c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(SUM(e.event_id) AS BIGINT) AS id_checksum
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type, c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriches against a
+    static dimension (customer) batch-side — the streaming analog of
+    the bronze→silver enrichment step.
+
+    Stateless per-row join ⇒ append mode emits every enriched row
+    exactly once; the final aggregate over all epochs must equal the
+    batch join, which is the oracle.  Scale shape: the static side is
+    broadcast per micro-batch (re-resolved each epoch, so a slowly
+    changing dim picks up updates); integer checksums make the check
+    order-insensitive.
+    """
+    base = _staging(sf_dir, "stream_static_join")
+    src = stage_event_files(spark, sf_dir)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "event_type", "c_mktsegment")
+    )
+    run_stream_to_parquet(stream, out, ckpt, mode="append")
+    enriched = spark.read.parquet(f"{out}/epoch=*")
+    return enriched.groupBy("event_type", "c_mktsegment").agg(
+        F.count("*").alias("n_events"), F.sum("event_id").alias("id_checksum")
+    )
+
+
+@query(
+    "stream_session_live",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTES AS w FROM events),
+    gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTES
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 40
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      FROM gaps
+    ),
+    agg AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTES AS session_end,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events
+    FROM agg, wm
+    WHERE session_end <= w
+    """,
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through a REAL stream (30-minute gap, append
+    mode) — the state store merges windows as events extend a session.
+
+    Closed-form STRONG oracle via deterministic arrival (see
+    stage_event_files): sessions are the gap>30min islands per user,
+    a session's window end is last_event+gap, and append mode emits
+    exactly the sessions whose end <= final watermark (global max(ts)
+    - 30min; in-order arrival drops nothing, and the AvailableNow
+    flush batch emits everything the final watermark closes).  The
+    oracle rebuilds the islands with a lag/cumsum window and applies
+    the same rule.
+    """
+    base = _staging(sf_dir, "stream_session_live")
+    src = stage_event_files(spark, sf_dir)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("user_id") < 40)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+    run_stream_to_parquet(stream, out, ckpt, mode="append")
+    return spark.read.parquet(f"{out}/epoch=*")
