@@ -482,3 +482,73 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_parquet(stream, out, ckpt, mode="append")
     return spark.read.parquet(f"{out}/epoch=*")
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT v.event_type AS view_type,
+           p.event_type AS purchase_type,
+           count(*) AS n_pairs,
+           CAST(SUM(v.event_id + p.event_id) AS BIGINT) AS pair_checksum
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 10 MINUTES
+    GROUP BY 1, 2
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: views matched to same-user
+    purchases within 10 minutes, both sides live streams with
+    watermarks and time-range state eviction.
+
+    STRONG oracle: for an INNER interval join, watermarks only govern
+    state cleanup — and with event-time-ordered arrival (see
+    stage_event_files) a row's matching partners always arrive before
+    the watermark can evict its state (partner ts <= row ts + range <
+    anything already evicted), so the union of per-epoch emissions is
+    exactly the batch interval join, for any delay >= 0.  The oracle
+    is that batch join, reduced to order-insensitive counts/checksums.
+
+    Scale shape: state is bounded by (watermark delay + join range) x
+    arrival rate per key; both sides shuffle on user_id once.
+    """
+    base = _staging(sf_dir, "stream_stream_join")
+    src = stage_event_files(spark, sf_dir)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def side(evt_type: str, alias: str):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == evt_type)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_type").alias(f"{alias}_type"),
+            )
+        )
+
+    v, p = side("view", "v"), side("purchase", "p")
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("v_id", "p_id", "v_type", "p_type")
+    run_stream_to_parquet(joined, out, ckpt, mode="append")
+    pairs = spark.read.parquet(f"{out}/epoch=*")
+    return pairs.groupBy(
+        F.col("v_type").alias("view_type"), F.col("p_type").alias("purchase_type")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("v_id") + F.col("p_id")).alias("pair_checksum"),
+    )

@@ -59,3 +59,30 @@ def test_side_effect_queries_are_rerunnable(spark, sf_dir):
         a = engine.QUERIES[key](spark, sf_dir).count()
         b = engine.QUERIES[key](spark, sf_dir).count()
         assert a == b, key
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    """The eval side of the contamination join must be broadcast —
+    a shuffled shingle join at 100 TB would move the full training
+    corpus's shingles."""
+    df = engine.QUERIES["text_decontaminate"](spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_rollup_prunes_year_partitions(spark, sf_dir):
+    """The incremental-rollup range query must hit only the 1995
+    partition of the rollup table."""
+    df = engine.QUERIES["agg_incremental_rollup"](spark, sf_dir)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and "o_year" in " ".join(pf)
+
+
+def test_minhash_portable_reuses_signature_exchange(spark, sf_dir):
+    """The array-packed signature must be computed once and reused by
+    all three consumers (banding + both estimate-join sides).
+    ReusedExchange nodes only appear in the FINAL adaptive plan, so
+    execute before inspecting."""
+    df = engine.QUERIES["dedup_minhash_portable"](spark, sf_dir)
+    df.collect()
+    assert "ReusedExchange" in plan_of(df)
