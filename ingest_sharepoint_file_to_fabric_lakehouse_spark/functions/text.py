@@ -208,3 +208,80 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
         F.size(F.array_distinct(sh)).cast("long").alias("n_shingles"),
     )
+
+
+@query(
+    "text_lm_quality",
+    """
+    WITH bg AS (
+      SELECT doc_id, pr.w1, pr.w2 FROM (
+        SELECT doc_id,
+               unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                       FOR i IN range(1, len(toks))]) AS pr
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ),
+    uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    bi  AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(ln(bi.c2 * 1.0 / uni.c1) AS DECIMAL(20,12)) AS lp
+      FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)
+    )
+    SELECT doc_id,
+           CAST(ROUND(CAST(SUM(lp) AS DOUBLE) / count(*), 6) AS DOUBLE)
+             AS avg_logprob,
+           count(*) AS n_bigrams
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: a bigram LM is estimated from
+    the corpus itself (c(w1,w2)/c(w1)) and every doc is scored by its
+    average bigram log-probability — the KenLM-style quality filter of
+    LLM data pipelines, expressed entirely in relational ops.
+
+    Float-parity design: ln() of identical doubles may differ by an
+    ulp across engines, so each log-prob is cast to DECIMAL(20,12)
+    before the per-doc sum — the cast absorbs ulp drift, decimal
+    addition is order-independent, and the final 6-dp rounding of the
+    average is then bit-stable on both sides.
+
+    Scale shape: the model is two hash aggregates over the bigram
+    stream (map-side partial); scoring re-joins bigrams to the model
+    on (w1, w2) — Zipf-skewed keys, which AQE skew-join handles; the
+    per-doc reduce is one more partial-aggregated shuffle.  No UDFs,
+    no driver state — the 'LM' is a DataFrame.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        d.select("doc_id", F.explode(pairs).alias("pr"))
+        .select("doc_id", "pr.w1", "pr.w2")
+        # a 1-token doc yields one (w1, NULL) pair via the greatest()
+        # floor; DuckDB's end-exclusive range yields none — drop it.
+        .filter(F.col("w2").isNotNull())
+    )
+    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        bg.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            "doc_id",
+            F.log(F.col("c2") * F.lit(1.0) / F.col("c1"))
+            .cast("decimal(20,12)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+        F.count("*").alias("n_bigrams"),
+    )
