@@ -269,8 +269,11 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # floor; DuckDB's end-exclusive range yields none — drop it.
         .filter(F.col("w2").isNotNull())
     )
-    uni = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # unigram counts roll up from the bigram table (c1 = Σ_w2 c2):
+    # one fewer pass over the exploded bigram stream, and the rollup
+    # input is already partitioned by w1.
+    uni = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
         bg.join(bi, ["w1", "w2"])
         .join(uni, "w1")
