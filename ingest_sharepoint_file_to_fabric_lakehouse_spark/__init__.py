@@ -14,6 +14,7 @@ from .core import ORACLES, QUERIES, prep, t
 _MODULES = [
     "plans.flagship",
     "plans.layout",
+    "plans.scd",
     "operators.projections",
     "operators.joins",
     "operators.aggregates",

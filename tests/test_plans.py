@@ -54,7 +54,7 @@ def test_side_effect_queries_are_rerunnable(spark, sf_dir):
     within one session (the driver may invoke them repeatedly)."""
     for key in ["scan_csv_schema", "sink_parquet", "sink_partitioned",
                 "sink_delta_merge", "sink_merge_partitioned",
-                "multimodal_frame_sample", "join_bucketed",
+                "multimodal_frame_sample", "join_bucketed", "sink_scd2_merge",
                 "scan_partition_pruned"]:
         a = engine.QUERIES[key](spark, sf_dir).count()
         b = engine.QUERIES[key](spark, sf_dir).count()
