@@ -9,9 +9,10 @@ Scale notes:
   candidate generation joins on (band_id, band_hash) buckets so the
   shuffle volume is #docs × #bands, never #docs².
 * n-gram Jaccard: shingle-explode + self-join on shingle is the exact
-  candidate generator; at 100 TB you'd add prefix filtering (only join
-  the k rarest shingles per doc) — implemented here via a
-  frequency-ranked shingle cap.
+  candidate generator (dedup_ngram_jaccard, doc-sliced); the 100 TB
+  form is dedup_jaccard_prefix — a PPJoin-style prefix filter that
+  joins only each doc's rarest |d|-ceil(τ|d|)+1 shingles, provably
+  complete for J ≥ τ.
 * SimHash: 64-bit signature via per-token hash bit-voting; candidate
   pairs bucket on 4×16-bit bands (Hamming ≤ 3 ⇒ at least one band
   equal by pigeonhole across 4 bands).
@@ -607,5 +608,121 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
         .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_jaccard_prefix",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+1], ' ')
+                       FOR i IN range(1, greatest(len(toks)-1, 1) + 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    ranked AS (
+      SELECT sh.doc_id, sh.shingle,
+             row_number() OVER (PARTITION BY sh.doc_id
+                                ORDER BY df.df, sh.shingle) AS rn,
+             s.n_sh
+      FROM sh JOIN df USING (shingle) JOIN sizes s USING (doc_id)
+    ),
+    prefix AS (
+      SELECT doc_id, shingle FROM ranked
+      WHERE rn <= n_sh - CAST(ceil(0.8 * n_sh) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    overlap AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+             AS jaccard
+    FROM overlap
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard over the FULL corpus — the 100 TB
+    form of dedup_ngram_jaccard (which joins every shingle and needs a
+    doc slice to stay affordable).
+
+    PPJoin-style prefix filter: order each doc's shingles by global
+    rarity (document frequency, shingle as tiebreak); for threshold
+    τ=0.8 a pair with J >= τ MUST share a shingle within each side's
+    first |d| - ceil(τ|d|) + 1 shingles, so the candidate join touches
+    only ~(1-τ)|d|+1 rare shingles per doc instead of all of them —
+    rare means small buckets, so candidate volume stays near-linear.
+    Candidates are then verified with the exact intersection count.
+    The oracle replays the identical prefix construction, so candidate
+    completeness (not just the final answer) is value-checked.
+    """
+    tau = 0.8
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(df, "shingle")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(tau * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    overlap = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")
+    )
+    return (
+        overlap.join(F.broadcast(za), F.col("za.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(zb), F.col("zb.doc_id") == F.col("doc_b"))
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
