@@ -10,7 +10,8 @@ registered keys per round, so ``queries()`` emits keys in a rotating
 priority order — keys without a hard driver verdict yet come first
 (oracle-backed ones before weak rows-only ones), keys already verified
 green in a previous round rotate to the back.  ``_DRIVER_VERIFIED``
-lists the keys with a green row in CORRECTNESS_r01.json.
+lists the keys with a green row in CORRECTNESS_r01/r02.json whose
+implementation has not changed since that verdict.
 """
 
 from __future__ import annotations
@@ -23,17 +24,22 @@ import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine
 
 engine.load_all()
 
-# Green (or weak-by-design no_oracle) rows in CORRECTNESS_r01.json.
-# agg_collect is deliberately absent: its r01 row was a hasher failure,
-# so it re-enters the check window this round.
+# Green rows in CORRECTNESS_r01.json + CORRECTNESS_r02.json whose
+# implementation is unchanged since the verdict.  Deliberately absent
+# (re-enter the window this round): agg_approx_distinct (reworked in r2
+# to exact counts + HLL error-bound oracle) and join_asof_latest
+# (tie-break semantics hardened in r2) — the green rows on record are
+# for the old implementations — plus any key whose implementation
+# changes this round (streaming fixed-cost trim, ingest path-table).
 _DRIVER_VERIFIED = {
+    # r01 greens (unchanged since)
     "flagship_q3_topk", "join_bucketed", "scan_partition_pruned",
     "project_select", "project_rename_drop", "filter_comparison",
     "filter_in_set", "filter_like", "filter_null", "filter_between_date",
     "join_broadcast_dim", "join_shuffle_large", "join_multikey_chain",
     "join_outer_left", "join_outer_full", "join_left_semi",
-    "join_left_anti", "join_cross", "join_theta_range", "join_asof_latest",
-    "agg_group_sum", "agg_count_distinct", "agg_approx_distinct",
+    "join_left_anti", "join_cross", "join_theta_range",
+    "agg_group_sum", "agg_count_distinct",
     "agg_having", "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_stats", "agg_percentile", "agg_min_max_by", "agg_empty_check",
     "win_row_number", "win_rank_dense", "win_lag_lead", "win_running_sum",
@@ -41,38 +47,56 @@ _DRIVER_VERIFIED = {
     "topk_per_group", "set_union_all", "set_union_distinct",
     "set_intersect", "set_except", "dedup_distinct_rows",
     "dedup_subset_keyed", "pivot_wide", "unpivot_long", "explode_lateral",
-}
-
-# This round's 50-slot window, pinned explicitly: the agg_collect
-# re-check plus the never-driver-verified headline sections — all of
-# B.8 streaming, B.7 scalars, B.10 UDFs, B.1 scans/sinks + ingest, and
-# the LLM-pipeline core (now all strong-oracle).  Unverified keys that
-# don't fit (analytics/curation extras) queue right behind and rotate
-# into the window next round.
-_WINDOW_50 = [
+    # r02 greens (unchanged since)
     "agg_collect",
-    # B.8 streaming (8)
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_tumbling_live", "stream_dedup", "stream_watermark_late",
     "stream_foreach_sink", "stream_stateful_custom",
-    # B.7 scalar functions (10)
     "str_basic", "str_regex", "date_format_tz", "date_arith", "math_expr",
     "cond_case_when", "cast_types", "array_ops", "map_json_ops", "hash_funcs",
-    # B.10 UDF surface (5)
     "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
     "udtf_map_in_pandas", "udf_pandas_cosine",
-    # B.1 scans (5) + sinks (4) + ingest flagship (1)
     "scan_parquet", "scan_csv_schema", "scan_json_lines", "scan_binaryfile",
     "scan_manifest",
     "sink_parquet", "sink_partitioned", "sink_delta_merge",
     "sink_merge_partitioned", "ingest_pipeline",
-    # B.9 LLM-pipeline core (16)
     "dedup_exact_hash", "dedup_ngram_jaccard", "dedup_minhash_portable",
     "dedup_embedding_cosine", "sim_topk_bruteforce", "sim_grouped_centroid",
     "text_stats", "text_lang_filter", "text_quality_score",
     "text_token_count", "text_langid_ngram", "text_fingerprint",
     "vocab_topk", "tfidf_top_terms", "dedup_cluster_cc",
     "multimodal_binary_meta",
+}
+
+# This round's 50-slot window, pinned explicitly: every key without a
+# driver verdict (or whose implementation/oracle changed since its
+# last green row).  32 such keys exist; the remaining slots carry keys
+# re-verifying because this round touches their implementation.
+_WINDOW_50 = [
+    # reworked in r2, green rows are stale
+    "agg_approx_distinct", "join_asof_latest",
+    # r2 additions with no driver verdict yet — oracle-backed
+    "sink_scd2_merge", "agg_sketch_hll_merge", "agg_incremental_rollup",
+    "win_distribution", "scalar_subquery", "string_agg_ordered",
+    "win_range_interval", "agg_bool", "date_series_gapfill",
+    "funnel_conversion", "events_user_retention",
+    "dedup_simhash_portable", "dedup_jaccard_prefix",
+    "sim_ivf_probe", "sim_topk_lsh_portable", "sim_radius_search",
+    "corpus_sample_stratified", "text_dataset_split", "text_pii_scrub",
+    "corpus_mix_weights", "text_pack_sequences", "text_decontaminate",
+    "text_lm_quality", "multimodal_frame_sample",
+    "stream_static_join", "stream_session_live", "stream_stream_join",
+    # weak-by-design (xxhash64/kmeans) — rows-only driver verdicts
+    "dedup_fuzzy_minhash", "dedup_simhash", "sim_topk_lsh",
+    # re-verify: implementations touched this round
+    "ingest_pipeline",
+    "stream_tumbling_live", "stream_dedup", "stream_watermark_late",
+    "stream_foreach_sink", "stream_stateful_custom",
+    # padding re-checks of headline keys
+    "flagship_q3_topk", "join_bucketed", "scan_partition_pruned",
+    "dedup_exact_hash", "dedup_minhash_portable", "dedup_embedding_cosine",
+    "sim_topk_bruteforce", "text_fingerprint", "vocab_topk",
+    "tfidf_top_terms", "dedup_cluster_cc", "sink_delta_merge",
 ]
 
 
