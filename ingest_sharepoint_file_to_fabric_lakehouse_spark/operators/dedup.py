@@ -669,21 +669,35 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     first |d| - ceil(τ|d|) + 1 shingles, so the candidate join touches
     only ~(1-τ)|d|+1 rare shingles per doc instead of all of them —
     rare means small buckets, so candidate volume stays near-linear.
-    Candidates are then verified with the exact intersection count.
-    The oracle replays the identical prefix construction, so candidate
-    completeness (not just the final answer) is value-checked.
+    PPJoin length + position filters prune pairs that provably cannot
+    reach tau before verification; verification intersects the two
+    shingle sets per surviving pair (array_intersect, JVM-side).  The
+    oracle replays the same prefix construction with the looser
+    (unfiltered) candidate set — identical final rows, since the extra
+    filters are lossless at the threshold.
     """
     tau = 0.8
     d = t(spark, sf_dir, "documents")
+    # The shingle relation feeds ranking, candidate generation, and
+    # exact verification.  Cache it once: differing pushed-down filters
+    # make the consumer subplans non-identical, so Spark's exchange
+    # reuse never fires here — the uncached plan scanned `documents`
+    # 10x.  Repartition by doc_id BEFORE the distinct: hash(doc_id)
+    # co-locates every (doc_id, shingle) duplicate, so the distinct
+    # aggregate and the per-doc windows below all run exchange-free on
+    # the cached layout.  ContextCleaner reclaims the cache once the
+    # query's RDDs go out of scope.
     sh = (
         d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle"))
+        .repartition("doc_id")
         .distinct()
+        .persist()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # Document frequency and per-doc shingle count via windows over the
+    # cached relation — one pass, no join-back of separate aggregates.
     ranked = (
-        sh.join(df, "shingle")
-        .join(F.broadcast(sizes), "doc_id")
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -691,38 +705,70 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("n_sh") - F.ceil(tau * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle")
+    # prefix feeds both sides of the candidate self-join — cache it so
+    # the window subtree runs once.  rn/n_sh ride along for the PPJoin
+    # length + position filters below.
+    prefix = (
+        ranked.filter(
+            F.col("rn") <= F.col("n_sh") - F.ceil(tau * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "shingle", "rn", "n_sh")
+        .persist()
+    )
+    # Candidate pairs: prefix-shingle match plus the PPJoin length and
+    # position filters (Xiao et al., "Efficient Similarity Joins for
+    # Near Duplicate Detection", WWW'08).  Both only discard pairs that
+    # provably cannot reach J >= tau — J >= tau forces
+    # |b| >= tau*|a|, and the overlap is bounded by the common suffix
+    # after the matching prefix position: 1 + min(|a|-rn_a, |b|-rn_b)
+    # must reach ceil(tau/(1+tau)*(|a|+|b|)), the minimum intersection
+    # size for J >= tau.  The oracle replays the unfiltered (looser)
+    # candidate set; final rows are identical because the filters are
+    # lossless for the tau threshold.
+    min_overlap = F.ceil(tau / (1 + tau) * (F.col("a.n_sh") + F.col("b.n_sh")))
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= tau * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            )
+            & (
+                1
+                + F.least(
+                    F.col("a.n_sh") - F.col("a.rn"),
+                    F.col("b.n_sh") - F.col("b.rn"),
+                )
+                >= min_overlap
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
-    overlap = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # Exact verification: one row per candidate pair, intersecting the
+    # two docs' shingle sets JVM-side (array_intersect) — fan-out is
+    # |cand|, never candidate x per-shingle bucket sizes.  The shingle
+    # arrays come off the cached relation with an exchange-free
+    # per-doc collect (already doc_id-partitioned).
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shs"), F.count("*").alias("n_sh")
     )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
+    A, B = docsets.alias("A"), docsets.alias("B")
+    verified = (
+        cand.join(A, F.col("A.doc_id") == F.col("doc_a"))
+        .join(B, F.col("B.doc_id") == F.col("doc_b"))
+        .withColumn(
+            "n_common", F.size(F.array_intersect(F.col("A.shs"), F.col("B.shs")))
+        )
+    )
     jac = F.col("n_common").cast("double") / (
-        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")
+        F.col("A.n_sh") + F.col("B.n_sh") - F.col("n_common")
     )
     return (
-        overlap.join(F.broadcast(za), F.col("za.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(zb), F.col("zb.doc_id") == F.col("doc_b"))
-        .filter(jac >= tau)
+        verified.filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
