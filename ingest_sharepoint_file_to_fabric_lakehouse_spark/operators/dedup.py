@@ -634,7 +634,10 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     prefix AS (
       SELECT doc_id, shingle FROM ranked
-      WHERE rn <= n_sh - CAST(ceil(0.8 * n_sh) AS BIGINT) + 1
+      -- integer-exact ceil(tau*n) for tau=4/5: float 0.8*n overshoots on
+      -- exact multiples (0.8*5 -> 4.0000000000000002 -> ceil 5), which
+      -- would shorten the prefix below the lossless bound
+      WHERE rn <= n_sh - (4 * n_sh + 4) // 5 + 1
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -684,9 +687,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse never fires here — the uncached plan scanned `documents`
     # 10x.  Repartition by doc_id BEFORE the distinct: hash(doc_id)
     # co-locates every (doc_id, shingle) duplicate, so the distinct
-    # aggregate and the per-doc windows below all run exchange-free on
-    # the cached layout.  ContextCleaner reclaims the cache once the
-    # query's RDDs go out of scope.
+    # aggregate and the per-doc (doc_id-partitioned) windows and the
+    # verification collect run exchange-free on the cached layout.  The
+    # document-frequency window below partitions by shingle and does
+    # pay one shuffle — at scale, a frequent shingle lands its whole
+    # partition on one task; if that skews, swap the df window back to
+    # a groupBy(shingle) partial-agg + join.  Both persists use the
+    # default MEMORY_AND_DISK, so eviction degrades to recompute (never
+    # wrong answers); ContextCleaner reclaims them once the query's
+    # RDDs go out of scope.
     sh = (
         d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle"))
         .repartition("doc_id")
@@ -708,9 +717,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix feeds both sides of the candidate self-join — cache it so
     # the window subtree runs once.  rn/n_sh ride along for the PPJoin
     # length + position filters below.
+    # Integer-exact ceil(tau*n) for tau=4/5: float 0.8*n overshoots on
+    # exact multiples (0.8*5 -> 4.0000000000000002 -> ceil 5), which
+    # would shorten the prefix below the lossless bound and silently
+    # drop exactly-at-threshold pairs.
     prefix = (
         ranked.filter(
-            F.col("rn") <= F.col("n_sh") - F.ceil(tau * F.col("n_sh")) + 1
+            F.col("rn") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
         )
         .select("doc_id", "shingle", "rn", "n_sh")
         .persist()
@@ -724,8 +737,14 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must reach ceil(tau/(1+tau)*(|a|+|b|)), the minimum intersection
     # size for J >= tau.  The oracle replays the unfiltered (looser)
     # candidate set; final rows are identical because the filters are
-    # lossless for the tau threshold.
-    min_overlap = F.ceil(tau / (1 + tau) * (F.col("a.n_sh") + F.col("b.n_sh")))
+    # lossless for the tau threshold.  BOTH bounds use pure integer
+    # arithmetic: tau/(1+tau) = 4/9 in float is 0.444…49 which
+    # overshoots exact ceil(4s/9) by 1 for s = 63, 117, 126, … and
+    # would drop exactly-at-threshold pairs (e.g. |a|=28, |b|=35,
+    # overlap=28, J=0.8); likewise 5*min >= 4*max instead of
+    # min >= 0.8*max (float 0.8*5 > 4 would drop the |4|,|5| subset
+    # pair with J exactly 0.8).
+    min_overlap = F.expr("(4 * (a.n_sh + b.n_sh) + 8) div 9")
     cand = (
         prefix.alias("a")
         .join(
@@ -733,8 +752,8 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
-                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-                >= tau * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                F.least(F.col("a.n_sh"), F.col("b.n_sh")) * 5
+                >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * 4
             )
             & (
                 1
@@ -752,7 +771,11 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two docs' shingle sets JVM-side (array_intersect) — fan-out is
     # |cand|, never candidate x per-shingle bucket sizes.  The shingle
     # arrays come off the cached relation with an exchange-free
-    # per-doc collect (already doc_id-partitioned).
+    # per-doc collect (already doc_id-partitioned).  Per-pair memory is
+    # proportional to the two docs' shingle counts; for corpora with
+    # pathological documents (millions of shingles), route pairs above
+    # a shingle-count cap through the join-count verification of
+    # dedup_ngram_jaccard instead of materialized arrays.
     docsets = sh.groupBy("doc_id").agg(
         F.collect_list("shingle").alias("shs"), F.count("*").alias("n_sh")
     )

@@ -378,3 +378,29 @@ def test_decontaminate_flags_planted_overlap(spark, sf_dir):
     # shingles ('gamma delta unrelated' vs 'gamma delta epsilon') don't
     # match — exactly one shared shingle.
     assert out == {1: 1}
+
+
+def test_jaccard_prefix_keeps_exactly_at_threshold_pairs(spark, tmp_path):
+    """PPJoin length/position filters must be integer-exact: float
+    bounds (0.8*35 -> 28.000000000000004, ceil(4/9*63) -> 29) drop
+    pairs whose Jaccard is EXACTLY tau=0.8.  Two such shapes:
+    |a|=28, |b|=35, overlap=28 (kills float position filter) and
+    |a|=4, |b|=5, overlap=4 (kills float length filter)."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup import dedup_jaccard_prefix
+
+    toks = [f"t{i:02d}" for i in range(36)]
+    utoks = [f"u{i}" for i in range(6)]
+    docs = [
+        (1, " ".join(toks[:29])),  # 28 shingles, subset of doc 2
+        (2, " ".join(toks)),       # 35 shingles
+        (3, " ".join(utoks[:5])),  # 4 shingles, subset of doc 4
+        (4, " ".join(utoks)),      # 5 shingles
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_prefix(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): 0.8, (3, 4): 0.8}
