@@ -279,10 +279,15 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import spark_partition_id
 
     seq_len = 2048
+    # Partition count scales with the cluster, not a literal: the
+    # driver-side phase-2 prefix sum sees exactly one row per
+    # partition, so cap it to keep that collect trivial even on a
+    # 1000-executor cluster (4096 rows of two longs).
+    n_parts = min(max(spark.sparkContext.defaultParallelism, 2), 4096)
     d = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
-        .repartitionByRange(8, "doc_id")
+        .repartitionByRange(n_parts, "doc_id")
         .withColumn("_part", spark_partition_id())
     )
     local_w = Window.partitionBy("_part").orderBy("doc_id").rowsBetween(

@@ -90,13 +90,13 @@ def run_stream_to_parquet(
     (idempotent overwrite-per-epoch layout).
 
     State-store partition count is pinned low for the fixture scale:
-    each micro-batch pays per-partition state checkpointing, so 8
+    each micro-batch pays per-partition state checkpointing, so 4
     partitions beat the session's 32 at 600k rows (at real scale this
     is sized to state volume, and is fixed at first checkpoint).
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
@@ -135,7 +135,7 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), money(F.sum(dec("value"))).alias("total_value"))
@@ -169,7 +169,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(dup_src):
         os.makedirs(dup_src, exist_ok=True)
         # each file rides with its duplicate in the SAME micro-batch
-        # (maxFilesPerTrigger=2 + strictly increasing mtime pairs):
+        # (maxFilesPerTrigger=4 takes whole (file, dup) pairs off the
+        # strictly-increasing-mtime order — two pairs per batch):
         # the watermark can never advance past a pending duplicate, so
         # dedup semantics don't depend on filesystem mtime accidents.
         for b, f in enumerate(sorted(os.listdir(src))):
@@ -182,7 +183,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 4)
         .parquet(dup_src)
         # watermark requires TIMESTAMP (ltz); session tz is UTC so the cast is lossless
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -243,7 +244,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
         .filter(F.col("user_id") < 40)
         .groupBy("user_id")
@@ -298,7 +299,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "10 minutes")
@@ -406,7 +407,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
         .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
         .select("event_id", "event_type", "c_mktsegment")
@@ -467,7 +468,7 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
         .filter(F.col("user_id") < 40)
         .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -524,7 +525,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(evt_type: str, alias: str):
         return (
             spark.readStream.schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 2)
             .parquet(src)
             .filter(F.col("event_type") == evt_type)
             .withColumn("ts", F.col("ts").cast("timestamp"))
