@@ -10,10 +10,13 @@ distributed and incremental):
    mtime) — re-runs skip already-ingested files, and a *modified*
    file (new mtime) is re-ingested; fixes the reference's
    re-copy-everything behavior (SURVEY.md §4.1).
-3. transfer: ``binaryFile`` scan loaded with the explicit path list
-   of exactly the new files (never the whole source tree) — content
-   flows executor-side, never through driver RAM (anti-pattern at
-   sharepoint_to_bronze_delta.py:166-170).
+3. transfer: ``binaryFile`` scan over the configured folders with a
+   ``modifiedAfter`` watermark pushed into file listing — only files
+   at-or-after the oldest new mtime are opened, content flows
+   executor-side, never through driver RAM (anti-pattern at
+   sharepoint_to_bronze_delta.py:166-170), and the driver sees only
+   two control-plane scalars (delta count + watermark), never a
+   path list.
 4. land: bronze parquet with (file metadata, content, sha256).
 5. log + post-commit: append ingestion log with timestamped archive
    names (A-16, :189-191) only after the bronze write commits —
@@ -140,17 +143,38 @@ def run_ingest(
     except Exception:
         new_files = manifest  # first run: empty log
 
-    new_paths = [r.file_path for r in new_files.select("file_path").collect()]
-    if not new_paths:
+    # Control-plane scalars only cross to the driver — a count and a
+    # min-mtime watermark — never a data-proportional path list (at
+    # 100 TB-scale ingest the per-run delta can be millions of files).
+    stats = new_files.agg(
+        F.count("*").alias("n"), F.min("mtime_epoch").alias("wm")
+    ).first()
+    if stats["n"] == 0:
         return spark.read.parquet(log_path)
 
-    # executor-side content scan of exactly the new files (A-2,
-    # distributed): explicit path list, never the whole source tree.
-    # The list is driver-resident by construction (the manifest listing
-    # is a control-plane call, A-1) and bounded by the per-run delta.
+    # executor-side content scan bounded to the new files (A-2,
+    # distributed): the binaryFile source pushes `modifiedAfter` down
+    # into file listing, so only files at-or-after the oldest new
+    # mtime are even opened (-1s: the listing's mtime_epoch floors the
+    # filesystem's sub-second mtime, and modifiedAfter is strictly
+    # greater-than).  Already-ingested stragglers inside that window
+    # are dropped by the join back to `new_files` below.  Scanned
+    # roots come from FOLDER_CONFIG (static config), so excluded
+    # folders (the reference's Teams-Wiki filter) are never listed.
+    from datetime import datetime, timezone
+
+    wm = datetime.fromtimestamp(int(stats["wm"]) - 1, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+    roots = [
+        os.path.join(source_root, f)
+        for f, *_ in FOLDER_CONFIG
+        if os.path.isdir(os.path.join(source_root, f))
+    ]
     blobs = (
         spark.read.format("binaryFile")
-        .load(new_paths)
+        .option("modifiedAfter", wm)
+        .load(roots)
         .withColumn("file_name", F.element_at(F.split("path", "/"), -1))
         .withColumn("folder_name", F.element_at(F.split("path", "/"), -2))
         .select("folder_name", "file_name", "length", "content")
