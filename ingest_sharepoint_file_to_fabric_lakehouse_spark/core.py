@@ -85,18 +85,27 @@ def prep(spark: SparkSession) -> None:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table (TESTDATA.md layout).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    natively — read it as nanos-since-epoch long and truncate to a
-    microsecond ``timestamp_ntz`` (exactly what DuckDB's µs timestamps
-    do), keeping oracle parity.
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS)
+    (which Spark 4 rejects natively — read as nanos-since-epoch long
+    and truncate to microseconds) or plain TIMESTAMP(MICROS) (read
+    natively as ``timestamp_ntz``), depending on the generator
+    version.  Normalise both to a microsecond ``timestamp_ntz``
+    (exactly what DuckDB's µs timestamps do), keeping oracle parity.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000").cast("long")).cast("timestamp_ntz"),
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000").cast("long")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -247,10 +247,15 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition is order-independent, and the final 6-dp rounding of the
     average is then bit-stable on both sides.
 
-    Scale shape: the model is two hash aggregates over the bigram
-    stream (map-side partial); scoring re-joins bigrams to the model
-    on (w1, w2) — Zipf-skewed keys, which AQE skew-join handles; the
-    per-doc reduce is one more partial-aggregated shuffle.  No UDFs,
+    Scale shape: occurrences collapse FIRST into per-doc bigram
+    counts (one partial-aggregated shuffle over the exploded stream —
+    the only pass that touches full occurrence volume); the model
+    (c2, then c1 = Σ_w2 c2) and the scoring join all run over that
+    much smaller distinct-per-doc relation, which is persisted so the
+    explode subtree executes exactly once.  Identical answers: every
+    occurrence of (doc, w1, w2) has the same log-prob, and decimal ×
+    integer is exact, so n·lp_dec == Σ lp_dec over occurrences.
+    Zipf-skewed join keys are handled by AQE skew-join.  No UDFs,
     no driver state — the 'LM' is a DataFrame.
     """
     d = t(spark, sf_dir, "documents")
@@ -269,22 +274,28 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # floor; DuckDB's end-exclusive range yields none — drop it.
         .filter(F.col("w2").isNotNull())
     )
-    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    docbg = (
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n")).persist()
+    )
+    bi = docbg.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
     # unigram counts roll up from the bigram table (c1 = Σ_w2 c2):
-    # one fewer pass over the exploded bigram stream, and the rollup
-    # input is already partitioned by w1.
+    # one fewer pass over the bigram stream, and the rollup input is
+    # already partitioned by (w1, w2).
     uni = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
-        bg.join(bi, ["w1", "w2"])
+        docbg.join(bi, ["w1", "w2"])
         .join(uni, "w1")
         .select(
             "doc_id",
+            F.col("n"),
             F.log(F.col("c2") * F.lit(1.0) / F.col("c1"))
             .cast("decimal(20,12)")
             .alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
-        F.count("*").alias("n_bigrams"),
+        F.round(
+            (F.sum(F.col("lp") * F.col("n"))).cast("double") / F.sum("n"), 6
+        ).alias("avg_logprob"),
+        F.sum("n").alias("n_bigrams"),
     )

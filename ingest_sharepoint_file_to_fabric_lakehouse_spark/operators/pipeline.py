@@ -355,12 +355,14 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     `training docs - these rows` (an anti-join on the result).
 
     Scale shape: eval shingles are a broadcast-side hash join input
-    (eval sets are small by definition); training shingles explode
-    map-side and never shuffle — the join is executor-local against the
-    broadcast, and the per-doc count partial-aggregates before the one
-    #contaminated-docs-row exchange.  This is the standard
-    contamination sweep (the 13-gram form of GPT-3's paper, word-4-gram
-    here for fixture scale).
+    (eval sets are small by definition); training shingles dedup
+    per-doc MAP-SIDE (``array_distinct`` before the explode — the
+    (doc_id, shingle) distinct needs no shuffle because a shingle can
+    only repeat within its own doc row) and hit the broadcast join
+    executor-local, so the only exchange in the whole sweep is the
+    final per-doc count over the tiny matched subset.  This is the
+    standard contamination sweep (the 13-gram form of GPT-3's paper,
+    word-4-gram here for fixture scale).
     """
     d = t(spark, sf_dir, "documents")
     from ..operators.dedup import shingles
@@ -370,10 +372,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(shingles(F.col("text"), 4)).alias("shingle"))
         .distinct()
     )
-    tr = (
-        d.filter(F.col("doc_id") % 50 != 0)
-        .select("doc_id", F.explode(shingles(F.col("text"), 4)).alias("shingle"))
-        .distinct()
+    tr = d.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 4))).alias("shingle"),
     )
     return (
         tr.join(F.broadcast(ev), "shingle")
