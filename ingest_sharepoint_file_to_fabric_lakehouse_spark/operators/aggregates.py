@@ -454,3 +454,68 @@ def agg_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.sum("price_partial")).alias("total_price"),
         )
     )
+
+
+@query(
+    "agg_approx_quantile",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS med_qty,
+           MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN l_quantity END)
+             AS p95_qty,
+           TRUE AS approx_within_bounds
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna via percentile_approx) —
+    the 100 TB path — value-gated against exact DISCRETE quantiles.
+
+    Exact interpolating percentiles are not engine-portable (the
+    interpolation formula's FP rounding differs), so both sides pin
+    the discrete quantile: the value at rank ceil(p*n), integer-exact
+    ((19n+19) div 20 etc.), which is identical under any tie order.
+    The sketch value itself is implementation-specific, so the query
+    emits the exact quantiles plus a boolean asserting the sketch
+    median landed between the exact p45/p55 values — GK with accuracy
+    1e4 guarantees rank error <= n/1e4, so the bound holds
+    deterministically unless the sketch regresses; the oracle pins
+    the exact values and TRUE.
+
+    Scale shape: one rank-window shuffle for the exact side (at 100 TB
+    you would keep ONLY the sketch: fixed memory per group, mergeable
+    partials, no sort) — the exact side exists to gate the sketch.
+    """
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    r = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("l_returnflag"))
+    )
+    at = lambda idx: F.max(  # noqa: E731
+        F.when(F.col("rn") == idx, F.col("l_quantity"))
+    )
+    exact = r.groupBy("l_returnflag").agg(
+        at(F.expr("(n + 1) div 2")).alias("med_qty"),
+        at(F.expr("(19 * n + 19) div 20")).alias("p95_qty"),
+        at(F.expr("(9 * n + 19) div 20")).alias("p45_qty"),
+        at(F.expr("(11 * n + 19) div 20")).alias("p55_qty"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_med"),
+    )
+    return exact.select(
+        "l_returnflag",
+        "med_qty",
+        "p95_qty",
+        (
+            (F.col("approx_med") >= F.col("p45_qty"))
+            & (F.col("approx_med") <= F.col("p55_qty"))
+        ).alias("approx_within_bounds"),
+    )

@@ -154,14 +154,15 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[F.array_min(F.transform("sh", _minhash(k))) for k in range(n_hashes)]
         ).alias("sig"),
-    )
-    # One explicit exchange to materialize the signatures: three
-    # consumers (banding + both sides of the estimate join) hang off
-    # `sig`, and without a shuffle boundary Spark would recompute the
-    # 32-hash projection per consumer (measured 4× slower).  Exchange
-    # reuse makes them all read this one #docs-row shuffle — at scale
-    # you'd persist/checkpoint the signature table instead.
-    sig = sig.repartition("doc_id")
+    ).persist()
+    # Cache the signature table: three consumers (banding + both sides
+    # of the estimate join) hang off `sig`, and without a
+    # materialization boundary Spark recomputes the 32-hash projection
+    # per consumer (measured 4x slower).  An explicit repartition +
+    # exchange reuse used to cover this, but AQE re-plans the
+    # consumers' subtrees independently and reuse stopped firing —
+    # persist() is the robust form (at scale: a checkpointed signature
+    # table).
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -288,7 +289,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[F.array_min(F.transform("sh", _mh(k))) for k in range(n_hashes)]
         ).alias("sig"),
-    ).repartition("doc_id")
+    ).persist()
     banded = sig.select(
         "doc_id",
         F.explode(

@@ -404,3 +404,43 @@ def test_jaccard_prefix_keeps_exactly_at_threshold_pairs(spark, tmp_path):
         for r in dedup_jaccard_prefix(spark, str(tmp_path)).collect()
     }
     assert got == {(1, 2): 0.8, (3, 4): 0.8}
+
+
+def test_repetition_filter_flags_crafted_repetition(spark, tmp_path):
+    """A doc that is one 2-gram over and over must be flagged; a doc of
+    all-distinct tokens must keep."""
+    docs = [
+        (1, " ".join(["spam"] * 20)),          # every 2-gram identical
+        (2, " ".join(f"w{i}" for i in range(20))),  # all 2-grams distinct
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.functions.text import text_repetition_filter
+
+    rows = {r.doc_id: r for r in text_repetition_filter(spark, str(tmp_path)).collect()}
+    assert rows[1].top_gram_frac == 1.0 and rows[1].keep is False
+    assert rows[2].top_gram_frac == round(1 / 19, 6) and rows[2].keep is True
+    assert rows[2].dup_gram_frac == 0.0
+
+
+def test_dedup_pipeline_funnel_is_consistent(spark, sf_dir):
+    """Per-source funnel must partition the doc count, and the kept set
+    must contain at least one doc per connected near-dup cluster."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.corpus import corpus_dedup_pipeline
+
+    rows = corpus_dedup_pipeline(spark, sf_dir).collect()
+    assert rows, "empty funnel"
+    for r in rows:
+        assert r.n_docs == r.n_exact_dropped + r.n_near_dropped + r.n_kept
+        assert r.n_kept >= 1
+
+
+def test_approx_quantile_bounds_hold(spark, sf_dir):
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.aggregates import agg_approx_quantile
+
+    rows = agg_approx_quantile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.approx_within_bounds is True
+        assert r.med_qty <= r.p95_qty
