@@ -109,6 +109,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` spread across the session's cores.
+
+    The fixture files are single-row-group parquet, so the scan
+    arrives as ONE input split and every per-doc text expression
+    (shingling, hashing, n-gram explode) runs serially on one task —
+    measured 5-40x slowdowns on the heavy text operators.  A doc_id
+    hash repartition costs one tiny shuffle of the raw text and buys
+    full-width parallelism; at 100 TB the scan itself has thousands
+    of splits and this helper's exchange is noise (and the doc_id
+    layout is exactly what the downstream per-doc aggregates want).
+    """
+    d = t(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def dec(col: str | Column, precision: int = 18, scale: int = 4) -> Column:
     """Exact-decimal cast for order-independent money sums (see module doc)."""
     c = F.col(col) if isinstance(col, str) else col

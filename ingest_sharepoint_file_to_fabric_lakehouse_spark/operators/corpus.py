@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core import query, t
+from ..core import docs, query, t
 
 
 @query(
@@ -343,7 +343,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import shingles
 
-    d = t(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     n_hashes, bands, rpb = 12, 4, 3
 
     # 1. exact dedup: canonical = min doc_id per content digest

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core import query, t
+from ..core import docs, query, t
 
 
 @query(
@@ -140,7 +140,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_hashes, bands = 32, 8
     rows_per_band = n_hashes // bands
-    d = t(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     # materialize the shingle array once per row, then k map-side mins.
     # NB: seeds must be captured via a closure factory — a default-arg
     # lambda (s, k=k) would be treated as Spark's binary (element,
@@ -272,7 +272,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear, never all-pairs.
     """
     n_hashes, bands, rpb = 12, 4, 3
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    d = docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
 
     def _mh(k: int):
         # closure factory — see dedup_fuzzy_minhash note on lambda args.
@@ -351,7 +351,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1).  Candidates: equal 16-bit band (4 bands ⇒ catches
     Hamming ≤ 3).
     """
-    d = t(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
     h = toks.withColumn("h", F.xxhash64("tok"))
     votes = h.groupBy("doc_id").agg(
@@ -388,7 +388,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket").persist()
+    # persist: both sides of the self-join read the banded signatures,
+    # which would otherwise recompute the 64-way bit-vote aggregate
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(
@@ -550,7 +552,7 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus size (4 rows per doc), never all-pairs.  Emits pairs at
     Hamming <= 3 (pigeonhole-complete given 4 bands).
     """
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
@@ -591,7 +593,7 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket").persist()
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
@@ -681,15 +683,16 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters are lossless at the threshold.
     """
     tau = 0.8
-    d = t(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     # The shingle relation feeds ranking, candidate generation, and
     # exact verification.  Cache it once: differing pushed-down filters
     # make the consumer subplans non-identical, so Spark's exchange
     # reuse never fires here — the uncached plan scanned `documents`
-    # 10x.  Repartition by doc_id BEFORE the distinct: hash(doc_id)
-    # co-locates every (doc_id, shingle) duplicate, so the distinct
-    # aggregate and the per-doc (doc_id-partitioned) windows and the
-    # verification collect run exchange-free on the cached layout.  The
+    # 10x.  The (doc_id, shingle) distinct needs NO shuffle: a shingle
+    # can only repeat within its own doc row, so array_distinct before
+    # the explode is the whole dedup, and docs() already laid the rows
+    # out hash(doc_id) so the per-doc windows and the verification
+    # collect run exchange-free on the cached layout.  The
     # document-frequency window below partitions by shingle and does
     # pay one shuffle — at scale, a frequent shingle lands its whole
     # partition on one task; if that skews, swap the df window back to
@@ -698,9 +701,10 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wrong answers); ContextCleaner reclaims them once the query's
     # RDDs go out of scope.
     sh = (
-        d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle"))
-        .repartition("doc_id")
-        .distinct()
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("text"), 2))).alias("shingle"),
+        )
         .persist()
     )
     # Document frequency and per-doc shingle count via windows over the

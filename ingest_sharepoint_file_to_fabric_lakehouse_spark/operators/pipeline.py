@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core import query, t
+from ..core import docs, query, t
 
 _KNUTH = 2654435761
 _M32 = 4294967296
@@ -364,7 +364,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard contamination sweep (the 13-gram form of GPT-3's paper,
     word-4-gram here for fixture scale).
     """
-    d = t(spark, sf_dir, "documents")
+    d = docs(spark, sf_dir)
     from ..operators.dedup import shingles
 
     ev = (
