@@ -593,7 +593,10 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket").persist()
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    # no persist here: the 200-doc witness slice recomputes its votes
+    # cheaper than an eager cache materialization (the full-corpus
+    # production variant above does persist)
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(
