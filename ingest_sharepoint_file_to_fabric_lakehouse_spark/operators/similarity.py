@@ -186,9 +186,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= 10)
 
 
-@query(
-    "sim_ivf_probe",
-    """
+_IVF_ORACLE = """
     WITH e AS (
       SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
     ),
@@ -233,8 +231,51 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY cos_sim DESC, vec_id) AS rnk
       FROM scored
     ) WHERE rnk <= 10
-    """,
-)
+    """
+
+
+def _ivf_best_cells(spark: SparkSession, sf_dir: str):
+    """Collect the (control-plane-sized) centroid table once and
+    return a map-side `best_cells(vec, n)` column builder.
+
+    The trained index is k cells x dims doubles, so inline it as a
+    literal array — exactly how a production IVF index ships its
+    centroids to every executor.  Assignment is then a pure projection
+    (array_sort over per-cell cosine structs: struct comparison is
+    lexicographic, so (sim, -cell_id) ordering == sim desc tie-broken
+    by cell_id asc — the same ordering the oracle replays).  Collected
+    doubles re-enter the plan as exact literals, so cosine folds stay
+    bit-identical.
+    """
+    cent_rows = sorted(
+        centroids_by_label(spark, sf_dir).collect(), key=lambda r: r["label"]
+    )
+    cents_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["label"])).alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("centroid"),
+            )
+            for r in cent_rows
+        ]
+    )
+
+    def best_cells(vec: Column, n: int) -> Column:
+        scored = F.transform(
+            cents_lit,
+            lambda c: F.struct(
+                cosine(vec, c["centroid"]).alias("sim"),
+                (-c["cell_id"]).alias("negc"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+        ranked = F.reverse(F.array_sort(scored))
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell_id"])
+
+    return best_cells
+
+
+@query("sim_ivf_probe", _IVF_ORACLE)
 def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign vectors to nearest of the label centroids
     (the inverted file), probe the 2 nearest centroids per query,
@@ -252,41 +293,7 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-10 exactly.
     """
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
-    # The trained index (the centroid table) is control-plane-sized —
-    # k cells × dims doubles — so collect it once and inline it as a
-    # literal array, exactly how a production IVF index ships its
-    # centroids to every executor.  Assignment then runs entirely
-    # map-side (array_max over per-cell cosine structs: struct
-    # comparison is lexicographic, so (sim, -cell_id) max == argmax by
-    # sim desc tie-broken by cell_id asc — the same ordering the
-    # oracle replays).  The collected doubles re-enter the plan as
-    # exact literals, so cosine folds stay bit-identical.
-    cent_rows = sorted(
-        centroids_by_label(spark, sf_dir).collect(), key=lambda r: r["label"]
-    )
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["label"])).alias("cell_id"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("centroid"),
-            )
-            for r in cent_rows
-        ]
-    )
-
-    def best_cells(vec: Column, n: int) -> Column:
-        """cell_ids of the n nearest centroids, map-side."""
-        scored = F.transform(
-            cents_lit,
-            lambda c: F.struct(
-                cosine(vec, c["centroid"]).alias("sim"),
-                (-c["cell_id"]).alias("negc"),
-                c["cell_id"].alias("cell_id"),
-            ),
-        )
-        ranked = F.reverse(F.array_sort(scored))
-        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell_id"])
-
+    best_cells = _ivf_best_cells(spark, sf_dir)
     # assign: nearest centroid per vector — zero shuffle
     assigned = e.select(
         "vec_id", "v", F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id")
@@ -297,6 +304,61 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "q_vec", F.explode(best_cells(F.col("q_vec"), 2)).alias("cell_id")
     )
     cand = assigned.join(F.broadcast(probes), "cell_id").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.select(
+        "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
+
+
+@query("sim_ivf_partition_pruned", _IVF_ORACLE)
+def sim_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED form of sim_ivf_probe: the corpus is written
+    ``partitionBy(cell_id)`` once (the inverted file on disk), and a
+    query reads ONLY its probed cells — the scan's PartitionFilters
+    prune the other k-2 directories before any IO, so a query touches
+    2/k of a 100 TB corpus (asserted in tests/test_plans.py).
+
+    Same oracle as sim_ivf_probe: identical assignment, probes, and
+    exact re-rank — only the physical access path differs, which is
+    the point.  The probed cell-id list is collected to the driver
+    (<= 2 x #queries ints, control-plane-sized) to parameterize the
+    partition filter, exactly like a production vector store resolves
+    probe lists before issuing the pruned scan.
+    """
+    import os
+
+    best_cells = _ivf_best_cells(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    path = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/ivf_cells"
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        (
+            e.select(
+                "vec_id",
+                "v",
+                F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(path)
+        )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    probes = q.select(
+        "q_id", "q_vec", F.explode(best_cells(F.col("q_vec"), 2)).alias("cell_id")
+    )
+    probe_cells = sorted(
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    )
+    back = spark.read.parquet(path).filter(F.col("cell_id").isin(probe_cells))
+    cand = back.join(F.broadcast(probes), "cell_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
     scored = cand.select(
         "q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cos_sim")
     )

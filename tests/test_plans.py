@@ -55,7 +55,7 @@ def test_side_effect_queries_are_rerunnable(spark, sf_dir):
     for key in ["scan_csv_schema", "sink_parquet", "sink_partitioned",
                 "sink_delta_merge", "sink_merge_partitioned",
                 "multimodal_frame_sample", "join_bucketed", "sink_scd2_merge",
-                "scan_partition_pruned"]:
+                "scan_partition_pruned", "sim_ivf_partition_pruned"]:
         a = engine.QUERIES[key](spark, sf_dir).count()
         b = engine.QUERIES[key](spark, sf_dir).count()
         assert a == b, key
@@ -99,3 +99,25 @@ def test_minhash_portable_reuses_signature_exchange(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 3
     # the md5 signature projection feeds the cache exactly once
     assert plan.count("documents.parquet") <= 1
+
+
+def test_ivf_partitioned_scan_prunes_cells(spark, sf_dir):
+    """The materialized IVF layout must be read with partition filters
+    on cell_id — only the probed cells' directories are scanned."""
+    df = engine.QUERIES["sim_ivf_partition_pruned"](spark, sf_dir)
+    df.collect()
+    # plain toString truncates the scan attributes before
+    # PartitionFilters — formatted mode prints them in full
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    # probes are 2 cells per query over 3 queries; with 10 cells total
+    # the pruned scan's IN-list must name fewer cells than exist
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan[:2000]
+    assert len(m.group(1).split(",")) <= 6, m.group(1)
