@@ -174,3 +174,177 @@ def scan_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [f.split()[0] for f in schema.split(", ")]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
     return df.withColumn("file_name", F.regexp_replace("file_name", "'", "_"))
+
+
+@query(
+    "scan_datasource_sharepoint",
+    """
+    SELECT * FROM (VALUES
+      ('budget.xlsx',   'finance', 'https://dl/finance/budget.xlsx',   CAST(2048 AS BIGINT)),
+      ('report_q1.csv', 'finance', 'https://dl/finance/report_q1.csv', CAST(1024 AS BIGINT)),
+      ('logo.png',      'assets',  'https://dl/assets/logo.png',       CAST(4096 AS BIGINT)),
+      ('notes.txt',     'shared',  'https://dl/shared/notes.txt',      CAST(512 AS BIGINT))
+    ) AS t(file_name, folder_name, file_path, size_bytes)
+    ORDER BY folder_name, file_name
+    """,
+)
+def scan_datasource_sharepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's discovery step (A-1/A-9/A-10) as a REAL Spark 4
+    Python DataSource: ``spark.read.format("sharepoint_manifest")``
+    plans one input partition per source folder, and each executor
+    partition walks the Graph listing through ``SharePointClient`` —
+    token auth, @odata.nextLink pagination (the finance folder pages),
+    the is-file filter (the assets folder contains a subfolder), and
+    the manifest projection all run source-side, exactly where a
+    production connector puts them.
+
+    Offline determinism: the Graph transport is the same injectable
+    fake used by the connector's unit tests, constructed inside the
+    reader (executor-side) from literal routes — so the driver ships
+    only the DataSource class (cloudpickle by value) and a repo-root
+    string for the import path.
+
+    At 100 TB-scale ingest the partition-per-folder plan is what
+    parallelizes discovery across thousands of folders; content bytes
+    still flow through the binaryFile/download path, never the driver.
+    """
+    import ingest_sharepoint_file_to_fabric_lakehouse_spark as pkg
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+
+    def _routes():
+        # literal Graph fixture: token, site, drives, folder listings
+        # (finance paginated via @odata.nextLink, assets holding a
+        # subfolder the is-file filter must drop)
+        host = "https://graph.microsoft.com/v1.0"
+        login_post = {
+            "https://login.microsoftonline.com/tn/oauth2/v2.0/token": {
+                "access_token": "tok", "expires_in": 3600,
+            }
+        }
+        gets = {
+            f"{host}/sites/contoso.sharepoint.com:/sites/ops": {"id": "site1"},
+            f"{host}/sites/site1/drives": {
+                "value": [
+                    {"id": "wiki", "name": "Teams Wiki Data"},
+                    {"id": "drv1", "name": "Documents"},
+                ]
+            },
+            f"{host}/drives/drv1/root:/finance:/children": {
+                "value": [
+                    {
+                        "name": "report_q1.csv", "size": 1024,
+                        "file": {}, "@microsoft.graph.downloadUrl":
+                        "https://dl/finance/report_q1.csv",
+                    }
+                ],
+                "@odata.nextLink": f"{host}/drives/drv1/root:/finance:/children?page=2",
+            },
+            f"{host}/drives/drv1/root:/finance:/children?page=2": {
+                "value": [
+                    {
+                        "name": "budget.xlsx", "size": 2048,
+                        "file": {}, "@microsoft.graph.downloadUrl":
+                        "https://dl/finance/budget.xlsx",
+                    }
+                ]
+            },
+            f"{host}/drives/drv1/root:/assets:/children": {
+                "value": [
+                    {"name": "old", "folder": {}},
+                    {
+                        "name": "logo.png", "size": 4096,
+                        "file": {}, "@microsoft.graph.downloadUrl":
+                        "https://dl/assets/logo.png",
+                    },
+                ]
+            },
+            f"{host}/drives/drv1/root:/shared:/children": {
+                "value": [
+                    {
+                        "name": "notes.txt", "size": 512,
+                        "file": {}, "@microsoft.graph.downloadUrl":
+                        "https://dl/shared/notes.txt",
+                    }
+                ]
+            },
+        }
+        return login_post, gets
+
+    class _FolderPartition(InputPartition):
+        def __init__(self, folder: str):
+            self.folder = folder
+
+    class SharePointManifestSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "sharepoint_manifest"
+
+        def schema(self):
+            return (
+                "file_name string, folder_name string, "
+                "file_path string, size_bytes bigint"
+            )
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.folders = options.get("folders", "finance,assets,shared").split(",")
+
+        def partitions(self):
+            return [_FolderPartition(f) for f in self.folders]
+
+        def read(self, partition):
+            import sys
+
+            if repo_root not in sys.path:
+                sys.path.insert(0, repo_root)
+            from ingest_sharepoint_file_to_fabric_lakehouse_spark.sources.sharepoint import (
+                GraphAuth,
+                SharePointClient,
+            )
+
+            login_post, gets = _routes()
+
+            class _Resp:
+                def __init__(self, body):
+                    self.status_code = 200
+                    self.headers = {}
+                    self._body = body
+
+                def json(self):
+                    return self._body
+
+            class _Fake:
+                def get(self, url, **kw):
+                    return _Resp(gets[url])
+
+                def post(self, url, **kw):
+                    return _Resp(login_post[url])
+
+            fake = _Fake()
+            auth = GraphAuth("tn", "cid", "secret", transport=fake)
+            client = SharePointClient(auth, transport=fake)
+            site = client.get_site_id("contoso.sharepoint.com", "ops")
+            drive = client.get_document_drive_id(site)
+            for r in client.manifest_rows(drive, [partition.folder]):
+                yield (
+                    r["file_name"],
+                    r["folder_name"],
+                    r["file_path"],
+                    r["size_bytes"],
+                )
+
+    try:
+        spark.dataSource.register(SharePointManifestSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("sharepoint_manifest")
+        .option("folders", "finance,assets,shared")
+        .load()
+        .orderBy("folder_name", "file_name")
+    )

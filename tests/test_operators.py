@@ -444,3 +444,18 @@ def test_approx_quantile_bounds_hold(spark, sf_dir):
     for r in rows:
         assert r.approx_within_bounds is True
         assert r.med_qty <= r.p95_qty
+
+
+def test_datasource_sharepoint_partitions_and_filters(spark, sf_dir):
+    """The custom DataSource must plan one partition per folder, page
+    through the finance listing, and drop the assets subfolder."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.sources.scans import scan_datasource_sharepoint
+
+    rows = scan_datasource_sharepoint(spark, sf_dir).collect()
+    assert [r.file_name for r in rows] == [
+        "logo.png", "budget.xlsx", "report_q1.csv", "notes.txt",
+    ]
+    by_folder = {r.folder_name for r in rows}
+    assert by_folder == {"finance", "assets", "shared"}
+    # pagination delivered BOTH finance pages
+    assert sum(r.folder_name == "finance" for r in rows) == 2
