@@ -23,6 +23,7 @@ _MODULES = [
     "operators.reshape",
     "operators.corpus",
     "operators.analytics",
+    "operators.graph",
     "operators.dedup",
     "operators.similarity",
     "operators.pipeline",

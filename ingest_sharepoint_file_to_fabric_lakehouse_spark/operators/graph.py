@@ -1,0 +1,149 @@
+"""Iterative graph analytics over relational edge lists: weighted
+PageRank on the nation-level trade graph (customer nation → supplier
+nation, weighted by line count).
+
+Scale notes: each PageRank iteration is one hash join (ranks ⋈ edges
+on src) plus one partial-aggregated groupBy(dst) — the standard
+edge-partitioned formulation that scales to billions of edges; the
+rank vector is #nodes rows.  Five fixed iterations keep the oracle
+replayable (the SQL unrolls them as CTEs); production would iterate
+to convergence with lineage truncation per round (cf.
+``corpus._cc_label_propagation``).
+
+Float-parity design (same trick as ``text_lm_quality``): per-edge
+contributions are double products (bit-deterministic given identical
+inputs), but their per-node SUM is order-dependent in double — so
+each iteration's sum runs in DECIMAL(28,14) (exact, order-free) and
+is cast back to double before the next iteration.  Both engines then
+see identical doubles at every step and the final 6-dp rounding is
+bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core import query, t
+
+_D = 0.85
+_ITER = 5
+
+
+def _pagerank_oracle() -> str:
+    heads = [
+        """
+    WITH edges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey  = c_custkey
+      JOIN supplier  ON l_suppkey  = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS ow FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS rank FROM nodes)
+    """
+    ]
+    for i in range(_ITER):
+        heads.append(
+            f"""
+    , r{i + 1} AS (
+      SELECT nodes.node,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM n)
+             + CAST(0.85 AS DOUBLE) * CAST(COALESCE(SUM(
+                 CAST(r.rank * (e.w / o.ow) AS DECIMAL(28,14))
+               ), 0) AS DOUBLE) AS rank
+      FROM nodes
+      LEFT JOIN edges e ON e.dst = nodes.node
+      LEFT JOIN r{i} r  ON r.node = e.src
+      LEFT JOIN outw o  ON o.src = e.src
+      GROUP BY nodes.node
+    )
+    """
+        )
+    heads.append(
+        f"""
+    SELECT node, ROUND(rank, 6) AS pagerank,
+           row_number() OVER (ORDER BY rank DESC, node) AS rnk
+    FROM r{_ITER}
+    ORDER BY rnk
+    """
+    )
+    return "".join(heads)
+
+
+@query("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 5 iterations) over the nation
+    trade graph.  Contribution of src → dst is rank(src) x the edge's
+    share of src's out-weight; dangling mass is dropped (ranks need
+    not sum to 1 — relative ordering is the product), identically on
+    both engines.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat).withColumnRenamed("n_name", "src"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nat).withColumnRenamed("n_name", "dst"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # graph order: control-plane scalar (#nations)
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    contrib_src = edges.join(F.broadcast(outw), "src")
+    for _ in range(_ITER):
+        contribs = (
+            contrib_src.join(
+                ranks.withColumnRenamed("node", "src").withColumnRenamed(
+                    "rank", "src_rank"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("src_rank") * (F.col("w") / F.col("ow")))
+                .cast("decimal(28,14)")
+                .alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(0.15) / F.lit(float(n))
+                + F.lit(0.85)
+                * F.coalesce(F.col("in_mass"), F.lit(0)).cast("double")
+            ).alias("rank"),
+        )
+    w = F.row_number().over(Window.orderBy(F.col("rank").desc(), F.col("node")))
+    return (
+        ranks.select("node", F.round("rank", 6).alias("pagerank"), w.alias("rnk"))
+        .orderBy("rnk")
+    )

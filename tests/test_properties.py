@@ -104,3 +104,36 @@ def test_shingles_count_and_width(tokens):
     assert len(got) == expect_n
     for s in got[: expect_n - 1] if len(tokens) >= 3 else got:
         assert len(s.split(" ")) == min(3, len(tokens))
+
+
+def test_key_results_partition_invariant(spark, sf_dir):
+    """Operators whose scale story depends on partial aggregation /
+    candidate joins must give BIT-IDENTICAL results under different
+    shuffle-partition settings — the local stand-in for 'same answer
+    on a 1000-executor cluster'."""
+    import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine
+
+    engine.load_all()
+    keys = [
+        "dedup_jaccard_prefix",
+        "text_lm_quality",
+        "corpus_dedup_pipeline",
+        "text_repetition_filter",
+        "agg_approx_quantile",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            spark.catalog.clearCache()
+            for k in keys:
+                rows = sorted(
+                    map(tuple, engine.QUERIES[k](spark, sf_dir).collect())
+                )
+                results.setdefault(k, []).append(rows)
+        for k, (a, b) in results.items():
+            assert a == b, f"{k} differs across partition counts"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
