@@ -83,6 +83,27 @@ def main() -> None:
             .start()
         )
         wq.awaitTermination(60)
+        # Python DataSource runner spin-up (~5s) otherwise lands on the
+        # first format("...") key: run a 1-row custom source through it
+        from pyspark.sql.datasource import DataSource, DataSourceReader
+
+        class _WarmReader(DataSourceReader):
+            def read(self, partition):
+                yield (1,)
+
+        class _WarmSource(DataSource):
+            @classmethod
+            def name(cls):
+                return "bench_warm_ds"
+
+            def schema(self):
+                return "a bigint"
+
+            def reader(self, schema):
+                return _WarmReader()
+
+        spark.dataSource.register(_WarmSource)
+        spark.read.format("bench_warm_ds").load().count()
     except Exception:
         pass
 
