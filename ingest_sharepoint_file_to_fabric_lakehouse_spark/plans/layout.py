@@ -45,7 +45,11 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wh = f"{_staging(sf_dir)}/warehouse"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS sg_bucketed LOCATION '{wh}'")
-    li_tbl, o_tbl = "sg_bucketed.lineitem_b", "sg_bucketed.orders_b"
+    # sf-scoped table names: one session may touch several scale
+    # factors (tests vs bench), and an un-scoped name would silently
+    # reuse the first sf's layout for the second
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_tbl, o_tbl = f"sg_bucketed.lineitem_b_{sf_tag}", f"sg_bucketed.orders_b_{sf_tag}"
 
     def ensure_bucketed(tbl: str, src: str, cols: list[str], key: str) -> None:
         # Bucket metadata lives in the session catalog, but the data
