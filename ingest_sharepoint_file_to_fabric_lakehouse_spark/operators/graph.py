@@ -116,7 +116,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = nodes.count()  # graph order: control-plane scalar (#nations)
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
-    contrib_src = edges.join(F.broadcast(outw), "src")
+    # (#distinct-nation-pairs rows; each of the 5 iterations re-reads
+    # this relation — cache the joined form once)
+    contrib_src = edges.join(F.broadcast(outw), "src").persist()
     for _ in range(_ITER):
         contribs = (
             contrib_src.join(
@@ -134,13 +136,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(0.15) / F.lit(float(n))
-                + F.lit(0.85)
-                * F.coalesce(F.col("in_mass"), F.lit(0)).cast("double")
-            ).alias("rank"),
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.lit(float(n))
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("in_mass"), F.lit(0)).cast("double")
+                ).alias("rank"),
+            )
+            # truncate lineage per round (rank vector is #nodes rows):
+            # without this the plan nests 5 join+agg layers deep and
+            # analysis/AQE re-planning grows per iteration; with it
+            # (plus the cached edge relation) the loop runs at job
+            # latency — same pattern as corpus._cc_label_propagation
+            .localCheckpoint(eager=True)
         )
     w = F.row_number().over(Window.orderBy(F.col("rank").desc(), F.col("node")))
     return (
