@@ -61,8 +61,13 @@ def main() -> None:
         import pandas as _pd
         from pyspark.sql.functions import pandas_udf
 
+        # NB: no type hints here — this module has `from __future__
+        # import annotations`, which stringifies them and makes
+        # pandas_udf raise UNSUPPORTED_SIGNATURE (that silently
+        # skipped every warmup below this line for three rounds);
+        # the explicit returnType covers inference.
         @pandas_udf("long")
-        def _warm(s: _pd.Series) -> _pd.Series:
+        def _warm(s):
             return s
 
         spark.range(64).select(_warm("id")).count()
@@ -104,8 +109,9 @@ def main() -> None:
 
         spark.dataSource.register(_WarmSource)
         spark.read.format("bench_warm_ds").load().count()
-    except Exception:
-        pass
+        print("# warmup complete (incl. datasource runner)", file=sys.stderr)
+    except Exception as ex:
+        print(f"# warmup partial: {type(ex).__name__}: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
