@@ -79,7 +79,7 @@ _WINDOW_50 = [
     # new this round — oracle-backed
     "corpus_dedup_pipeline", "text_repetition_filter", "agg_approx_quantile",
     "sim_ivf_partition_pruned", "scan_datasource_sharepoint",
-    "graph_pagerank",
+    "graph_pagerank", "graph_triangle_count",
     # retuned this round (asymmetric PPJoin / map-side IVF / persist
     # restructure / shuffle cuts)
     "dedup_jaccard_prefix", "sim_ivf_probe", "text_lm_quality",
@@ -101,7 +101,6 @@ _WINDOW_50 = [
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_simhash_portable",
     "sim_topk_bruteforce", "sim_topk_lsh_portable", "sim_grouped_centroid",
     "text_fingerprint", "vocab_topk", "tfidf_top_terms",
-    "sink_delta_merge",
 ]
 
 

@@ -158,3 +158,99 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select("node", F.round("rank", 6).alias("pagerank"), w.alias("rnk"))
         .orderBy("rnk")
     )
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH dedges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey  = c_custkey
+      JOIN supplier  ON l_suppkey  = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dedges
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT node, n_triangles FROM per_node ORDER BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected nation trade graph
+    (self-loops dropped, edges canonicalized a < b).
+
+    The classic two-join formulation: wedges a–b–c with a < b < c
+    (ordering enforced by the canonical edge direction) closed by a
+    third edge probe — each triangle found exactly once, then each
+    corner credited.  At scale this is two hash joins on node keys
+    plus a partial-aggregated count; the canonical ordering is what
+    keeps the join fan-out to wedges-with-ordered-corners instead of
+    6x that.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dedges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat).withColumnRenamed("n_name", "src"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nat).withColumnRenamed("n_name", "dst"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    edges = (
+        dedges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select("b"))
+        .unionAll(tri.select("c"))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("node")
+    )
