@@ -30,6 +30,35 @@ _D = 0.85
 _ITER = 5
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted nation trade edges (customer nation ->
+    supplier nation, weight = line count): one fact-fact shuffle join
+    (lineitem ⋈ orders on the uniform order key) with every dimension
+    broadcast, then a partial-aggregated pair count — #nations² rows
+    out regardless of fact volume."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat).withColumnRenamed("n_name", "src"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nat).withColumnRenamed("n_name", "dst"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
 def _pagerank_oracle() -> str:
     heads = [
         """
@@ -85,28 +114,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     not sum to 1 — relative ordering is the product), identically on
     both engines.
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(
-            F.broadcast(nat).withColumnRenamed("n_name", "src"),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .drop("n_nationkey")
-        .join(
-            F.broadcast(nat).withColumnRenamed("n_name", "dst"),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
-        .persist()
-    )
+    edges = _trade_edges(spark, sf_dir).persist()
     outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -205,24 +213,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the join fan-out to wedges-with-ordered-corners instead of
     6x that.
     """
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     dedges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(
-            F.broadcast(nat).withColumnRenamed("n_name", "src"),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .drop("n_nationkey")
-        .join(
-            F.broadcast(nat).withColumnRenamed("n_name", "dst"),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
+        _trade_edges(spark, sf_dir)
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
