@@ -1,6 +1,6 @@
-"""Iterative graph analytics over relational edge lists: weighted
-PageRank on the nation-level trade graph (customer nation → supplier
-nation, weighted by line count).
+"""Graph analytics over relational edge lists: weighted PageRank and
+per-node triangle counting on the nation-level trade graph (customer
+nation → supplier nation, weighted by line count).
 
 Scale notes: each PageRank iteration is one hash join (ranks ⋈ edges
 on src) plus one partial-aggregated groupBy(dst) — the standard
