@@ -703,24 +703,28 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default MEMORY_AND_DISK, so eviction degrades to recompute (never
     # wrong answers); ContextCleaner reclaims them once the query's
     # RDDs go out of scope.
-    uniq = F.array_distinct(shingles(F.col("text"), 2))
     sh = (
         d.select(
             "doc_id",
-            F.explode(uniq).alias("shingle"),
-            # per-doc set size is a property of the row's own array —
-            # computed map-side here instead of a third window pass
-            F.size(uniq).alias("n_sh"),
+            F.explode(F.array_distinct(shingles(F.col("text"), 2))).alias("shingle"),
         )
         .persist()
     )
-    # Document frequency via one window over the cached relation; rn
-    # ranks each doc's shingles rarest-first on top of it.
-    ranked = sh.withColumn(
-        "df", F.count("*").over(Window.partitionBy("shingle"))
-    ).withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
+    # Document frequency and per-doc shingle count via windows over the
+    # cached relation — one pass, no join-back of separate aggregates.
+    # (Deliberately NOT size(array)-at-explode-time: CollapseProject
+    # re-inlines the array expression into size() evaluated per
+    # EXPLODED row, rebuilding the interpreted shingle array 50x per
+    # doc — measured a 3x single-shot regression.)
+    ranked = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
     )
     # Probe prefix (the longer one) feeds both sides of the candidate
     # join — cache it; the index prefix is a filter over it (pa ⊆ pb
