@@ -23,6 +23,8 @@ Design notes for scale (100 TB target):
 
 from __future__ import annotations
 
+import hashlib
+import os
 import textwrap
 from collections.abc import Callable
 
@@ -123,6 +125,54 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = t(spark, sf_dir, "documents")
     return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+def source_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Cheap identity for "has the fixture been regenerated": md5 over
+    (relative path, size, mtime_ns) of every data file backing the given
+    source tables.
+
+    Derived layouts staged under /tmp (bucketed tables, partitioned IVF
+    cells, year-partitioned orders) record this at write time and are
+    rebuilt when it changes — a ``_SUCCESS`` marker alone proves "a
+    write finished once", not "it was written from THIS data", and a
+    regenerated fixture would otherwise be served stale results with no
+    error.
+    """
+    h = hashlib.md5()
+    for tbl in sorted(tables):
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        paths: list[str] = []
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                paths += [os.path.join(root, f) for f in files]
+        elif os.path.exists(p):
+            paths = [p]
+        for fp in sorted(paths):
+            st = os.stat(fp)
+            h.update(
+                f"{os.path.relpath(fp, sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode()
+            )
+    return h.hexdigest()
+
+
+def staging_current(path: str, token: str) -> bool:
+    """True iff the staged layout at ``path`` is complete (``_SUCCESS``)
+    AND its recorded fingerprint matches ``token``."""
+    try:
+        with open(os.path.join(path, "_SG_FINGERPRINT")) as fh:
+            return (
+                os.path.isfile(os.path.join(path, "_SUCCESS"))
+                and fh.read().strip() == token
+            )
+    except OSError:
+        return False
+
+
+def stamp_staging(path: str, token: str) -> None:
+    """Record the source fingerprint a just-written layout derives from."""
+    with open(os.path.join(path, "_SG_FINGERPRINT"), "w") as fh:
+        fh.write(token)
 
 
 def dec(col: str | Column, precision: int = 18, scale: int = 4) -> Column:

@@ -253,8 +253,11 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c2, then c1 = Σ_w2 c2) and the scoring join all run over that
     much smaller distinct-per-doc relation, which is persisted so the
     explode subtree executes exactly once.  Identical answers: every
-    occurrence of (doc, w1, w2) has the same log-prob, and decimal ×
-    integer is exact, so n·lp_dec == Σ lp_dec over occurrences.
+    occurrence of (doc, w1, w2) has the same log-prob, and n is cast
+    to DECIMAL(8,0) before the multiply so the product type is
+    DECIMAL(29,12) — exact at scale 12 (a bare decimal(20,12)×bigint
+    would widen to decimal(38,9) and silently round each term at 9dp),
+    hence n·lp_dec == Σ lp_dec over occurrences bit-for-bit.
     Zipf-skewed join keys are handled by AQE skew-join.  No UDFs,
     no driver state — the 'LM' is a DataFrame.
     """
@@ -296,7 +299,11 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.round(
-            (F.sum(F.col("lp") * F.col("n"))).cast("double") / F.sum("n"), 6
+            (F.sum(F.col("lp") * F.col("n").cast("decimal(8,0)"))).cast(
+                "double"
+            )
+            / F.sum("n"),
+            6,
         ).alias("avg_logprob"),
         F.sum("n").alias("n_bigrams"),
     )

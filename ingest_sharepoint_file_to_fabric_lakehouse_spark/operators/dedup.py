@@ -699,17 +699,17 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document-frequency window below partitions by shingle and does
     # pay one shuffle — at scale, a frequent shingle lands its whole
     # partition on one task; if that skews, swap the df window back to
-    # a groupBy(shingle) partial-agg + join.  Both persists use the
-    # default MEMORY_AND_DISK, so eviction degrades to recompute (never
-    # wrong answers); ContextCleaner reclaims them once the query's
-    # RDDs go out of scope.
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles(F.col("text"), 2))).alias("shingle"),
-        )
-        .persist()
-    )
+    # a groupBy(shingle) partial-agg + join.  Both shared relations are
+    # EAGER localCheckpoints, not persist(): a persist left lazy can be
+    # evicted mid-query late in a long session and silently degrade to
+    # recomputing the whole window subtree (measured 6s -> 60s on the
+    # same code+data); the checkpoint materializes once up front and
+    # truncates lineage, so reuse is always a block read.  On a cluster
+    # the same role is played by a reliable checkpoint dir.
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 2))).alias("shingle"),
+    ).localCheckpoint(eager=True)
     # Document frequency and per-doc shingle count via windows over the
     # cached relation — one pass, no join-back of separate aggregates.
     # (Deliberately NOT size(array)-at-explode-time: CollapseProject
@@ -738,7 +738,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
         )
         .select("doc_id", "shingle", "rn", "n_sh")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # ASYMMETRIC prefixes (PPJoin indexing prefix; Xiao et al.,
     # "Efficient Similarity Joins for Near Duplicate Detection",

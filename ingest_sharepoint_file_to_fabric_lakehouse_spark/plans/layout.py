@@ -14,7 +14,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core import dec, money, query, t
+from ..core import (
+    dec,
+    money,
+    query,
+    source_fingerprint,
+    stamp_staging,
+    staging_current,
+    t,
+)
 
 
 def _staging(sf_dir: str) -> str:
@@ -54,15 +62,23 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ensure_bucketed(tbl: str, src: str, cols: list[str], key: str) -> None:
         # Bucket metadata lives in the session catalog, but the data
         # files persist in /tmp across sessions.  Spark encodes the
-        # bucket id in each file name, so a completed layout (_SUCCESS
-        # marker) can be re-attached metadata-only: CREATE TABLE over
-        # the existing LOCATION — the 100 TB point of bucketing is
-        # precisely that the shuffle is paid once at write time, not
-        # per session.  Only a missing/partial layout is rewritten.
-        if spark.catalog.tableExists(tbl):
-            return
+        # bucket id in each file name, so a completed layout can be
+        # re-attached metadata-only: CREATE TABLE over the existing
+        # LOCATION — the 100 TB point of bucketing is precisely that
+        # the shuffle is paid once at write time, not per session.
+        # Re-attach is gated on a sidecar recording BOTH the bucket
+        # spec and the source-data fingerprint: a layout left by an
+        # older spec or a regenerated fixture would otherwise feed the
+        # exchange-free join wrong rows with no error.
         path = f"{wh}/{tbl.split('.')[1]}"
-        if os.path.isfile(f"{path}/_SUCCESS"):
+        token = f"buckets=8|key={key}|cols={','.join(cols)}|" + source_fingerprint(
+            sf_dir, src
+        )
+        if spark.catalog.tableExists(tbl):
+            if staging_current(path, token):
+                return
+            spark.sql(f"DROP TABLE {tbl}")
+        elif staging_current(path, token):
             schema = spark.read.parquet(path).schema
             ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
             spark.sql(
@@ -80,6 +96,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(tbl)
         )
+        stamp_staging(path, token)
 
     ensure_bucketed(li_tbl, "lineitem", ["l_orderkey", "l_quantity"], "l_orderkey")
     ensure_bucketed(
@@ -110,7 +127,8 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter on the partition column prunes directories before any IO —
     the plan lists exactly one partition (verified in tests)."""
     path = f"{_staging(sf_dir)}/orders_by_year"
-    if not os.path.isdir(path):
+    token = source_fingerprint(sf_dir, "orders")
+    if not staging_current(path, token):
         (
             t(spark, sf_dir, "orders")
             .withColumn("order_year", F.year("o_orderdate"))
@@ -118,6 +136,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("order_year")
             .parquet(path)
         )
+        stamp_staging(path, token)
     back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
     return back.agg(
         F.count("*").alias("n_orders"),

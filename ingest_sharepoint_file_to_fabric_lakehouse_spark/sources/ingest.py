@@ -184,8 +184,6 @@ def run_ingest(
         "file_name",
         "target_name",
         "lakehouse_folder",
-        "copy_to_archive",
-        "delete_original",
         "size_bytes",
         "mtime_epoch",
         F.sha2(F.coalesce(F.col("content"), F.lit(b"")), 256).alias("content_sha256"),
@@ -194,18 +192,60 @@ def run_ingest(
         .alias("status"),
         F.col("content"),
     )
-    # bronze landing (A-3): content + metadata as parquet
-    landed.drop("copy_to_archive", "delete_original").write.mode("append").parquet(bronze_path)
+    # bronze landing (A-3): content + metadata, one run-scoped partition
+    # directory per ingest run.  Writing the delta to its own directory
+    # means the log append below can derive from the COMMITTED bronze
+    # files instead of re-running the binaryFile scan + sha256 — at
+    # 100 TB the content pass happens exactly once, and the read-back
+    # is column-pruned so content bytes are never re-read.  (The run
+    # counter is a driver-side listing of partition dirs; on a real
+    # lakehouse this is the same one FileSystem.listStatus call any
+    # committer makes.)
+    os.makedirs(bronze_path, exist_ok=True)
+    run_id = sum(1 for d in os.listdir(bronze_path) if d.startswith("ingest_run="))
+    delta_path = os.path.join(bronze_path, f"ingest_run={run_id}")
+    landed.write.mode("overwrite").parquet(delta_path)
 
-    # post-commit log append with timestamped archive names (A-16 :189-191)
-    ts = F.to_timestamp(F.lit(run_ts))
-    log_delta = landed.drop("content").withColumn(
-        "archive_name",
-        F.when(
-            F.col("copy_to_archive"),
-            F.concat_ws("_", F.date_format(ts, "ddMMyyHHmmss"), F.col("target_name")),
+    # post-commit log append with timestamped archive names (A-16
+    # :189-191): copy→verify→log ordering — the log row is derived from
+    # what actually landed, not from what we intended to land.
+    import pandas as pd
+
+    flags = spark.createDataFrame(
+        pd.DataFrame(
+            [(f, a, d) for f, _lf, a, d in FOLDER_CONFIG],
+            columns=["folder_name", "copy_to_archive", "delete_original"],
         ),
-    ).withColumn("ingested_at", ts)
+        "folder_name string, copy_to_archive boolean, delete_original boolean",
+    )
+    ts = F.to_timestamp(F.lit(run_ts))
+    log_delta = (
+        spark.read.parquet(delta_path)
+        .drop("content")  # column pruning: content bytes never re-read
+        .join(F.broadcast(flags), "folder_name")
+        .select(
+            "folder_name",
+            "file_name",
+            "target_name",
+            "lakehouse_folder",
+            "copy_to_archive",
+            "delete_original",
+            "size_bytes",
+            "mtime_epoch",
+            "content_sha256",
+            "status",
+        )
+        .withColumn(
+            "archive_name",
+            F.when(
+                F.col("copy_to_archive"),
+                F.concat_ws(
+                    "_", F.date_format(ts, "ddMMyyHHmmss"), F.col("target_name")
+                ),
+            ),
+        )
+        .withColumn("ingested_at", ts)
+    )
     log_delta.write.mode("append").parquet(log_path)
     return spark.read.parquet(log_path)
 

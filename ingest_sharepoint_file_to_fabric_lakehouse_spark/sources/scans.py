@@ -340,8 +340,14 @@ def scan_datasource_sharepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         spark.dataSource.register(SharePointManifestSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:  # re-register is the only benign failure
+        # A genuine registration failure (API change, pickling error)
+        # must propagate — swallowing it would resurface later as a
+        # confusing DATA_SOURCE_NOT_FOUND on the read.
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc) and "already" not in str(
+            exc
+        ):
+            raise
     return (
         spark.read.format("sharepoint_manifest")
         .option("folders", "finance,assets,shared")

@@ -121,3 +121,42 @@ def test_ivf_partitioned_scan_prunes_cells(spark, sf_dir):
     m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)", plan)
     assert m, plan[:2000]
     assert len(m.group(1).split(",")) <= 6, m.group(1)
+
+
+def test_staged_layouts_rebuild_on_source_change(spark, tmp_path):
+    """Staged layouts (partitioned orders, IVF cells, bucketed tables)
+    are keyed on a fingerprint of their SOURCE data: a regenerated
+    fixture at the same path must trigger a rebuild, not silently serve
+    the stale layout (r5 ADVICE)."""
+    import os
+    import shutil
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        source_fingerprint,
+        staging_current,
+    )
+
+    sfc = str(tmp_path / "sfcopy")
+    shutil.copytree("/root/testdata/sf0.001", sfc)
+    os.chmod(sfc, 0o755)
+    for f in os.listdir(sfc):
+        os.chmod(os.path.join(sfc, f), 0o644)
+    shutil.rmtree("/tmp/sgdata/sfcopy", ignore_errors=True)
+
+    fp1 = source_fingerprint(sfc, "orders")
+    r1 = engine.QUERIES["scan_partition_pruned"](spark, sfc).collect()
+    staged = "/tmp/sgdata/sfcopy/orders_by_year"
+    assert staging_current(staged, fp1)
+
+    # "regenerate" the fixture: an mtime bump is what a rewritten file
+    # looks like to the fingerprint
+    os.utime(os.path.join(sfc, "orders.parquet"))
+    fp2 = source_fingerprint(sfc, "orders")
+    assert fp2 != fp1
+    assert not staging_current(staged, fp2)
+
+    # the next run rebuilds from the (same-content) source and re-stamps
+    r2 = engine.QUERIES["scan_partition_pruned"](spark, sfc).collect()
+    assert staging_current(staged, fp2)
+    assert r1 == r2
+    shutil.rmtree("/tmp/sgdata/sfcopy", ignore_errors=True)
