@@ -68,39 +68,34 @@ _DRIVER_VERIFIED = {
     "multimodal_binary_meta",
 }
 
-# This round's 50-slot window, pinned explicitly.  Every key in
-# CORRECTNESS_r01..r04 has a verdict (126 green + 3 weak-by-design),
-# so round 5's window carries (a) keys ADDED this round, (b) keys
-# whose implementation changed this round — the events timestamp
-# normalization in core.t touches every events-reading key, and the
-# dedup/similarity retune touches that whole family — and (c)
-# headline re-checks.
+# This round's 50-slot window, pinned explicitly.  All 136 keys carry
+# a cumulative driver verdict (133 strong + 3 weak-by-design, zero red
+# through r05), so round 6's window is (a) every key whose
+# implementation changed this round — the staging-fingerprint gating,
+# the persist→eager-localCheckpoint conversions, the single-literal
+# IVF index, the ingest read-back restructure, and the lm-quality
+# decimal fix — and (b) rotation re-checks of the oldest green rows
+# (r01 verdicts) so stale verdicts refresh.
 _WINDOW_50 = [
-    # new this round — oracle-backed
-    "corpus_dedup_pipeline", "text_repetition_filter", "agg_approx_quantile",
-    "sim_ivf_partition_pruned", "scan_datasource_sharepoint",
-    "graph_pagerank", "graph_triangle_count",
-    # retuned this round (asymmetric PPJoin / map-side IVF / persist
-    # restructure / shuffle cuts)
-    "dedup_jaccard_prefix", "sim_ivf_probe", "text_lm_quality",
-    "text_decontaminate", "dedup_minhash_portable", "dedup_cluster_cc",
-    "join_bucketed",
-    # weak-by-design, retuned (rows-only driver verdicts)
+    # changed this round — oracle-backed
+    "dedup_jaccard_prefix", "sim_ivf_probe", "sim_ivf_partition_pruned",
+    "graph_pagerank", "graph_triangle_count", "text_lm_quality",
+    "ingest_pipeline", "sink_delta_merge", "sink_merge_partitioned",
+    "join_bucketed", "scan_partition_pruned", "scan_datasource_sharepoint",
+    "dedup_minhash_portable", "corpus_dedup_pipeline",
+    # changed this round — weak-by-design (rows-only driver verdicts)
     "dedup_fuzzy_minhash", "dedup_simhash",
-    # events schema normalization (core.t) — every events-reading key
-    "join_asof_latest", "join_theta_range", "win_range_interval",
-    "agg_bool", "date_series_gapfill", "funnel_conversion",
-    "events_user_retention", "scalar_subquery", "win_distribution",
-    "scan_json_lines", "map_json_ops",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_tumbling_live", "stream_dedup", "stream_watermark_late",
-    "stream_foreach_sink", "stream_stateful_custom", "stream_static_join",
-    "stream_session_live", "stream_stream_join",
-    # headline re-checks
-    "flagship_q3_topk", "scan_partition_pruned", "dedup_exact_hash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_simhash_portable",
-    "sim_topk_bruteforce", "sim_topk_lsh_portable", "sim_grouped_centroid",
-    "text_fingerprint", "vocab_topk", "tfidf_top_terms",
+    # rotation: oldest green rows (r01) re-verify
+    "flagship_q3_topk", "project_select", "project_rename_drop",
+    "filter_comparison", "filter_in_set", "filter_like", "filter_null",
+    "filter_between_date", "join_broadcast_dim", "join_shuffle_large",
+    "join_multikey_chain", "join_outer_left", "join_outer_full",
+    "join_left_semi", "join_left_anti", "join_cross",
+    "agg_group_sum", "agg_count_distinct", "agg_having", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile",
+    "agg_min_max_by", "agg_empty_check",
+    "win_row_number", "win_rank_dense", "win_lag_lead", "win_running_sum",
+    "win_moving_avg", "win_first_last", "sort_multi_nulls", "limit_n",
 ]
 
 

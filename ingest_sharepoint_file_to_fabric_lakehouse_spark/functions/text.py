@@ -279,7 +279,9 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pr.w1", "pr.w2"
     )
     docbg = (
-        bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n")).persist()
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
     )
     bi = docbg.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
     # unigram counts roll up from the bigram table (c1 = Σ_w2 c2):

@@ -113,9 +113,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20, collect_threshold
     that scales to billions of edges.
     """
     # Two consumers of the edge list (the size probe and either the
-    # collect or the propagation loop) — cache it so the candidate
-    # subtree above executes once.
-    edges = edges.persist()
+    # collect or the propagation loop) — materialize it eagerly so the
+    # candidate subtree above executes once and reuse stays a block
+    # read even under late-session eviction (cf. dedup_jaccard_prefix).
+    edges = edges.localCheckpoint(eager=True)
     n_edges = edges.limit(collect_threshold + 1).count()
     if n_edges <= collect_threshold:
         pairs = edges.collect()
@@ -352,7 +353,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     dd = d.join(canon, "doc_id")
 
@@ -366,7 +367,7 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[F.array_min(F.transform("sh", _mh(k))) for k in range(n_hashes)]
         ).alias("sig"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     banded = sig.select(
         "doc_id",
         F.explode(

@@ -154,15 +154,17 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[F.array_min(F.transform("sh", _minhash(k))) for k in range(n_hashes)]
         ).alias("sig"),
-    ).persist()
-    # Cache the signature table: three consumers (banding + both sides
-    # of the estimate join) hang off `sig`, and without a
+    ).localCheckpoint(eager=True)
+    # Materialize the signature table: three consumers (banding + both
+    # sides of the estimate join) hang off `sig`, and without a
     # materialization boundary Spark recomputes the 32-hash projection
     # per consumer (measured 4x slower).  An explicit repartition +
     # exchange reuse used to cover this, but AQE re-plans the
-    # consumers' subtrees independently and reuse stopped firing —
-    # persist() is the robust form (at scale: a checkpointed signature
-    # table).
+    # consumers' subtrees independently and reuse stopped firing.  An
+    # EAGER localCheckpoint (not a lazy persist) is the robust form: it
+    # also truncates lineage, so late-session block eviction can never
+    # silently degrade to recomputing the projection (at scale: a
+    # checkpointed signature table).
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -289,7 +291,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(
             *[F.array_min(F.transform("sh", _mh(k))) for k in range(n_hashes)]
         ).alias("sig"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -388,9 +390,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket").persist()
-    # persist: both sides of the self-join read the banded signatures,
-    # which would otherwise recompute the 64-way bit-vote aggregate
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket").localCheckpoint(eager=True)
+    # eager checkpoint: both sides of the self-join read the banded
+    # signatures, which would otherwise recompute the 64-way bit-vote
+    # aggregate; lineage truncation keeps reuse a block read even if a
+    # long session evicts blocks (cf. dedup_jaccard_prefix)
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(

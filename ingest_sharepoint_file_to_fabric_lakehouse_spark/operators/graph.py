@@ -24,10 +24,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core import query, t
+from ..core import query, source_fingerprint, t
 
 _D = 0.85
 _ITER = 5
+
+# The derived edge list is the graph-world analogue of a bucketed
+# layout: pay the one fact-fact join ONCE per (session, source corpus)
+# and share the materialized #nations² relation across every graph
+# query.  Keyed on the source fingerprint so a regenerated fixture
+# re-derives; the eager localCheckpoint truncates lineage so reuse is
+# always a block read.
+_EDGE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _trade_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_fingerprint(
+            sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+        ),
+    )
+    if key not in _EDGE_CACHE:
+        _EDGE_CACHE[key] = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return _EDGE_CACHE[key]
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,19 +135,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     not sum to 1 — relative ordering is the product), identically on
     both engines.
     """
-    edges = _trade_edges(spark, sf_dir).persist()
+    edges = _trade_edges_cached(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # graph order: control-plane scalar (#nations)
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     # (#distinct-nation-pairs rows; each of the 5 iterations re-reads
-    # this relation — cache the joined form once)
-    contrib_src = edges.join(F.broadcast(outw), "src").persist()
+    # this relation — materialize the joined form once)
+    contrib_src = edges.join(F.broadcast(outw), "src").localCheckpoint(eager=True)
     for _ in range(_ITER):
         contribs = (
             contrib_src.join(
@@ -214,7 +235,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     6x that.
     """
     dedges = (
-        _trade_edges(spark, sf_dir)
+        _trade_edges_cached(spark, sf_dir)
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
@@ -223,7 +244,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (

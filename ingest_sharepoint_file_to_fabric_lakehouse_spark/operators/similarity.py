@@ -262,19 +262,34 @@ def _ivf_best_cells(spark: SparkSession, sf_dir: str):
             centroids_by_label(spark, sf_dir).collect(), key=lambda r: r["label"]
         )
     cent_rows = _CENTROID_CACHE[ck]
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["label"])).alias("cell_id"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias("centroid"),
+    # ONE literal node: the index enters the plan as
+    # from_json(<json string>), which Catalyst CONSTANT-FOLDS into a
+    # single array<struct> Literal at optimization time.  The naive
+    # array(struct(lit, array(lit×dims))) form put k·dims (~650)
+    # Literal nodes into every plan that used the index, and building +
+    # analyzing that tree per query cost more than executing it.
+    # Parity: json round-trips doubles via shortest-repr, so the folded
+    # values are bit-identical to the collected centroids.
+    import json as _json
+
+    cents = F.from_json(
+        F.lit(
+            _json.dumps(
+                [
+                    {
+                        "cell_id": int(r["label"]),
+                        "centroid": [float(x) for x in r["centroid"]],
+                    }
+                    for r in cent_rows
+                ]
             )
-            for r in cent_rows
-        ]
+        ),
+        "array<struct<cell_id:int,centroid:array<double>>>",
     )
 
     def best_cells(vec: Column, n: int) -> Column:
         scored = F.transform(
-            cents_lit,
+            cents,
             lambda c: F.struct(
                 cosine(vec, c["centroid"]).alias("sim"),
                 (-c["cell_id"]).alias("negc"),

@@ -81,24 +81,24 @@ def test_rollup_prunes_year_partitions(spark, sf_dir):
 def test_minhash_portable_reuses_signature_exchange(spark, sf_dir):
     """The array-packed signature must be computed once and reused by
     all three consumers (banding + both estimate-join sides).  The
-    reuse mechanism is a persist() (AQE re-plans consumer subtrees
-    independently, which stopped plain exchange reuse from firing), so
-    the executed plan must read the signature from the cache — every
-    consumer shows an InMemoryTableScan and only one scan of
-    documents survives outside it."""
+    reuse mechanism is an eager localCheckpoint (AQE re-plans consumer
+    subtrees independently, which stopped plain exchange reuse from
+    firing; a lazy persist can degrade to recompute under
+    late-session eviction), so the executed plan must read the
+    signature from the materialized RDD — consumers show checkpoint
+    scans and NO scan of documents survives in the final plan at all
+    (the projection ran once, inside the checkpoint job)."""
     df = engine.QUERIES["dedup_minhash_portable"](spark, sf_dir)
     df.collect()
-    # formatted mode prints the cached relation's origin subtree once,
-    # so the single surviving parquet scan is countable (plain
-    # toString repeats the origin per InMemoryTableScan reference)
     plan = df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
     )
-    assert plan.count("InMemoryTableScan") >= 3
-    # the md5 signature projection feeds the cache exactly once
-    assert plan.count("documents.parquet") <= 1
+    assert plan.count("Scan ExistingRDD") >= 3
+    # the md5 signature projection fed the checkpoint exactly once,
+    # before this plan — the query plan itself re-reads nothing
+    assert plan.count("documents.parquet") == 0
 
 
 def test_ivf_partitioned_scan_prunes_cells(spark, sf_dir):
