@@ -156,7 +156,7 @@ def main() -> None:
     # does not.  The reported total is the sum of per-key minima.
     reruns: dict[str, float] = {}
     suspects = [
-        k for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:10] if v > 1.0
+        k for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:16] if v > 0.8
     ]
     for key in suspects:
         spark.sparkContext._jvm.System.gc()
@@ -194,9 +194,9 @@ def main() -> None:
     # runs measured the same way (ADVICE r5: the r5 order change made
     # per-key rows incomparable to earlier rounds without saying so).
     protocol = {
-        "version": 3,
+        "version": 4,
         "order": "reversed-registration",
-        "variance_guard": "rerun-10-slowest-keep-min",
+        "variance_guard": "rerun-16-slowest-keep-min",
     }
     line = json.dumps(
         {

@@ -408,9 +408,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.doc_id").alias("doc_b"),
             F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
         )
+        # filter BEFORE the dedup: hamming is a pure function of the
+        # pair, so close-pair selection commutes with DISTINCT — and the
+        # distinct's shuffle then carries only surviving pairs instead
+        # of every (pair × matching band) candidate row
+        .filter(F.col("hamming") <= 3)
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= 3).orderBy("doc_a", "doc_b")
+    return cand.orderBy("doc_a", "doc_b")
 
 
 def cosine_block_kernel(threshold: float, block_rows: int = 2048):
@@ -715,11 +720,16 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(shingles(F.col("text"), 2))).alias("shingle"),
     ).localCheckpoint(eager=True)
     # Document frequency and per-doc shingle count via windows over the
-    # cached relation — one pass, no join-back of separate aggregates.
-    # (Deliberately NOT size(array)-at-explode-time: CollapseProject
-    # re-inlines the array expression into size() evaluated per
-    # EXPLODED row, rebuilding the interpreted shingle array 50x per
-    # doc — measured a 3x single-shot regression.)
+    # materialized relation — one pass, no join-back of separate
+    # aggregates.  (Two rejected alternatives, both measured SLOWER:
+    # size(array)-at-explode-time — CollapseProject re-inlines the
+    # array expression into size() evaluated per EXPLODED row, 3x
+    # regression; and groupBy(shingle) + broadcast join-back — 2-4x
+    # regression here because the join materializes a second full
+    # occurrence pass while the window reuses the shuffle it already
+    # pays for ranking.  On corpora where one shingle's partition skews
+    # a task, the join-back form becomes the right trade — revisit
+    # with real skew, not by default.)
     ranked = (
         sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
         .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
