@@ -838,11 +838,16 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation is #docs rows; at fixture scale it broadcasts (hinted),
     # at 100 TB both docsets and cand are doc_id-partitioned off the
     # cached sh layout, so the swap to a co-partitioned shuffle join is
-    # mechanical.  Per-pair memory is proportional to the two docs'
-    # shingle counts; for corpora with pathological documents
-    # (millions of shingles), route pairs above a shingle-count cap
-    # through the join-count verification of dedup_ngram_jaccard
-    # instead of materialized arrays.
+    # mechanical.  (The inverse direction — broadcast the candidate
+    # list, stream docsets — was tried and measured 4-10x SLOWER here:
+    # the un-materialized pair list re-executes the whole candidate
+    # pipeline inside each broadcast exchange, and checkpointing it
+    # first still lost; the broadcast threads overlap the two docset
+    # builds, which the streamed form serializes.)  Per-pair memory is
+    # proportional to the two docs' shingle counts; for corpora with
+    # pathological documents (millions of shingles), route pairs above
+    # a shingle-count cap through the join-count verification of
+    # dedup_ngram_jaccard instead of materialized arrays.
     docsets = sh.groupBy("doc_id").agg(
         F.collect_list("shingle").alias("shs"), F.count("*").alias("n_sh")
     )
