@@ -344,3 +344,80 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
     joined = asof_join_latest(purchases, clicks, "user_id", "ts", "ts", ["ts", "value"])
     return joined.select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+
+
+@query(
+    "join_skew_salted",
+    """
+    WITH f AS (
+      SELECT CASE WHEN l_partkey % 10 < 3 THEN 0 ELSE l_partkey END AS sk,
+             l_quantity
+      FROM lineitem
+    ),
+    d AS (
+      SELECT CASE WHEN p_partkey % 10 < 3 THEN 0 ELSE p_partkey END AS sk,
+             min(p_name) AS pname,
+             count(*) AS n_parts
+      FROM part GROUP BY 1
+    )
+    SELECT f.sk, d.pname, d.n_parts,
+           count(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(f.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_qty
+    FROM f JOIN d ON f.sk = d.sk
+    WHERE f.sk < 500
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-salted skew join: ~30% of the fact rows collapse onto ONE
+    hot key (a deterministic remap of l_partkey), and a plain shuffle
+    join would land that key's entire partition on a single task —
+    the classic straggler at 100 TB.
+
+    The salting pattern: the fact side appends ``salt =
+    pmod(hash(row), S)`` and the dim side is replicated S ways via
+    ``explode(sequence(0, S-1))``, so the join key becomes (sk, salt)
+    and the hot key's rows spread across S tasks.  The salt is derived
+    from row identity, never from the data values used downstream, so
+    the join RESULT is byte-identical to the unsalted join — which is
+    exactly what the oracle replays (no salt anywhere in the SQL).
+
+    The shuffle_hash hint pins a shuffled join: at fixture scale the
+    planner would broadcast the dim and hide the effect entirely
+    (broadcast IS the right plan when the dim fits — salting is for
+    the large⋈large case, complementing AQE's skewedJoin which only
+    handles sort-merge).  S trades skew spreading against dim
+    replication cost; S ≈ ceil(hot-key share x parallelism) keeps
+    every task under ~1/parallelism of the rows.
+    """
+    S = 8
+    li = t(spark, sf_dir, "lineitem")
+    sk_f = F.when(F.col("l_partkey") % 10 < 3, F.lit(0)).otherwise(
+        F.col("l_partkey")
+    )
+    fact = li.select(
+        sk_f.alias("sk"),
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(S))
+        .cast("int")
+        .alias("salt"),
+    ).filter(F.col("sk") < 500)
+    p = t(spark, sf_dir, "part")
+    sk_d = F.when(F.col("p_partkey") % 10 < 3, F.lit(0)).otherwise(
+        F.col("p_partkey")
+    )
+    dim = (
+        p.select(sk_d.alias("sk"), "p_name")
+        .groupBy("sk")
+        .agg(F.min("p_name").alias("pname"), F.count("*").alias("n_parts"))
+        .filter(F.col("sk") < 500)
+    )
+    dim_s = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    ).withColumn("salt", F.col("salt").cast("int"))
+    joined = fact.join(dim_s.hint("shuffle_hash"), ["sk", "salt"])
+    return joined.groupBy("sk", "pname", "n_parts").agg(
+        F.count("*").alias("n_lines"),
+        money(F.sum(dec("l_quantity"))).alias("total_qty"),
+    )

@@ -160,3 +160,18 @@ def test_staged_layouts_rebuild_on_source_change(spark, tmp_path):
     assert staging_current(staged, fp2)
     assert r1 == r2
     shutil.rmtree("/tmp/sgdata/sfcopy", ignore_errors=True)
+
+
+def test_skew_salted_join_is_shuffled_on_salted_key(spark, sf_dir):
+    """The salted join must actually exercise the skew-spreading plan:
+    a shuffled (non-broadcast) join whose key includes the salt column,
+    with the dim side replicated via explode."""
+    df = engine.QUERIES["join_skew_salted"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    join_line = next(
+        ln for ln in plan.split("\n") if "ShuffledHashJoin" in ln or "SortMergeJoin" in ln
+    )
+    assert "salt" in join_line
+    assert "Generate explode" in plan  # dim replicated S ways
+    df.collect()
