@@ -78,7 +78,7 @@ _DRIVER_VERIFIED = {
 # (r01 verdicts) so stale verdicts refresh.
 _WINDOW_50 = [
     # new this round — oracle-backed
-    "join_skew_salted",
+    "join_skew_salted", "scan_rowgroup_skipping", "udf_cogrouped_asof",
     # changed this round — oracle-backed
     "dedup_jaccard_prefix", "sim_ivf_probe", "sim_ivf_partition_pruned",
     "graph_pagerank", "graph_triangle_count", "text_lm_quality",
@@ -97,7 +97,7 @@ _WINDOW_50 = [
     "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile",
     "agg_min_max_by", "agg_empty_check",
     "win_row_number", "win_rank_dense", "win_lag_lead", "win_running_sum",
-    "win_moving_avg", "win_first_last", "sort_multi_nulls",
+    "win_moving_avg",
 ]
 
 

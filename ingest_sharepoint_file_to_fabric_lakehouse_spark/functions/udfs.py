@@ -201,3 +201,67 @@ def udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
     return top.select("vec_id", "cos_sim")
+
+
+@query(
+    "udf_cogrouped_asof",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ) c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` — the third pandas API surface
+    (scalar and grouped variants are covered above): both sides are
+    hash-partitioned on user_id, each user's purchases and clicks
+    arrive as a PAIR of Arrow batches, and ``pd.merge_asof`` performs
+    the backward as-of merge per group.
+
+    Same semantics (and the same oracle) as join_asof_latest, which
+    realizes as-of relationally via union + window — this is the
+    kernel-style alternative for logic genuinely easier in pandas.
+    Scale shape: one co-partitioned exchange per side keyed on
+    user_id, per-group memory bounded by one user's events; clicks
+    are pre-deduped per (user, ts) relationally so the pandas kernel
+    never sees tie ambiguity.
+    """
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts", kind="mergesort")
+        right = (
+            right.drop(columns=["user_id"])
+            .rename(columns={"ts": "asof_ts", "value": "asof_value"})
+            .sort_values("asof_ts", kind="mergesort")
+        )
+        out = pd.merge_asof(
+            left, right, left_on="ts", right_on="asof_ts", direction="backward"
+        )
+        return out[["event_id", "user_id", "ts", "value", "asof_ts", "asof_value"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, ts timestamp_ntz, value double, "
+            "asof_ts timestamp_ntz, asof_value double",
+        )
+    )

@@ -142,3 +142,51 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         money(F.sum(dec("o_totalprice"))).alias("total"),
     )
+
+
+@query(
+    "scan_rowgroup_skipping",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+      AND o_orderdate <  TIMESTAMP '1997-09-01'
+    """,
+)
+def scan_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping one level below partition pruning: the table is
+    range-partitioned and SORTED by the filter column at write time,
+    so every parquet file (and row group) covers a narrow o_orderdate
+    band and its min/max footer statistics let a range predicate skip
+    whole files without reading a data page.
+
+    scan_partition_pruned prunes DIRECTORIES via a low-cardinality
+    partition column; this is the complementary technique for columns
+    too granular to partition by (timestamps, ids): at 100 TB a
+    3-month range over a date-sorted table touches ~1/40 of the files,
+    and the pushed filter (PushedFilters in the scan, asserted in
+    tests) is evaluated against footer stats before any IO.  The
+    layout is fingerprint-gated like every staged layout; the sort is
+    paid once at write time — the same trade as bucketing.
+    """
+    path = f"{_staging(sf_dir)}/orders_by_date_sorted"
+    token = source_fingerprint(sf_dir, "orders")
+    if not staging_current(path, token):
+        (
+            t(spark, sf_dir, "orders")
+            .repartitionByRange(8, "o_orderdate")
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        stamp_staging(path, token)
+    back = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-09-01").cast("timestamp"))
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        money(F.sum(dec("o_totalprice"))).alias("total"),
+    )

@@ -175,3 +175,18 @@ def test_skew_salted_join_is_shuffled_on_salted_key(spark, sf_dir):
     assert "salt" in join_line
     assert "Generate explode" in plan  # dim replicated S ways
     df.collect()
+
+
+def test_rowgroup_skipping_pushes_range_filter(spark, sf_dir):
+    """The date-range predicate must reach the parquet scan as a pushed
+    filter so footer min/max stats can skip files of the date-sorted
+    layout before any IO."""
+    df = engine.QUERIES["scan_rowgroup_skipping"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderdate" in m.group(1), m.group(0) if m else plan[:1500]
+    assert df.collect()[0].n_rows > 0
