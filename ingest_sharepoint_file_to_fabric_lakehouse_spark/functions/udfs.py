@@ -244,17 +244,62 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("value"))
     )
 
-    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.sort_values("ts", kind="mergesort")
-        right = (
-            right.drop(columns=["user_id"])
-            .rename(columns={"ts": "asof_ts", "value": "asof_value"})
-            .sort_values("asof_ts", kind="mergesort")
+    cols = ["event_id", "user_id", "ts", "value", "asof_ts", "asof_value"]
+    dtypes = {
+        "event_id": "Int64",
+        "user_id": "Int64",
+        "ts": "datetime64[us]",
+        "value": "float64",
+        "asof_ts": "datetime64[us]",
+        "asof_value": "float64",
+    }
+
+    def _typed_nulls(left: pd.DataFrame) -> pd.DataFrame:
+        n = len(left)
+        return pd.DataFrame(
+            {
+                c: (
+                    left[c].reset_index(drop=True)
+                    if c in left.columns
+                    else pd.Series([None] * n, dtype=dtypes[c])
+                )
+                for c in cols
+            }
         )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # Contract quirks of cogrouped applyInPandas the kernel MUST
+        # tolerate: (a) an empty side arrives with NO columns at all;
+        # (b) Catalyst prunes the INPUT columns to what the query
+        # consumes — under COUNT(*) every column is pruned away and
+        # only the output row CARDINALITY is observable, which for a
+        # left as-of join is len(left).  Null padding must be TYPED
+        # (NaT for timestamps, NA for ints): a bare float NaN column
+        # fails the Arrow cast back to timestamp/long.
+        if left.empty:
+            return _typed_nulls(left)  # clicks-only user: emit nothing
+        if "ts" not in left.columns or (len(right) > 0 and "ts" not in right.columns):
+            return _typed_nulls(left)  # pruned invocation
+        left = left.sort_values("ts", kind="mergesort")
+        if right.empty:
+            # a user with purchases but no clicks: typed empty right so
+            # merge_asof still emits the NaT/NaN LEFT-join rows
+            right = pd.DataFrame(
+                {
+                    "asof_ts": pd.Series([], dtype=left["ts"].dtype),
+                    "asof_value": pd.Series([], dtype="float64"),
+                }
+            )
+        else:
+            right = (
+                right.drop(columns=["user_id"])
+                .rename(columns={"ts": "asof_ts", "value": "asof_value"})
+                .sort_values("asof_ts", kind="mergesort")
+            )
         out = pd.merge_asof(
             left, right, left_on="ts", right_on="asof_ts", direction="backward"
         )
-        return out[["event_id", "user_id", "ts", "value", "asof_ts", "asof_value"]]
+        return out[cols]
 
     return (
         purchases.groupBy("user_id")
