@@ -676,7 +676,9 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_a, doc_b
     """,
 )
-def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_jaccard_prefix(
+    spark: SparkSession, sf_dir: str, large_doc_cap: int = 1 << 16
+) -> DataFrame:
     """Prefix-filtered exact Jaccard over the FULL corpus — the 100 TB
     form of dedup_ngram_jaccard (which joins every shingle and needs a
     doc slice to stay affordable).
@@ -829,7 +831,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.expr("(4 * (na + nb) + 8) div 9")
         )
         .select(
-            F.least("da", "db").alias("doc_a"), F.greatest("da", "db").alias("doc_b")
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.greatest("na", "nb").alias("max_sh"),
         )
     )
     # Exact verification: one row per candidate pair, intersecting the
@@ -843,27 +847,76 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the un-materialized pair list re-executes the whole candidate
     # pipeline inside each broadcast exchange, and checkpointing it
     # first still lost; the broadcast threads overlap the two docset
-    # builds, which the streamed form serializes.)  Per-pair memory is
-    # proportional to the two docs' shingle counts; for corpora with
-    # pathological documents (millions of shingles), route pairs above
-    # a shingle-count cap through the join-count verification of
-    # dedup_ngram_jaccard instead of materialized arrays.
-    docsets = sh.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("shs"), F.count("*").alias("n_sh")
-    )
-    A, B = docsets.alias("A"), docsets.alias("B")
-    verified = (
-        cand.join(F.broadcast(A), F.col("A.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(B), F.col("B.doc_id") == F.col("doc_b"))
-        .withColumn(
-            "n_common", F.size(F.array_intersect(F.col("A.shs"), F.col("B.shs")))
+    # builds, which the streamed form serializes.)
+    #
+    # Per-pair memory in the array path is proportional to the two
+    # docs' shingle counts, so a PATHOLOGICAL document (shingle count
+    # above `large_doc_cap`) must never be collect_list'ed: one
+    # control-plane scalar (max n_sh, read off the checkpointed prefix
+    # relation) decides whether the corpus needs the split; when it
+    # does, pairs touching a large doc route through a join-count
+    # verification (groupBy overlap count, the dedup_ngram_jaccard
+    # shape) whose state per task is a counter, not an array, and the
+    # docset build excludes large docs so the executor never
+    # materializes the pathological array at all.
+    def verify_arrays(pairs: DataFrame, docsets: DataFrame) -> DataFrame:
+        A, B = docsets.alias("A"), docsets.alias("B")
+        verified = (
+            pairs.join(F.broadcast(A), F.col("A.doc_id") == F.col("doc_a"))
+            .join(F.broadcast(B), F.col("B.doc_id") == F.col("doc_b"))
+            .withColumn(
+                "n_common", F.size(F.array_intersect(F.col("A.shs"), F.col("B.shs")))
+            )
         )
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("A.n_sh") + F.col("B.n_sh") - F.col("n_common")
-    )
-    return (
-        verified.filter(jac >= tau)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+        jac = F.col("n_common").cast("double") / (
+            F.col("A.n_sh") + F.col("B.n_sh") - F.col("n_common")
+        )
+        return verified.filter(jac >= tau).select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        )
+
+    max_nsh = pb.agg(F.max("n_sh")).first()[0] or 0
+    if max_nsh <= large_doc_cap:
+        docsets = sh.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("shs"), F.count("*").alias("n_sh")
+        )
+        out = verify_arrays(cand.drop("max_sh"), docsets)
+    else:
+        # Checkpoint the (tiny) pair list so the two branch filters and
+        # the broadcast below don't re-execute the candidate pipeline.
+        cand = cand.localCheckpoint(eager=True)
+        sizes = pb.select("doc_id", "n_sh").distinct()
+        small_ids = sizes.filter(F.col("n_sh") <= large_doc_cap).select("doc_id")
+        docsets = (
+            sh.join(F.broadcast(small_ids), "doc_id")
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("shs"), F.count("*").alias("n_sh"))
+        )
+        small_out = verify_arrays(
+            cand.filter(F.col("max_sh") <= large_doc_cap).drop("max_sh"), docsets
+        )
+        large = F.broadcast(
+            cand.filter(F.col("max_sh") > large_doc_cap).drop("max_sh")
+        )
+        ov = (
+            large.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+            .join(
+                sh.alias("sb"),
+                (F.col("sb.doc_id") == F.col("doc_b"))
+                & (F.col("sb.shingle") == F.col("sa.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        za, zb = sizes.alias("za"), sizes.alias("zb")
+        lj = ov.join(F.broadcast(za), F.col("za.doc_id") == F.col("doc_a")).join(
+            F.broadcast(zb), F.col("zb.doc_id") == F.col("doc_b")
+        )
+        jac = F.col("n_common").cast("double") / (
+            F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")
+        )
+        large_out = lj.filter(jac >= tau).select(
+            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        )
+        out = small_out.unionByName(large_out)
+    return out.orderBy("doc_a", "doc_b")

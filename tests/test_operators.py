@@ -406,6 +406,42 @@ def test_jaccard_prefix_keeps_exactly_at_threshold_pairs(spark, tmp_path):
     assert got == {(1, 2): 0.8, (3, 4): 0.8}
 
 
+def test_jaccard_prefix_large_doc_fallback(spark, tmp_path):
+    """Docs whose shingle count exceeds large_doc_cap must route
+    through the join-count verification (no collect_list of the
+    pathological doc) and still return the identical answer, including
+    an exactly-at-threshold pair whose larger side is above the cap
+    and a small pair that stays on the array path."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup import dedup_jaccard_prefix
+
+    toks = [f"t{i:02d}" for i in range(41)]
+    utoks = [f"u{i}" for i in range(6)]
+    vtoks = [f"v{i:02d}" for i in range(21)]
+    docs = [
+        (1, " ".join(toks)),        # 40 shingles (> cap)
+        (2, " ".join(toks[:37])),   # 36 shingles (> cap), subset: J = 36/40 = 0.9
+        (3, " ".join(utoks[:5])),   # 4 shingles, subset of doc 4
+        (4, " ".join(utoks)),       # 5 shingles: J = 4/5 = 0.8 (array path)
+        (5, " ".join(vtoks[:17])),  # 16 shingles (<= cap), subset of doc 6
+        (6, " ".join(vtoks)),       # 20 shingles (> cap): J = 16/20 = 0.8 mixed pair
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    expected = {(1, 2): 0.9, (3, 4): 0.8, (5, 6): 0.8}
+    split = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_prefix(spark, str(tmp_path), large_doc_cap=16).collect()
+    }
+    assert split == expected
+    # and the default (no split) path agrees
+    plain = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_prefix(spark, str(tmp_path)).collect()
+    }
+    assert plain == expected
+
+
 def test_repetition_filter_flags_crafted_repetition(spark, tmp_path):
     """A doc that is one 2-gram over and over must be flagged; a doc of
     all-distinct tokens must keep."""
