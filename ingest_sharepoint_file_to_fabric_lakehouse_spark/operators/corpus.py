@@ -444,3 +444,117 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "corpus_quality_pipeline",
+    """
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             [array_to_string(toks[i:i+1], ' ')
+              FOR i IN range(1, greatest(len(toks)-1, 1) + 1)] AS g2,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+              FOR i IN range(1, greatest(len(toks)-2, 1) + 1)]) AS g3
+      FROM (SELECT *, string_split(text, ' ') AS toks FROM documents)
+    ),
+    sh AS (SELECT doc_id, unnest(g3) AS shingle FROM base),
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    bstats AS (
+      SELECT doc_id, count(*) AS n3,
+             SUM(CASE WHEN freq.df >= 10 THEN 1 ELSE 0 END) AS n_boiler
+      FROM sh JOIN freq USING (shingle) GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT b.source,
+             (b.lang = 'en') AS ok_lang,
+             (b.n_tokens >= 25) AS ok_len,
+             (20 * (len(b.g2) - len(list_distinct(b.g2))) <= 3 * len(b.g2)) AS ok_rep,
+             (2 * s.n_boiler <= s.n3) AS ok_boiler
+      FROM base b JOIN bstats s USING (doc_id)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN ok_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(SUM(CASE WHEN ok_lang AND ok_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+           CAST(SUM(CASE WHEN ok_lang AND ok_len AND ok_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+           CAST(SUM(CASE WHEN ok_lang AND ok_len AND ok_rep AND ok_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style quality funnel with per-source attrition
+    counts — the quality-side sibling of corpus_dedup_pipeline.
+
+    Gates, applied in order (each stage sees the previous stage's
+    survivors): language allowlist → minimum length → within-doc
+    2-gram repetition (Gopher) → corpus-frequent 3-gram boilerplate
+    (RefinedWeb).  All keep rules are INTEGER-exact (no float ratio
+    compares), so the funnel is bit-reproducible across engines.
+
+    Plan shape: length + repetition are pure array expressions inside
+    the scan projection (size / array_distinct — no explode, no
+    shuffle); only the boilerplate gate needs corpus state (one
+    groupBy(shingle) for document frequency + one join back).  The
+    scalar stats and the exploded-shingle branch are kept SEPARATE and
+    joined on doc_id — carrying the scalars through the explode would
+    let CollapseProject re-inline the split/shingle expressions into
+    every exploded row (the 3x regression documented for
+    dedup_jaccard_prefix); both branches hash-partition on doc_id (the
+    docs() layout), so the re-join adds no extra exchange beyond the
+    per-doc aggregate's own.  The final per-source attrition is a
+    single partial-aggregated groupBy.  At 100 TB this is one pass
+    over the corpus plus one shingle-keyed exchange — the cheapest
+    honest version of the pipeline every training-data team runs.
+    """
+    from .dedup import shingles
+
+    d = docs(spark, sf_dir)
+    txt = F.col("text")
+    g2 = shingles(txt, 2)
+    scalars = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(txt, " ")).alias("n_tokens"),
+        F.size(g2).alias("n2"),
+        F.size(F.array_distinct(g2)).alias("n2d"),
+    )
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(txt, 3))).alias("shingle")
+    )
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    bstats = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n3"),
+            F.sum(F.when(F.col("df") >= 10, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    flags = scalars.join(bstats, "doc_id").select(
+        "source",
+        (F.col("lang") == "en").alias("ok_lang"),
+        (F.col("n_tokens") >= 25).alias("ok_len"),
+        (20 * (F.col("n2") - F.col("n2d")) <= 3 * F.col("n2")).alias("ok_rep"),
+        (2 * F.col("n_boiler") <= F.col("n3")).alias("ok_boiler"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            cnt(F.col("ok_lang")).alias("n_lang"),
+            cnt(F.col("ok_lang") & F.col("ok_len")).alias("n_len"),
+            cnt(F.col("ok_lang") & F.col("ok_len") & F.col("ok_rep")).alias("n_rep"),
+            cnt(
+                F.col("ok_lang")
+                & F.col("ok_len")
+                & F.col("ok_rep")
+                & F.col("ok_boiler")
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
