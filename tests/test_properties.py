@@ -137,3 +137,33 @@ def test_key_results_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.catalog.clearCache()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 200_000)),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_bitmap_bucket_counts_sum_to_exact_distinct(rows):
+    """agg_bitmap_distinct's premise: bitmap_bucket_number partitions
+    the key space, so per-(group, bucket) bitmap cardinalities sum to
+    the exact per-group distinct count for ANY key distribution."""
+    spark = _spark()
+    df = spark.createDataFrame(rows, "g int, k long")
+    got = {
+        r.g: r.n
+        for r in (
+            df.groupBy("g", F.expr("bitmap_bucket_number(k)").alias("b"))
+            .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("bm"))
+            .groupBy("g")
+            .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+            .collect()
+        )
+    }
+    want = {}
+    for g, k in rows:
+        want.setdefault(g, set()).add(k)
+    assert got == {g: len(s) for g, s in want.items()}
