@@ -875,10 +875,29 @@ def dedup_jaccard_prefix(
             "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
         )
 
+    # Dictionary-encode shingles to dense ints for the verification
+    # arrays: on the adversarially dense corpus the candidate filters
+    # retain ~667k pairs for 256 true matches (tiny vocabulary ⇒ no
+    # shingle is rare ⇒ prefix/position filters can't bite), so the
+    # per-pair array_intersect dominates — int arrays instead of
+    # ~20-byte strings measured 4.45 s → 3.63 s for the verify stage
+    # and cut the broadcast size ~3x.  The intersection count over
+    # injective ids equals the count over strings (EXACT, unlike a
+    # 64-bit hash whose collisions would break the oracle).  The
+    # row_number window is vocabulary-sized; at 100 TB dictionary
+    # assignment is the standard distributed encode (sort or
+    # hash-partition the vocab), not a single-partition window.
+    vocab = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")))
+    )
+    shi = sh.join(F.broadcast(vocab), "shingle").select("doc_id", "sid")
+
     max_nsh = pb.agg(F.max("n_sh")).first()[0] or 0
     if max_nsh <= large_doc_cap:
-        docsets = sh.groupBy("doc_id").agg(
-            F.collect_list("shingle").alias("shs"), F.count("*").alias("n_sh")
+        docsets = shi.groupBy("doc_id").agg(
+            F.collect_list("sid").alias("shs"), F.count("*").alias("n_sh")
         )
         out = verify_arrays(cand.drop("max_sh"), docsets)
     else:
@@ -888,9 +907,9 @@ def dedup_jaccard_prefix(
         sizes = pb.select("doc_id", "n_sh").distinct()
         small_ids = sizes.filter(F.col("n_sh") <= large_doc_cap).select("doc_id")
         docsets = (
-            sh.join(F.broadcast(small_ids), "doc_id")
+            shi.join(F.broadcast(small_ids), "doc_id")
             .groupBy("doc_id")
-            .agg(F.collect_list("shingle").alias("shs"), F.count("*").alias("n_sh"))
+            .agg(F.collect_list("sid").alias("shs"), F.count("*").alias("n_sh"))
         )
         small_out = verify_arrays(
             cand.filter(F.col("max_sh") <= large_doc_cap).drop("max_sh"), docsets
