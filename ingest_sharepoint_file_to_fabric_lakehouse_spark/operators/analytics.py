@@ -217,3 +217,61 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+@query(
+    "events_sequence_pattern",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(SUM(CASE WHEN regexp_matches(s, 'v[^p]*c[^p]*p') THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_users,
+           CAST(SUM(CASE WHEN regexp_matches(s, 'e[^e]*p') THEN 1 ELSE 0 END) AS BIGINT) AS n_error_then_purchase
+    FROM seq
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection without a
+    pattern engine: each user's event history becomes one compact
+    string (one char per event, event-time order), and row-pattern
+    predicates become ordinary regexps over it — here 'view, then a
+    click, then a purchase with no earlier purchase intervening' and
+    'an error later recovered by a purchase'.
+
+    Determinism: (ts, event_id) is unique per user, so the
+    array_sort over (ts, event_id, char) structs reproduces the
+    oracle's ORDER BY exactly; event-type initials are distinct by
+    construction.  Scale shape: one shuffle (the per-user groupBy);
+    per-user state is one char per event (a 10k-event user is a 10 KB
+    string); the regexp runs codegen-side per user, not per event.
+    This is the cheap 80% of MATCH_RECOGNIZE — for patterns needing
+    per-step predicates on non-key columns, the escape hatch is the
+    same sequence built over struct arrays + a pandas kernel.
+    """
+    e = t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+        ).alias("s")
+    )
+    flag = lambda pat: F.sum(F.when(F.col("s").rlike(pat), 1).otherwise(0))  # noqa: E731
+    return seq.agg(
+        F.count("*").alias("n_users"),
+        flag("v[^p]*c[^p]*p").alias("n_funnel_users"),
+        flag("e[^e]*p").alias("n_error_then_purchase"),
+    )
