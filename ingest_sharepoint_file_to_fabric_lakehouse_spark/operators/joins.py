@@ -421,3 +421,118 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         money(F.sum(dec("l_quantity"))).alias("total_qty"),
     )
+
+
+def asof_join_next(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row with
+    ``right_ts >= left_ts`` sharing the ``on`` key — the mirror of
+    :func:`asof_join_latest` (same union + single-window plan, same
+    one shuffle on the key), with the frame looking forward
+    (``first(..., ignorenulls=True)`` over currentRow→following) and
+    left rows ordered BEFORE right rows at equal timestamps so a
+    same-instant right row is matched.  Right is reduced to one row
+    per (key, ts) exactly as in the backward form, so ties can never
+    make the match engine-dependent.
+    """
+    _extra = [c for c in right_cols if c not in (on, right_ts)]
+    if _extra:
+        right = (
+            right.groupBy(on, right_ts)
+            .agg(F.max(F.struct(*[F.col(c) for c in _extra])).alias("_s"))
+            .select(on, right_ts, *[F.col(f"_s.{c}").alias(c) for c in _extra])
+        )
+    else:
+        right = right.select(on, right_ts).distinct()
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    carried = unioned.select(
+        "*",
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 0).select(
+        *lcols, *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols]
+    )
+
+
+@query(
+    "join_asof_next_within",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT p.event_id, min(c.ts) AS asof_ts
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 15 MINUTES
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           m.asof_ts, c.value AS asof_value
+    FROM p
+    LEFT JOIN m USING (event_id)
+    LEFT JOIN c ON c.user_id = p.user_id AND c.ts = m.asof_ts
+    """,
+)
+def join_asof_next_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each purchase matched to the
+    user's NEXT click within 15 minutes (reaction-time enrichment —
+    the mirror of join_asof_latest, completing the as-of family:
+    backward, forward, bounded).
+
+    The tolerance is applied AFTER the single-window forward carry:
+    the nearest future click is unique, so if it falls outside the
+    bound there is provably no click inside it, and the match nulls
+    out.  Plan: one shuffle on user_id, O(n log n) per partition — the
+    oracle replays it as a bounded range join + argmin, which is the
+    quadratic form this operator avoids at scale.
+    """
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join_next(
+        purchases, clicks, "user_id", "ts", "ts", ["ts", "value"]
+    )
+    within = F.col("asof_ts") <= F.col("ts") + F.expr("INTERVAL 15 MINUTES")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(within, F.col("asof_ts")).alias("asof_ts"),
+        F.when(within, F.col("asof_value")).alias("asof_value"),
+    )

@@ -167,3 +167,46 @@ def test_bitmap_bucket_counts_sum_to_exact_distinct(rows):
     for g, k in rows:
         want.setdefault(g, set()).add(k)
     assert got == {g: len(s) for g, s in want.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)), min_size=1, max_size=30
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_next_matches_naive(left_rows, right_rows):
+    """asof_join_next == per-row argmin over right_ts >= left_ts (the
+    forward mirror; duplicate right (k, ts) rows reduce to max value,
+    matching the operator's deterministic tie-break)."""
+    spark = _spark()
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.joins import asof_join_next
+
+    base = datetime(2024, 1, 1)
+    left = [
+        (i, k, base + timedelta(seconds=s)) for i, (k, s) in enumerate(left_rows)
+    ]
+    right = [
+        (k, base + timedelta(seconds=s), v) for (k, s, v) in right_rows
+    ]
+    ldf = spark.createDataFrame(left, "id long, k long, ts timestamp")
+    rdf = spark.createDataFrame(right or [(99, base, 0.0)], "k long, ts timestamp, v double").filter(
+        F.lit(bool(right))
+    )
+    got = {
+        r.id: r.asof_v
+        for r in asof_join_next(ldf, rdf, "k", "ts", "ts", ["v"]).collect()
+    }
+    for i, k, ts in left:
+        cands = [(rts, v) for (rk, rts, v) in right if rk == k and rts >= ts]
+        if cands:
+            mn = min(rts for rts, _ in cands)
+            want = max(v for rts, v in cands if rts == mn)
+        else:
+            want = None
+        assert got[i] == want, (i, k, ts, cands)
