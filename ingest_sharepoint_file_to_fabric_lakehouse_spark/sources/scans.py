@@ -354,3 +354,62 @@ def scan_datasource_sharepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .orderBy("folder_name", "file_name")
     )
+
+
+@query(
+    "scan_schema_evolution",
+    """
+    SELECT CASE WHEN year(o_orderdate) = 1995 THEN NULL
+                ELSE o_orderpriority END AS o_orderpriority,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY 1
+    ORDER BY 1 NULLS FIRST
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an early batch wrote
+    (o_orderkey, o_orderdate, o_totalprice); a later batch added
+    o_orderpriority.  ``mergeSchema`` unifies the footers at read time
+    — old rows surface the new column as NULL, no rewrite of history
+    (the lakehouse contract Delta/Iceberg formalize; plain parquet
+    gets exactly this far).
+
+    The batches are re-derived from orders each run (same
+    stage-then-read pattern as the csv/json scans), so the oracle can
+    replay the merge as a CASE over the year that determined each
+    row's batch.  Scale note: mergeSchema reads every footer at
+    planning time — at 100 TB, schema is tracked in a transaction log
+    or metastore instead, which is precisely the feature gap this
+    operator documents.
+    """
+    from ..core import dec, money
+
+    base = f"{_staging(sf_dir)}/evolving_orders"
+    o = t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    (
+        o.filter(yr == 1995)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{base}/batch=1")
+    )
+    (
+        o.filter(yr == 1996)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(f"{base}/batch=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch=1", f"{base}/batch=2"
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+    )
