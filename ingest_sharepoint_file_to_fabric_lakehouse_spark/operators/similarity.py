@@ -498,3 +498,164 @@ def sim_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 10)
+
+
+_KMEANS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+c0 AS (SELECT CAST(vec_id AS INT) AS cell_id, v AS centroid FROM e WHERE vec_id < 8),
+a1 AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT e.vec_id, e.v, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+                                       c.cell_id) AS r
+    FROM e CROSS JOIN c0 c) WHERE r = 1
+),
+m1 AS (
+  SELECT cell_id, i,
+         CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+  FROM a1, range(1, 65) t(i) GROUP BY cell_id, i
+),
+c1 AS (SELECT cell_id, list(m ORDER BY i) AS centroid FROM m1 GROUP BY cell_id),
+a2 AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT e.vec_id, e.v, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+                                       c.cell_id) AS r
+    FROM e CROSS JOIN c1 c) WHERE r = 1
+),
+m2 AS (
+  SELECT cell_id, i,
+         CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+  FROM a2, range(1, 65) t(i) GROUP BY cell_id, i
+),
+c2 AS (SELECT cell_id, list(m ORDER BY i) AS centroid FROM m2 GROUP BY cell_id),
+a3 AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT e.vec_id, e.v, c.cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+                                       c.cell_id) AS r
+    FROM e CROSS JOIN c2 c) WHERE r = 1
+),
+scored AS (
+  SELECT a3.cell_id, a3.vec_id,
+         ROUND(list_cosine_similarity(a3.v, c.centroid), 6) AS cs
+  FROM a3 JOIN c2 c USING (cell_id)
+)
+SELECT cell_id, n_vectors, top_vec_id, top_cos FROM (
+  SELECT cell_id,
+         count(*) OVER (PARTITION BY cell_id) AS n_vectors,
+         vec_id AS top_vec_id, cs AS top_cos,
+         row_number() OVER (PARTITION BY cell_id ORDER BY cs DESC, vec_id) AS r
+  FROM scored) WHERE r = 1
+ORDER BY cell_id
+"""
+
+
+@query("sim_kmeans_build", _KMEANS_ORACLE)
+def sim_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means — the INDEX BUILD the IVF probes
+    assume (sim_ivf_* consume given labels; this trains cells from
+    the raw vectors).  k=8, 2 update iterations, spherical metric
+    (max cosine, tie-broken by cell id), deterministic init (the
+    first k vec_ids).
+
+    Scale shape, per iteration: centroids are a k×dims control-plane
+    object — collected once and re-entering the plan as ONE
+    constant-folded literal (the _ivf_best_cells pattern), so
+    assignment is a pure map-side projection with NO join and NO
+    shuffle; the update is posexplode → groupBy(cell, pos) decimal
+    sums (map-side partials, shuffle carries k×dims cells) — the
+    classic broadcast-assign/reduce-update Lloyd step.  Exactness:
+    per-dim means go through DECIMAL(28,12) (order-free), cosine is
+    the sequential fold that matches DuckDB bit-for-bit, and the
+    oracle unrolls both iterations as CTEs — assignment, updates, and
+    the final per-cell top member are all value-checked.
+    """
+    import json as _json
+
+    k, iters = 8, 2
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    ).localCheckpoint(eager=True)
+
+    def lit_cents(rows) -> Column:
+        return F.from_json(
+            F.lit(
+                _json.dumps(
+                    [
+                        {
+                            "cell_id": int(r["cell_id"]),
+                            "centroid": [float(x) for x in r["centroid"]],
+                        }
+                        for r in sorted(rows, key=lambda r: r["cell_id"])
+                    ]
+                )
+            ),
+            "array<struct<cell_id:int,centroid:array<double>>>",
+        )
+
+    def assign(cents: Column) -> DataFrame:
+        scored = F.transform(
+            cents,
+            lambda c: F.struct(
+                cosine(F.col("v"), c["centroid"]).alias("sim"),
+                (-c["cell_id"]).alias("negc"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+        best = F.element_at(
+            F.transform(F.reverse(F.array_sort(scored)), lambda s: s["cell_id"]), 1
+        )
+        return e.select("vec_id", "v", best.alias("cell_id"))
+
+    cents = lit_cents(
+        e.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("centroid"))
+        .collect()
+    )
+    for _ in range(iters):
+        assigned = assign(cents)
+        means = (
+            assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("m")
+            )
+        )
+        cents = lit_cents(
+            means.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell_id", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+    final = assign(cents)
+    scored = final.select(
+        "cell_id",
+        "vec_id",
+        F.round(
+            cosine(
+                F.col("v"),
+                F.element_at(
+                    F.filter(cents, lambda c: c["cell_id"] == F.col("cell_id")), 1
+                )["centroid"],
+            ),
+            6,
+        ).alias("cs"),
+    )
+    top = F.max(F.struct(F.col("cs"), (-F.col("vec_id")).alias("nv")))
+    return (
+        scored.groupBy("cell_id")
+        .agg(F.count("*").alias("n_vectors"), top.alias("t"))
+        .select(
+            "cell_id",
+            "n_vectors",
+            (-F.col("t.nv")).alias("top_vec_id"),
+            F.col("t.cs").alias("top_cos"),
+        )
+        .orderBy("cell_id")
+    )
