@@ -55,3 +55,39 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@query("sql_api_q5", _Q5_SQL)
+def sql_api_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) through the SQL ENTRY POINT:
+    the tables register as temp views and the exact ANSI text the
+    DuckDB oracle runs is handed to ``spark.sql`` — one query string,
+    two engines, identical rows.  This is the parity statement for
+    users who come to the engine through SQL rather than the
+    DataFrame API: Catalyst plans the 6-way join from the same
+    declarative text (dims broadcast, fact-fact shuffle on the order
+    key, decimal-exact revenue), no DataFrame code involved.
+    """
+    for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q5_SQL)
