@@ -625,3 +625,50 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_mode_top_freq",
+    """
+    WITH cnt AS (
+      SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_orderpriority
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS n_orders
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY n DESC, o_orderpriority) AS r
+      FROM cnt
+    ) WHERE r = 1
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_mode_top_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (most frequent order priority per
+    market segment) — count-then-rank, the distributed form of mode()
+    with a deterministic tiebreak (lowest priority wins ties).  The
+    count aggregate shrinks the window's input to |groups| × |values|
+    rows, so the rank never sees raw data."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cnt = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -504,7 +504,10 @@ _KMEANS_ORACLE = """
 WITH e AS (
   SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
 ),
-c0 AS (SELECT CAST(vec_id AS INT) AS cell_id, v AS centroid FROM e WHERE vec_id < 8),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cell_id, v AS centroid
+  FROM e WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)
+),
 a1 AS (
   SELECT vec_id, v, cell_id FROM (
     SELECT e.vec_id, e.v, c.cell_id,
@@ -582,6 +585,9 @@ def sim_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     ).localCheckpoint(eager=True)
+    # init = the k SMALLEST vec_ids (not `vec_id < k`): deterministic
+    # under any id numbering a regenerated fixture might use, and the
+    # cell keeps its founding vector's id as its identity.
 
     def lit_cents(rows) -> Column:
         return F.from_json(
@@ -614,7 +620,8 @@ def sim_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         return e.select("vec_id", "v", best.alias("cell_id"))
 
     cents = lit_cents(
-        e.filter(F.col("vec_id") < k)
+        e.orderBy("vec_id")
+        .limit(k)
         .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("centroid"))
         .collect()
     )

@@ -208,3 +208,41 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.cume_dist().over(w), 6).alias("cd"),
         )
     )
+
+
+@query(
+    "win_ntile_bucketize",
+    """
+    WITH q AS (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM q
+    GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+    """,
+)
+def win_ntile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles per group (equal-frequency bucketing — the
+    window behind histogram equalization, spend tiers, and per-group
+    stratified splits).  Ordering carries the unique o_orderkey
+    tiebreak so bucket membership is engine-independent; quartile
+    totals use exact decimal sums."""
+    from ..core import money
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    q = o.select("o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+    return (
+        q.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )

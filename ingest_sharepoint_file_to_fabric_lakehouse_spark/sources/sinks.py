@@ -204,3 +204,32 @@ def sink_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         money(F.sum(dec("o_totalprice"))).alias("total"),
     )
+
+
+@query(
+    "sink_csv_export",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+    """,
+)
+def sink_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export round-trip: the interchange sink every engine needs
+    (hand-off to pandas/Excel/external tools).  Write with header,
+    read back with an explicit schema — the returned rows must equal
+    the source table, which is the oracle.  Scale note: a CSV export
+    is one narrow map-side write per partition (no shuffle); the
+    schema-on-read-back is explicit because CSV carries no types."""
+    path = f"{_staging(sf_dir)}/nation_csv_out"
+    (
+        t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    return (
+        spark.read.schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("header", True)
+        .csv(path)
+        .orderBy("n_nationkey")
+    )
