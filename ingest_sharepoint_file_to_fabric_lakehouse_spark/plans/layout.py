@@ -190,3 +190,82 @@ def scan_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         money(F.sum(dec("o_totalprice"))).alias("total"),
     )
+
+
+@query(
+    "join_dynamic_partition_pruned",
+    """
+    WITH yd AS (SELECT * FROM (VALUES (1996), (1997)) AS t(y))
+    SELECT yd.y AS order_year,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders JOIN yd ON year(o_orderdate) = yd.y
+    GROUP BY yd.y
+    ORDER BY yd.y
+    """,
+)
+def join_dynamic_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact side is the year-partitioned
+    orders layout, the filter arrives through a JOIN with a small dim
+    (which partitions survive is only known once the dim is evaluated),
+    and Spark turns the dim's broadcast into a runtime partition filter
+    on the fact scan — ``dynamicpruningexpression`` in the plan,
+    asserted in tests/test_plans.py.
+
+    This is the TPC-DS date-dim shape and the complement of
+    scan_partition_pruned's STATIC pruning: at 100 TB the dim filter
+    ("the two fiscal years under audit") lives in a table nobody
+    inlines into the fact predicate, and DPP is what keeps the fact
+    scan from touching all years anyway.  The fact layout is the same
+    fingerprint-gated staged directory scan_partition_pruned builds.
+    """
+    import pandas as pd
+
+    path = f"{_staging(sf_dir)}/orders_by_year"
+    token = source_fingerprint(sf_dir, "orders")
+    if not staging_current(path, token):
+        (
+            t(spark, sf_dir, "orders")
+            .withColumn("order_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(path)
+        )
+        stamp_staging(path, token)
+    fact = spark.read.parquet(path)
+    # The dim must be a real TABLE carrying all years plus an audit
+    # tag, with the tag filtered in the query — two DPP planner-rule
+    # traps, learned empirically: (a) a literal in-memory dim gets
+    # constant-folded (ConvertToLocalRelation eats the filter), and
+    # (b) a BOOLEAN flag filter simplifies to a bare attribute, which
+    # `isLikelySelective` rejects — so the dim predicate must be a
+    # real comparison (string tag equality here) over a file-backed
+    # relation.  That is also the honest production shape: the fact
+    # side never knows which members survive the dim filter until
+    # runtime.
+    dim_path = f"{_staging(sf_dir)}/year_dim"
+    if not staging_current(dim_path, "year-dim-v2"):
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "y": list(range(1992, 2003)),
+                    "tag": [
+                        "audit" if y in (1996, 1997) else "skip"
+                        for y in range(1992, 2003)
+                    ],
+                }
+            ),
+            "y int, tag string",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+        stamp_staging(dim_path, "year-dim-v2")
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "audit").select("y")
+    return (
+        fact.join(F.broadcast(dim), fact["order_year"] == dim["y"])
+        .groupBy("y")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+        .select(F.col("y").alias("order_year"), "n_orders", "total")
+        .orderBy("order_year")
+    )

@@ -413,3 +413,50 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_orderpriority").asc_nulls_first())
     )
+
+
+@query(
+    "scan_csv_malformed",
+    """
+    SELECT CAST(4 AS BIGINT) AS n_good,
+           CAST(2 AS BIGINT) AS n_corrupt,
+           CAST(19 AS BIGINT) AS id_sum
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with a corrupt-record column — the
+    dead-letter pattern for dirty interchange files (the batch
+    analogue of run_ingest's per-row error isolation, A-21): rows
+    that fail the schema (type violation, extra tokens) land intact
+    in ``_corrupt`` instead of failing the job or silently vanishing,
+    so the pipeline can quarantine and replay them.
+
+    The fixture is a deterministic 6-row file with two type-violation
+    rows, so the good/corrupt split and the good-row checksum are a
+    literal oracle.  (The violations sit on a column the query reads:
+    Spark's CSV parser validates only the columns that survive
+    pruning, so an extra-token row is reported corrupt under
+    ``select *`` but NOT under an aggregate that prunes the row —
+    quarantine checks must key on parsed-column violations or disable
+    pruning.)  FAILFAST and DROPMALFORMED are one option away;
+    PERMISSIVE + quarantine is the production default at 100 TB
+    because a single bad row must never kill a million-file load.
+    """
+    path = f"{_staging(sf_dir)}/csv_malformed"
+    os.makedirs(path, exist_ok=True)
+    fpath = f"{path}/data.csv"
+    with open(fpath, "w") as fh:
+        fh.write("a,b\n1,x\n2,y\nbad,z\n7,ok\n8.5,whoa\n9,fine\n")
+    df = (
+        spark.read.schema("a long, b string, _corrupt string")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(fpath)
+    )
+    good = F.col("_corrupt").isNull()
+    return df.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("a")).otherwise(0)).alias("id_sum"),
+    )

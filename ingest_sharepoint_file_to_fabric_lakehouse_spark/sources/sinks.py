@@ -233,3 +233,40 @@ def sink_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "sink_compact_small_files",
+    """
+    SELECT count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE every lakehouse table
+    eventually needs): a fragmented layout — 64 files from an
+    over-parallel writer — is rewritten as 4 right-sized files via
+    repartition, and the read-back must be byte-equal in content to
+    the source.  At 100 TB the fragmented state is the default
+    failure mode of streaming/micro-batch ingest (one file per
+    trigger per partition), and compaction is what keeps scan task
+    counts and footer overhead sane; file counts before/after are
+    asserted in tests/test_plans.py.
+
+    The fragmented input is staged once (fingerprint-gated); the
+    measured query pays read → repartition(4) → write → read-back,
+    the real steady-state cost of an OPTIMIZE pass.
+    """
+    frag = f"{_staging(sf_dir)}/orders_fragmented"
+    token = source_fingerprint(sf_dir, "orders")
+    if not staging_current(frag, token):
+        t(spark, sf_dir, "orders").repartition(64).write.mode("overwrite").parquet(frag)
+        stamp_staging(frag, token)
+    compacted = f"{_staging(sf_dir)}/orders_compacted"
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count("*").alias("n_orders"),
+        money(F.sum(dec("o_totalprice"))).alias("total"),
+    )

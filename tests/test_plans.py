@@ -190,3 +190,28 @@ def test_rowgroup_skipping_pushes_range_filter(spark, sf_dir):
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderdate" in m.group(1), m.group(0) if m else plan[:1500]
     assert df.collect()[0].n_rows > 0
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """The dim-join filter must reach the fact scan as a runtime
+    partition filter (dynamicpruningexpression), not a full scan."""
+    df = engine.QUERIES["join_dynamic_partition_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower()
+    df.collect()
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """sink_compact_small_files: >=64 fragments in, <=4 files out,
+    identical row count."""
+    import glob
+    import os
+
+    engine.QUERIES["sink_compact_small_files"](spark, sf_dir).collect()
+    stage = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}"
+    frag = glob.glob(f"{stage}/orders_fragmented/part-*")
+    comp = glob.glob(f"{stage}/orders_compacted/part-*")
+    assert len(frag) >= 32, len(frag)
+    assert len(comp) <= 4, len(comp)
