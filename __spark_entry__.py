@@ -84,7 +84,8 @@ _WINDOW_50 = [
     "join_asof_next_within", "scan_schema_evolution", "sim_kmeans_build",
     "sql_api_q5", "win_ntile_bucketize", "agg_mode_top_freq", "sink_csv_export",
     "scan_csv_malformed", "sink_compact_small_files",
-    "join_dynamic_partition_pruned",
+    "join_dynamic_partition_pruned", "filter_exists_subquery",
+    "stream_additive_state_merge",
     # changed this round — oracle-backed
     "dedup_jaccard_prefix", "sim_ivf_probe", "sim_ivf_partition_pruned",
     "graph_pagerank", "graph_triangle_count", "text_lm_quality",
@@ -99,7 +100,7 @@ _WINDOW_50 = [
     "flagship_q3_topk", "project_select", "project_rename_drop",
     "filter_comparison", "filter_in_set", "filter_like", "filter_null",
     "filter_between_date", "join_broadcast_dim", "join_shuffle_large",
-    "join_multikey_chain", "join_outer_left", "join_outer_full",
+    "join_multikey_chain",
 ]
 
 

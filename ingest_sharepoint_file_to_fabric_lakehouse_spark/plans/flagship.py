@@ -91,3 +91,31 @@ def sql_api_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_Q5_SQL)
+
+
+_EXISTS_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("filter_exists_subquery", _EXISTS_SQL)
+def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface:
+    customers with at least one large order and no failed order.
+    Catalyst decorrelates both subqueries into a left-semi and a
+    left-anti join on c_custkey (the same physical shapes
+    join_left_semi/join_left_anti exercise directly) — the point is
+    that the SQL-facing subquery forms plan to the scalable joins,
+    not to per-row re-execution.  Identical ANSI text runs on both
+    engines.
+    """
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_EXISTS_SQL)

@@ -560,3 +560,81 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum(F.col("v_id") + F.col("p_id")).alias("pair_checksum"),
     )
+
+
+@query(
+    "stream_additive_state_merge",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_additive_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained aggregate table fed by a stream — the
+    live silver→gold rollup — with ADDITIVE state, which is the hard
+    exactly-once case: an upsert that replaces by key is naturally
+    idempotent, but adding a batch's partial counts TWICE corrupts the
+    total, so micro-batch replay (foreachBatch may re-deliver an epoch
+    after a crash) must be fenced explicitly.
+
+    The fence is the batch analogue of a transaction log: each epoch
+    merges its partial aggregate into the state table via
+    write-to-tmp + atomic directory swap, then records an epoch
+    marker; a replayed epoch sees its marker and becomes a no-op.
+    The final state must equal the batch GROUP BY over the whole
+    input — the oracle.  State volume is |groups| rows regardless of
+    stream length; the merge reads and rewrites only the state table.
+    """
+    import json
+
+    base = _staging(sf_dir, "stream_additive")
+    src = stage_event_files(spark, sf_dir)
+    state, ckpt, commits = f"{base}/state", f"{base}/ckpt", f"{base}/commits"
+    for d in (base,):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(commits, exist_ok=True)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = f"{commits}/epoch_{epoch_id}.json"
+        if os.path.exists(marker):  # replayed epoch: already merged
+            return
+        ss = batch_df.sparkSession
+        partial = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"), F.sum("event_id").alias("id_checksum")
+        )
+        if os.path.isdir(state):
+            merged = (
+                ss.read.parquet(state)
+                .unionByName(partial)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("id_checksum").alias("id_checksum"),
+                )
+            )
+        else:
+            merged = partial
+        tmp = f"{state}_tmp_{epoch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = f"{state}_old_{epoch_id}"
+        if os.path.isdir(state):
+            os.replace(state, old)
+        os.replace(tmp, state)
+        shutil.rmtree(old, ignore_errors=True)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(json.dumps({"epoch": epoch_id}) + "\n")
+        os.replace(marker + ".tmp", marker)
+
+    q = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("event_id", "event_type")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(state).orderBy("event_type")
