@@ -562,6 +562,46 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def additive_state_merge(
+    partial: DataFrame, state: str, commits: str, epoch_id: int
+) -> None:
+    """Merge one epoch's partial aggregate into the additive state
+    table, exactly once: write-to-tmp + atomic directory swap, then an
+    epoch marker; a replayed epoch sees its marker and no-ops.  The
+    marker write is itself atomic (temp + rename), so a crash between
+    swap and marker re-runs the merge against the PRE-swap state only
+    if the swap also didn't happen — the swap/marker pair brackets the
+    only non-idempotent step."""
+    import json
+
+    marker = f"{commits}/epoch_{epoch_id}.json"
+    if os.path.exists(marker):  # replayed epoch: already merged
+        return
+    ss = partial.sparkSession
+    if os.path.isdir(state):
+        merged = (
+            ss.read.parquet(state)
+            .unionByName(partial)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("id_checksum").alias("id_checksum"),
+            )
+        )
+    else:
+        merged = partial
+    tmp = f"{state}_tmp_{epoch_id}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = f"{state}_old_{epoch_id}"
+    if os.path.isdir(state):
+        os.replace(state, old)
+    os.replace(tmp, state)
+    shutil.rmtree(old, ignore_errors=True)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(json.dumps({"epoch": epoch_id}) + "\n")
+    os.replace(marker + ".tmp", marker)
+
+
 @query(
     "stream_additive_state_merge",
     """
@@ -586,45 +626,17 @@ def stream_additive_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     input — the oracle.  State volume is |groups| rows regardless of
     stream length; the merge reads and rewrites only the state table.
     """
-    import json
-
     base = _staging(sf_dir, "stream_additive")
     src = stage_event_files(spark, sf_dir)
     state, ckpt, commits = f"{base}/state", f"{base}/ckpt", f"{base}/commits"
-    for d in (base,):
-        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(commits, exist_ok=True)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = f"{commits}/epoch_{epoch_id}.json"
-        if os.path.exists(marker):  # replayed epoch: already merged
-            return
-        ss = batch_df.sparkSession
         partial = batch_df.groupBy("event_type").agg(
             F.count("*").alias("n_events"), F.sum("event_id").alias("id_checksum")
         )
-        if os.path.isdir(state):
-            merged = (
-                ss.read.parquet(state)
-                .unionByName(partial)
-                .groupBy("event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("id_checksum").alias("id_checksum"),
-                )
-            )
-        else:
-            merged = partial
-        tmp = f"{state}_tmp_{epoch_id}"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = f"{state}_old_{epoch_id}"
-        if os.path.isdir(state):
-            os.replace(state, old)
-        os.replace(tmp, state)
-        shutil.rmtree(old, ignore_errors=True)
-        with open(marker + ".tmp", "w") as fh:
-            fh.write(json.dumps({"epoch": epoch_id}) + "\n")
-        os.replace(marker + ".tmp", marker)
+        additive_state_merge(partial, state, commits, epoch_id)
 
     q = (
         spark.readStream.schema(EVENTS_SCHEMA)

@@ -495,3 +495,42 @@ def test_datasource_sharepoint_partitions_and_filters(spark, sf_dir):
     assert by_folder == {"finance", "assets", "shared"}
     # pagination delivered BOTH finance pages
     assert sum(r.folder_name == "finance" for r in rows) == 2
+
+
+def test_additive_state_merge_replay_is_fenced(spark, tmp_path):
+    """Re-delivering an epoch to the additive merge must be a no-op
+    (the marker fence), while a NEW epoch must add - the exactly-once
+    property the streaming key rests on."""
+    from pyspark.sql import functions as F
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.streaming.streams import (
+        additive_state_merge,
+    )
+
+    state, commits = str(tmp_path / "state"), str(tmp_path / "commits")
+    import os
+
+    os.makedirs(commits, exist_ok=True)
+
+    def partial(rows):
+        return spark.createDataFrame(
+            rows, "event_type string, n_events long, id_checksum long"
+        ).groupBy("event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("id_checksum").alias("id_checksum"),
+        )
+
+    def read_state():
+        return {
+            r.event_type: (r.n_events, r.id_checksum)
+            for r in spark.read.parquet(state).collect()
+        }
+
+    additive_state_merge(partial([("a", 2, 10)]), state, commits, 0)
+    assert read_state() == {"a": (2, 10)}
+    # replay epoch 0: fenced, no double-count
+    additive_state_merge(partial([("a", 2, 10)]), state, commits, 0)
+    assert read_state() == {"a": (2, 10)}
+    # new epoch adds
+    additive_state_merge(partial([("a", 1, 5), ("b", 3, 7)]), state, commits, 1)
+    assert read_state() == {"a": (3, 15), "b": (3, 7)}
