@@ -85,7 +85,8 @@ _WINDOW_50 = [
     "sql_api_q5", "win_ntile_bucketize", "agg_mode_top_freq", "sink_csv_export",
     "scan_csv_malformed", "sink_compact_small_files",
     "join_dynamic_partition_pruned", "filter_exists_subquery",
-    "stream_additive_state_merge",
+    "stream_additive_state_merge", "udtf_lateral_python",
+    "scan_observe_metrics", "multimodal_chunk_binary",
     # changed this round — oracle-backed
     "dedup_jaccard_prefix", "sim_ivf_probe", "sim_ivf_partition_pruned",
     "graph_pagerank", "graph_triangle_count", "text_lm_quality",
@@ -99,8 +100,7 @@ _WINDOW_50 = [
     # rotation: oldest green rows (r01) re-verify
     "flagship_q3_topk", "project_select", "project_rename_drop",
     "filter_comparison", "filter_in_set", "filter_like", "filter_null",
-    "filter_between_date", "join_broadcast_dim", "join_shuffle_large",
-    "join_multikey_chain",
+    "filter_between_date",
 ]
 
 

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core import query
+from ..core import query, t
 
 
 def _fake_decode_image(content: bytes) -> dict:
@@ -221,3 +221,60 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_channels",
     ).orderBy("file_name")
+
+
+@query(
+    "multimodal_chunk_binary",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             unnest([{'chunk_idx': i,
+                      'chunk': substring(text, CAST(i * 32 + 1 AS INT), 32)}
+                     FOR i IN range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT))]) AS s
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, CAST(s.chunk_idx AS INT) AS chunk_idx,
+           strlen(s.chunk) AS n_bytes,
+           md5(s.chunk) AS chunk_md5
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def multimodal_chunk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking of an opaque byte stream — the audio/PCM
+    analogue of multimodal_frame_sample's strided video sampling: the
+    stream splits into 32-byte windows (the last one ragged), each
+    chunk addressed by (doc_id, chunk_idx) and fingerprinted with md5.
+    Everything is JVM-side built-ins — sequence + explode for the
+    index space, substring for the slice — so at 100 TB this is a
+    pure map-side pass with no Python in the loop; a real PCM decode
+    would substitute the binaryFile content column as the stream.
+    (DuckDB has no BLOB substring, so the cross-engine oracle chunks
+    the UTF-8 text — byte-identical on this ASCII corpus; md5 hashes
+    the chunk's bytes in both engines.)
+    """
+    c = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.octet_length("text") / F.lit(32)).cast("int") - 1,
+                )
+            ).alias("chunk_idx"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr("substring(text, chunk_idx * 32 + 1, 32)").alias("chunk"),
+        )
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.octet_length("chunk").alias("n_bytes"),
+        F.md5("chunk").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

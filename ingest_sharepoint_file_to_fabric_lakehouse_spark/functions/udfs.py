@@ -325,3 +325,60 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asof_ts timestamp_ntz, asof_value double",
         )
     )
+
+
+@query(
+    "udtf_lateral_python",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           ts[1] AS first_token,
+           ts[-1] AS last_token
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def udtf_lateral_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 ``@udtf``) applied laterally: one
+    input row fans out to one row per token, then re-aggregates to
+    per-doc stats — the table-function API surface, distinct from
+    udtf_map_in_pandas (which is a partition-wise mapper, not a
+    per-row lateral).
+
+    Honest scale note: a Python UDTF is row-at-a-time across the
+    Python boundary — the demo caps input at 50 docs, and anything
+    hot-path does this with explode/split builtins (text.py) or an
+    Arrow-batched kernel.  The UDTF's place at 100 TB is logic that
+    genuinely needs per-row Python with variable fan-out (parsers,
+    tokenizers with state) at modest row counts.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.token
+        FROM _udtf_docs d, LATERAL split_tokens(d.text) s
+        """
+    )
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.min_by("token", "pos").alias("first_token"),
+            F.max_by("token", "pos").alias("last_token"),
+        )
+        .orderBy("doc_id")
+    )

@@ -460,3 +460,48 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~good).cast("long")).alias("n_corrupt"),
         F.sum(F.when(good, F.col("a")).otherwise(0)).alias("id_sum"),
     )
+
+
+@query(
+    "scan_observe_metrics",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_prices,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    """,
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics piggybacked on a scan via ``observe`` —
+    row counts, null counts, and a control total collected DURING the
+    pass, not by a second one.  This is how production pipelines get
+    per-batch quality telemetry for free: the Observation rides the
+    existing job, the driver reads back one control-plane row.  The
+    oracle recomputes the same aggregates relationally — observed
+    metrics must be exact, not sampled.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Observation
+
+    from ..core import dec, money
+
+    obs = Observation("scan_metrics")
+    o = t(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("null_prices"),
+        money(F.sum(dec("o_totalprice"))).alias("total"),
+    )
+    o.write.format("noop").mode("overwrite").save()  # the driving pass
+    m = obs.get
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "n_rows": [m["n_rows"]],
+                "null_prices": [m["null_prices"]],
+                "total": [m["total"]],
+            }
+        ),
+        "n_rows long, null_prices long, total double",
+    )
