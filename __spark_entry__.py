@@ -87,6 +87,7 @@ _WINDOW_50 = [
     "join_dynamic_partition_pruned", "filter_exists_subquery",
     "stream_additive_state_merge", "udtf_lateral_python",
     "scan_observe_metrics", "multimodal_chunk_binary",
+    "join_interval_banded",
     # changed this round — oracle-backed
     "dedup_jaccard_prefix", "sim_ivf_probe", "sim_ivf_partition_pruned",
     "graph_pagerank", "graph_triangle_count", "text_lm_quality",
@@ -100,7 +101,6 @@ _WINDOW_50 = [
     # rotation: oldest green rows (r01) re-verify
     "flagship_q3_topk", "project_select", "project_rename_drop",
     "filter_comparison", "filter_in_set", "filter_like", "filter_null",
-    "filter_between_date",
 ]
 
 

@@ -536,3 +536,68 @@ def join_asof_next_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("asof_ts")).alias("asof_ts"),
         F.when(within, F.col("asof_value")).alias("asof_value"),
     )
+
+
+@query(
+    "join_interval_banded",
+    """
+    WITH t0 AS (SELECT min(epoch_us(ts)) AS t0us FROM events),
+    iv AS (
+      SELECT CAST(t.i AS INT) AS interval_id,
+             t0.t0us + t.i * 21600000000 AS s_us,
+             t0.t0us + t.i * 21600000000 + 5400000000 AS e_us
+      FROM t0, range(0, 20) t(i)
+    )
+    SELECT iv.interval_id,
+           count(*) AS n_events,
+           CAST(SUM(ev.event_id) AS BIGINT) AS id_checksum
+    FROM iv JOIN events ev
+      ON epoch_us(ev.ts) >= iv.s_us AND epoch_us(ev.ts) <= iv.e_us
+    GROUP BY iv.interval_id
+    ORDER BY iv.interval_id
+    """,
+)
+def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with NO equi key — the shape that
+    silently degenerates to a broadcast nested-loop join (every event
+    compared to every interval) unless you band it: both sides are
+    bucketed into fixed time bands the width of the longest interval,
+    intervals explode into each band they overlap, and the join
+    becomes EQUI on band with the range predicate as a post-filter.
+    Each event is compared only against intervals sharing its band —
+    O(events + intervals·bands) instead of O(events × intervals).
+
+    Time is integer microseconds end to end (epoch_us both engines),
+    so band arithmetic is integer-exact across engines.  20
+    maintenance windows (90 min every 6 h from the corpus start) are
+    derived from one control-plane scalar (min event time).  The
+    oracle is the naive range join the banding avoids.  At 100 TB the
+    banded form also partition-prunes: band is a monotone function of
+    time, so a time-partitioned fact only opens partitions whose
+    bands appear in the (broadcast) interval list.
+    """
+    W = 5_400_000_000  # band width: the max interval length (90 min)
+    e = t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    t0us = e.agg(F.min("ts_us")).first()[0]
+    iv = spark.range(0, 20).select(
+        F.col("id").cast("int").alias("interval_id"),
+        (F.lit(t0us) + F.col("id") * 21_600_000_000).alias("s_us"),
+        (F.lit(t0us) + F.col("id") * 21_600_000_000 + 5_400_000_000).alias("e_us"),
+    )
+    iv_bands = iv.withColumn(
+        "band",
+        F.explode(
+            F.sequence(F.expr(f"s_us div {W}"), F.expr(f"e_us div {W}"))
+        ),
+    )
+    ev = e.withColumn("band", F.expr(f"ts_us div {W}"))
+    joined = ev.join(F.broadcast(iv_bands), "band").filter(
+        (F.col("ts_us") >= F.col("s_us")) & (F.col("ts_us") <= F.col("e_us"))
+    )
+    return (
+        joined.groupBy("interval_id")
+        .agg(F.count("*").alias("n_events"), F.sum("event_id").alias("id_checksum"))
+        .orderBy("interval_id")
+    )
