@@ -215,3 +215,13 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     comp = glob.glob(f"{stage}/orders_compacted/part-*")
     assert len(frag) >= 32, len(frag)
     assert len(comp) <= 4, len(comp)
+
+
+def test_interval_banded_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The banded rewrite must plan as a broadcast HASH join on band;
+    a pure range predicate would fall into BroadcastNestedLoopJoin."""
+    df = engine.QUERIES["join_interval_banded"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    df.collect()
