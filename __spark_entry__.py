@@ -87,7 +87,7 @@ _WINDOW_50 = [
     "join_dynamic_partition_pruned", "filter_exists_subquery",
     "stream_additive_state_merge", "udtf_lateral_python",
     "scan_observe_metrics", "multimodal_chunk_binary",
-    "join_interval_banded",
+    "join_interval_banded", "scan_parquet_nested", "agg_histogram_fixed",
     # changed this round — oracle-backed
     "dedup_jaccard_prefix", "sim_ivf_probe", "sim_ivf_partition_pruned",
     "graph_pagerank", "graph_triangle_count", "text_lm_quality",
@@ -100,7 +100,7 @@ _WINDOW_50 = [
     "stream_foreach_sink", "stream_stream_join", "stream_stateful_custom",
     # rotation: oldest green rows (r01) re-verify
     "flagship_q3_topk", "project_select", "project_rename_drop",
-    "filter_comparison", "filter_in_set", "filter_like", "filter_null",
+    "filter_comparison", "filter_in_set",
 ]
 
 

@@ -672,3 +672,43 @@ def agg_mode_top_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "agg_histogram_fixed",
+    """
+    WITH b AS (
+      SELECT least(CAST(CAST(o_totalprice * 100 AS BIGINT) // 5000000 AS INT), 9)
+               AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           count(*) AS n_orders
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10 buckets of 50k, open-ended top) —
+    the one-pass distribution profile behind dashboards and data-size
+    planning.  Bucketing is INTEGER-exact: prices convert to cents
+    (bigint) before the division, so a price exactly on a bucket
+    boundary lands identically in both engines — float width division
+    would not guarantee that.  Plan: a single map-side expression +
+    partial-aggregated groupBy over at most 10 keys; contrast with
+    agg_approx_quantile (adaptive boundaries) and win_ntile_bucketize
+    (equal-frequency) — the three bucketing strategies an analytics
+    surface needs.
+    """
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.expr("cast(cast(o_totalprice * 100 as bigint) div 5000000 as int)"),
+        F.lit(9),
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("bucket")
+    )

@@ -505,3 +505,59 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows long, null_prices long, total double",
     )
+
+
+@query(
+    "scan_parquet_nested",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             {'lang': lang, 'source': source} AS meta,
+             {'n_chars': n_chars,
+              'n_tokens': len(string_split(text, ' '))} AS metrics,
+             string_split(text, ' ')[1:3] AS lead_tokens
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           meta.lang AS lang,
+           metrics.n_tokens AS n_tokens,
+           CAST(len(lead_tokens) AS INT) AS n_lead,
+           array_to_string(lead_tokens, '-') AS lead_joined
+    FROM n
+    ORDER BY doc_id
+    """,
+)
+def scan_parquet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested parquet round trip: structs and arrays written as real
+    parquet nested types (not JSON strings — cf. map_json_ops), read
+    back with dot-path projection.  The read schema prunes INSIDE the
+    struct (`spark.sql.optimizer.nestedSchemaPruning.enabled`, on by
+    default): projecting meta.lang reads one leaf column of the
+    struct, not the whole group — at 100 TB a wide metadata struct
+    costs only the leaves a query touches.  The oracle rebuilds the
+    nesting relationally from the flat table.
+    """
+    path = f"{_staging(sf_dir)}/docs_nested"
+    (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.struct(F.col("lang"), F.col("source")).alias("meta"),
+            F.struct(
+                F.col("n_chars"),
+                F.size(F.split("text", " ")).alias("n_tokens"),
+            ).alias("metrics"),
+            F.slice(F.split("text", " "), 1, 3).alias("lead_tokens"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("metrics.n_tokens").alias("n_tokens"),
+        F.size("lead_tokens").alias("n_lead"),
+        F.array_join("lead_tokens", "-").alias("lead_joined"),
+    ).orderBy("doc_id")
