@@ -82,6 +82,15 @@ def prep(spark: SparkSession) -> None:
     conf.set("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # restore defaults a per-query toggle may have changed
+    # (join_runtime_bloom disables broadcast + lowers the bloom
+    # thresholds for ITS plan only — every other query gets stock
+    # planner behavior back here)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"
+    )
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

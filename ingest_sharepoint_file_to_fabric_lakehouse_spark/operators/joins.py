@@ -601,3 +601,56 @@ def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.sum("event_id").alias("id_checksum"))
         .orderBy("interval_id")
     )
+
+
+@query(
+    "join_runtime_bloom",
+    """
+    SELECT month, n_items, revenue FROM (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             count(*) AS n_items,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY month
+    ) ORDER BY month
+    """,
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with a RUNTIME BLOOM FILTER pushed to the fact side.
+
+    The selective dim filter (urgent orders only) makes most lineitem
+    rows join-dead, but a plain sort-merge join still shuffles all of
+    them.  Spark's InjectRuntimeFilter turns the filtered orders side
+    into a ``bloom_filter_agg`` subquery whose ``might_contain`` test
+    is evaluated ON THE SCAN of lineitem — join-dead rows are dropped
+    before the exchange, cutting shuffle bytes by the filter's
+    selectivity (~1/5 here).  At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling only matching rows —
+    the dynamic-filtering analogue of static partition pruning, for
+    non-partition keys (``join_dynamic_partition_pruned`` covers the
+    partition-key case).
+
+    Broadcast is disabled for this plan (a broadcast join needs no
+    bloom — the filter exists precisely for the too-big-to-broadcast
+    dim); the thresholds are per-query session confs restored by
+    ``prep`` before the next query.  ``tests/test_plans.py`` asserts
+    ``might_contain`` guards the lineitem scan.
+    """
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1"
+    )
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    rev = money(F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n_items"), rev.alias("revenue"))
+        .orderBy("month")
+    )

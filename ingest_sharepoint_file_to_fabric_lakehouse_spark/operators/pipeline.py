@@ -382,3 +382,73 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_ngrams"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_chunk_overlap",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n <= 32 THEN 1
+                  ELSE CAST((n - 32 + 23) // 24 AS INT) + 1 END AS n_chunks
+      FROM d
+    )
+    SELECT doc_id, CAST(r.m AS INT) AS chunk_ix,
+           CAST(LEAST(32, n - r.m*24) AS INT) AS chunk_tokens,
+           md5(array_to_string(list_slice(toks, r.m*24 + 1, r.m*24 + 32), ' ')) AS chunk_fp
+    FROM sized, range(0, 8) r(m)
+    WHERE r.m < n_chunks
+    ORDER BY doc_id, chunk_ix
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: every document is cut into
+    32-token windows with stride 24 (8-token overlap), the standard
+    retrieval-index preprocessing step.
+
+    Pure map-side fan-out — tokens split once, window starts derived
+    with integer arithmetic (``n_chunks = 1 + ceil((n-32)/24)``, exact
+    in both engines), chunks materialized via sequence+transform+
+    explode with zero shuffle and zero UDFs.  Each chunk carries an
+    md5 fingerprint instead of its text so the output (and any
+    downstream exact-dedup of chunks) stays narrow; at 100 TB this is
+    the shape that feeds an embedding pipeline — a pure projection
+    that scales with input bytes, no exchange until the (optional)
+    chunk-level dedup groupBy.
+
+    Reference scope: the reference moves whole files (A-2/A-3); the
+    chunking stage is part of the training-data surface this engine
+    adds (SURVEY.md §6).
+    """
+    C, S = 32, 24
+    d = docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks"), F.size(F.split("text", " ")).alias("n")
+    )
+    sized = d.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= C, F.lit(1)).otherwise(
+            F.floor((F.col("n") - C + (S - 1)) / S).cast("int") + 1
+        ),
+    )
+    return (
+        sized.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_ix"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_ix").cast("int").alias("chunk_ix"),
+            F.least(F.lit(C), F.col("n") - F.col("chunk_ix") * S).cast("int").alias("chunk_tokens"),
+            F.md5(
+                F.array_join(F.slice(F.col("toks"), F.col("chunk_ix") * S + 1, C), " ").cast("binary")
+            ).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_ix")
+    )

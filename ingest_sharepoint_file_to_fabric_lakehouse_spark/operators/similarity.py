@@ -237,6 +237,19 @@ _IVF_ORACLE = """
 _CENTROID_CACHE: dict[tuple[str, str], list] = {}
 
 
+def _collect_centroids(spark: SparkSession, sf_dir: str) -> list:
+    """Collect the label-centroid table once per source corpus (the
+    trained index — k x dims doubles, control-plane-sized), keyed on
+    the embeddings fingerprint so a regenerated fixture retrains
+    instead of serving stale centroids."""
+    ck = (sf_dir, source_fingerprint(sf_dir, "embeddings"))
+    if ck not in _CENTROID_CACHE:
+        _CENTROID_CACHE[ck] = sorted(
+            centroids_by_label(spark, sf_dir).collect(), key=lambda r: r["label"]
+        )
+    return _CENTROID_CACHE[ck]
+
+
 def _ivf_best_cells(spark: SparkSession, sf_dir: str):
     """Collect the (control-plane-sized) centroid table once and
     return a map-side `best_cells(vec, n)` column builder.
@@ -256,12 +269,7 @@ def _ivf_best_cells(spark: SparkSession, sf_dir: str):
     # vector store loads its index once — keyed on the embeddings
     # fingerprint so a regenerated corpus retrains instead of serving
     # stale centroids.
-    ck = (sf_dir, source_fingerprint(sf_dir, "embeddings"))
-    if ck not in _CENTROID_CACHE:
-        _CENTROID_CACHE[ck] = sorted(
-            centroids_by_label(spark, sf_dir).collect(), key=lambda r: r["label"]
-        )
-    cent_rows = _CENTROID_CACHE[ck]
+    cent_rows = _collect_centroids(spark, sf_dir)
     # ONE literal node: the index enters the plan as
     # from_json(<json string>), which Catalyst CONSTANT-FOLDS into a
     # single array<struct> Literal at optimization time.  The naive
@@ -666,3 +674,179 @@ def sim_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+_PQ_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    cells AS (
+      SELECT label, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+      FROM e, range(1, 65) t(i)
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label AS code, list(m ORDER BY i) AS centroid FROM cells GROUP BY label),
+    cb AS (
+      SELECT code, s.m, list_slice(centroid, s.m*8 + 1, s.m*8 + 8) AS sub
+      FROM cent, range(0, 8) s(m)
+    ),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT e.vec_id, cb.m, cb.code,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, cb.m
+                 ORDER BY list_cosine_similarity(
+                            list_slice(e.v, cb.m*8 + 1, cb.m*8 + 8), cb.sub) DESC,
+                          cb.code
+               ) AS rn
+        FROM e CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 3),
+    lut AS (
+      SELECT q.q_id, cb.m, cb.code,
+             CAST(ROUND(list_cosine_similarity(
+                    list_slice(q.v, cb.m*8 + 1, cb.m*8 + 8), cb.sub) * 1000000) AS BIGINT) AS part
+      FROM q CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT l.q_id, enc.vec_id, SUM(part) AS total
+      FROM enc JOIN lut l USING (m, code)
+      WHERE enc.vec_id <> l.q_id
+      GROUP BY l.q_id, enc.vec_id
+    )
+    SELECT q_id, vec_id, approx_sim, rnk FROM (
+      SELECT q_id, vec_id,
+             ROUND(total / 8000000.0, 6) AS approx_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY total DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> Column:
+    """Literal PQ codebook: the 64-dim label centroids sliced into
+    M=8 contiguous 8-dim subspaces — per subspace, k=10 code vectors.
+
+    Like the IVF index, the codebook is a trained control-plane object
+    (k x dims doubles): it enters every plan as ONE from_json literal
+    that Catalyst constant-folds, so encoding and LUT building are
+    pure map-side projections on every executor.
+    """
+    import json as _json
+
+    rows = _collect_centroids(spark, sf_dir)
+    payload = [
+        {
+            "code": int(r["label"]),
+            "subs": [[float(x) for x in r["centroid"][m * 8 : (m + 1) * 8]] for m in range(8)],
+        }
+        for r in rows
+    ]
+    return F.from_json(
+        F.lit(_json.dumps(payload)),
+        "array<struct<code:int,subs:array<array<double>>>>",
+    )
+
+
+@query("sim_pq_adc_topk", _PQ_ORACLE)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring
+    — the IVF-PQ compression path for a 100 TB vector corpus.
+
+    Construction (every stage deterministic, replayed in the oracle):
+      1. Codebook: the decimal-exact label centroids sliced into M=8
+         subspaces of 8 dims; k=10 codes per subspace.
+      2. Encode: each corpus vector compresses to 8 small ints — the
+         per-subspace argmax-cosine code (tie-break code asc).  64
+         float32 (256 B) -> 8 codes (8 B): a 32x footprint reduction,
+         computed map-side against the folded literal codebook with
+         zero shuffle.
+      3. Query LUT: each query precomputes cos(query_sub, code_sub)
+         for all M x k cells, scaled to exact micro-units
+         (BIGINT round(cos*1e6)) so downstream sums are
+         order-independent integers.
+      4. ADC scan: corpus codes join the broadcast LUT on (m, code);
+         the approximate score of a corpus row is the INTEGER sum of
+         its 8 looked-up parts (map-side partial agg; one shuffle
+         keyed (q_id, vec_id)).  Ranking on the integer total is
+         therefore bit-exact across engines and cluster layouts.
+
+    At scale the scan never touches the raw vectors: it reads an
+    8-byte code column, the LUT is a few KB broadcast, and the only
+    shuffle carries (q_id, vec_id, partial-sum) partials.  Exact
+    re-ranking of the PQ top-k against raw vectors is the
+    sim_topk_bruteforce plan applied to the shortlist.
+    """
+    cb = _pq_codebook(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+
+    def sub(v: Column, m: int) -> Column:
+        return F.slice(v, m * 8 + 1, 8)
+
+    def best_code(subv: Column, m: int) -> Column:
+        scored = F.transform(
+            cb,
+            lambda c: F.struct(
+                cosine(subv, F.element_at(c["subs"], m + 1)).alias("sim"),
+                (-c["code"]).alias("negc"),
+                c["code"].alias("code"),
+            ),
+        )
+        return F.element_at(F.reverse(F.array_sort(scored)), 1)["code"]
+
+    # 2. map-side encode: vec -> 8 (m, code) rows
+    enc = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), best_code(sub(F.col("v"), m), m).alias("code"))
+                    for m in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.code")
+
+    # 3. per-query LUT: M x k integer-scaled partial similarities
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
+    qsubs = q.select(
+        "q_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), sub(F.col("q_vec"), m).alias("qsub"))
+                    for m in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select("q_id", "s.m", "s.qsub")
+    lut = qsubs.select(
+        "q_id",
+        "m",
+        F.explode(cb).alias("c"),
+        "qsub",
+    ).select(
+        "q_id",
+        "m",
+        F.col("c.code").alias("code"),
+        F.round(cosine(F.col("qsub"), F.element_at(F.col("c.subs"), F.col("m") + 1)) * 1e6)
+        .cast("bigint")
+        .alias("part"),
+    )
+
+    # 4. ADC scan: integer partial sums, map-side combined
+    scored = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("part").alias("total"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("total").desc(), F.col("vec_id"))
+    return scored.select(
+        "q_id",
+        "vec_id",
+        F.round(F.col("total") / 8000000.0, 6).alias("approx_sim"),
+        F.row_number().over(w).alias("rnk"),
+    ).filter(F.col("rnk") <= 10)

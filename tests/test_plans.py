@@ -225,3 +225,33 @@ def test_interval_banded_join_is_hash_not_nested_loop(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
     df.collect()
+
+
+def test_runtime_bloom_filter_guards_fact_scan(spark, sf_dir):
+    """join_runtime_bloom: the filtered orders side must inject a
+    bloom_filter_agg subquery whose might_contain test is applied to
+    the lineitem side BEFORE the exchange (runtime row-level filter),
+    and the join itself must not be broadcast."""
+    df = engine.QUERIES["join_runtime_bloom"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    assert "BroadcastHashJoin" not in plan
+    # the might_contain guard must sit on the lineitem (application) side
+    lhs = plan.split("might_contain")[0]
+    assert "l_orderkey" in plan[plan.index("might_contain"):plan.index("might_contain") + 200]
+
+
+def test_pq_encode_is_map_side(spark, sf_dir):
+    """sim_pq_adc_topk: corpus encoding must be a pure projection
+    against the folded literal codebook — the only exchanges allowed
+    are the centroid training aggs, the broadcast of the query LUT,
+    and the final (q_id, vec_id) partial-sum shuffle.  No shuffle may
+    carry raw 64-dim vectors keyed by vec_id."""
+    df = engine.QUERIES["sim_pq_adc_topk"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan  # LUT ships broadcast
+    # encoding never shuffles the corpus on vec_id before the join
+    assert "Exchange hashpartitioning(vec_id" not in plan
