@@ -275,3 +275,110 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag("v[^p]*c[^p]*p").alias("n_funnel_users"),
         flag("e[^e]*p").alias("n_error_then_purchase"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY event_type, day
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n_days,
+             SUM(n_events) AS s1,
+             SUM(n_events * n_events) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n_events,
+           ROUND((d.n_events - CAST(s1 AS DOUBLE) / n_days)
+                 / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_days) / (n_days - 1)), 4) AS z,
+           CASE WHEN abs((d.n_events - CAST(s1 AS DOUBLE) / n_days)
+                 / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_days) / (n_days - 1))) > 2.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ORDER BY d.event_type, day
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-volume anomaly flags via z-scores — the
+    data-quality monitor every ingestion pipeline runs over its
+    arrival counts.
+
+    Two-pass but both passes tiny after the first partial agg: daily
+    counts are one map-side-combined groupBy (cardinality = types x
+    days, control-plane-sized regardless of event volume), per-type
+    moments are an agg OVER THAT, and the z-score join broadcasts.
+    Parity is exact by construction: the moments (s1, s2) are integer
+    sums, and both engines evaluate the identical closed-form
+    (x - s1/n) / sqrt((s2 - s1^2/n)/(n-1)) expression on exact
+    integers — no Welford/streaming variance whose accumulation order
+    would differ across engines or partitionings.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    z = (F.col("n_events") - F.col("s1").cast("double") / F.col("n_days")) / F.sqrt(
+        (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_days"))
+        / (F.col("n_days") - 1)
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round(z, 4).alias("z"),
+            F.when(F.abs(z) > 2.0, F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "events_rolling_distinct",
+    """
+    WITH p AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM p),
+    f AS (SELECT day + CAST(r.k AS INT) AS wd, user_id FROM p, range(0, 7) r(k))
+    SELECT d.day, count(DISTINCT user_id) AS n_users_7d
+    FROM f JOIN days d ON f.wd = d.day
+    GROUP BY d.day ORDER BY day
+    """,
+)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling
+    count-distinct that naive engines recompute with 7x overlapping
+    scans.
+
+    The scalable shape: reduce the stream once to DISTINCT (day, user)
+    pairs (one shuffle, cardinality bounded by days x users, far below
+    event volume), then fan each pair out map-side to the <=7 window
+    ends it contributes to, and count distinct per window end (the
+    second shuffle).  Total cost is 2 exchanges over deduplicated
+    pairs — independent of raw event count after the first distinct —
+    versus 7 full re-scans for the self-join formulation.  Window ends
+    are clipped to days present in the data (leading partial windows
+    are included, matching the oracle's semi-join).
+    """
+    ev = t(spark, sf_dir, "events")
+    p = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = p.select("day").distinct()
+    f = p.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "day", "user_id"
+    ).select(F.date_add(F.col("day"), F.col("k")).alias("wd"), "user_id")
+    return (
+        f.join(F.broadcast(days), f.wd == days.day)
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+        .orderBy("day")
+    )

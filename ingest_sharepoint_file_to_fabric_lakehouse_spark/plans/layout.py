@@ -269,3 +269,94 @@ def join_dynamic_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("y").alias("order_year"), "n_orders", "total")
         .orderBy("order_year")
     )
+
+
+@query(
+    "sink_zorder_layout",
+    """
+    WITH b AS (
+      SELECT MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c,
+             MIN(CAST(o_totalprice * 100 AS BIGINT)) AS min_p,
+             MAX(CAST(o_totalprice * 100 AS BIGINT)) AS max_p
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders, b
+    WHERE o_custkey >= min_c + (max_c - min_c + 1) * 7 // 16
+      AND o_custkey <  min_c + (max_c - min_c + 1) * 9 // 16
+      AND CAST(o_totalprice * 100 AS BIGINT) >= min_p + (max_p - min_p + 1) * 7 // 16
+      AND CAST(o_totalprice * 100 AS BIGINT) <  min_p + (max_p - min_p + 1) * 9 // 16
+    ORDER BY o_orderkey
+    """,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout: orders rewritten once, sorted by the
+    bit-interleaved (custkey-bucket, price-bucket) Morton code, so
+    parquet footer min/max stats bound EVERY file in BOTH dimensions
+    at once — a 2-D box predicate (or either single-dim band) prunes
+    most files before any IO.  A 1-D sort can only cluster one
+    dimension; this is the multi-column data-skipping layout (Delta
+    OPTIMIZE ZORDER BY) that at 100 TB turns "filter on two non-
+    partition keys" from a full scan into a handful of files.
+
+    Construction: custkey and integer-cents price each scale to an
+    8-bit bucket via exact integer arithmetic over the collected
+    (control-plane) min/max, the 16-bit Morton code interleaves the
+    bucket bits with shift/and built-ins, and the write is
+    repartitionByRange(16, z) + sortWithinPartitions(z) — contiguous
+    z-ranges per file.  The layout is fingerprint-gated staging like
+    every derived artifact.  tests/test_plans.py proves the skip from
+    the staged footers: a price-only band predicate must prune most
+    files by stats alone.
+
+    The returned query reads the STAGED layout with a middle-eighth
+    box on both dimensions (bounds derived by the identical integer
+    formula the oracle replays via scalar subqueries over the source
+    table), so correctness shows the rewrite lost nothing.
+    """
+    path = f"{_staging(sf_dir)}/zorder_orders"
+    token = source_fingerprint(sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr("cast(o_totalprice * 100 as bigint)").alias("cents"),
+    )
+    lo = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("cents"), F.max("cents")
+    ).collect()[0]
+    min_c, max_c, min_p, max_p = (int(x) for x in lo)
+    w_c, w_p = max_c - min_c + 1, max_p - min_p + 1
+    if not staging_current(path, token):
+        bc = F.least(((F.col("o_custkey") - min_c) * 256 / w_c).cast("bigint"), F.lit(255))
+        bp = F.least(((F.col("cents") - min_p) * 256 / w_p).cast("bigint"), F.lit(255))
+        zb = sum(
+            [
+                F.shiftleft(F.shiftright(bc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+                + F.shiftleft(F.shiftright(bp, i).bitwiseAND(F.lit(1)), 2 * i)
+                for i in range(8)
+            ],
+            F.lit(0),
+        )
+        (
+            o.withColumn("z", zb)
+            .repartitionByRange(16, "z")
+            .sortWithinPartitions("z")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        stamp_staging(path, token)
+    lo_c, hi_c = min_c + w_c * 7 // 16, min_c + w_c * 9 // 16
+    lo_p, hi_p = min_p + w_p * 7 // 16, min_p + w_p * 9 // 16
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("o_custkey") >= lo_c)
+            & (F.col("o_custkey") < hi_c)
+            & (F.expr("cast(o_totalprice * 100 as bigint)") >= lo_p)
+            & (F.expr("cast(o_totalprice * 100 as bigint)") < hi_p)
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -55,7 +55,8 @@ def test_side_effect_queries_are_rerunnable(spark, sf_dir):
     for key in ["scan_csv_schema", "sink_parquet", "sink_partitioned",
                 "sink_delta_merge", "sink_merge_partitioned",
                 "multimodal_frame_sample", "join_bucketed", "sink_scd2_merge",
-                "scan_partition_pruned", "sim_ivf_partition_pruned"]:
+                "scan_partition_pruned", "sim_ivf_partition_pruned",
+                "sink_zorder_layout"]:
         a = engine.QUERIES[key](spark, sf_dir).count()
         b = engine.QUERIES[key](spark, sf_dir).count()
         assert a == b, key
@@ -255,3 +256,41 @@ def test_pq_encode_is_map_side(spark, sf_dir):
     assert "BroadcastExchange" in plan  # LUT ships broadcast
     # encoding never shuffles the corpus on vec_id before the join
     assert "Exchange hashpartitioning(vec_id" not in plan
+
+
+def test_zorder_layout_bounds_both_dims(spark, sf_dir):
+    """sink_zorder_layout: the staged Morton-ordered files must be
+    bounded in BOTH dimensions by their parquet footer stats — a
+    price-only band predicate prunes most files without reading data,
+    which no 1-D custkey sort could do."""
+    import os
+    import pyarrow.parquet as pq
+
+    df = engine.QUERIES["sink_zorder_layout"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    path = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/zorder_orders"
+    stats = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        lo_p, hi_p = None, None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == "o_totalprice" and c.statistics:
+                    s = c.statistics
+                    lo_p = s.min if lo_p is None else min(lo_p, s.min)
+                    hi_p = s.max if hi_p is None else max(hi_p, s.max)
+        stats.append((lo_p, hi_p))
+    assert len(stats) >= 8  # repartitionByRange(16) produced a spread
+    gmin = min(s[0] for s in stats)
+    gmax = max(s[1] for s in stats)
+    w = gmax - gmin
+    band_lo, band_hi = gmin + w * 7 / 16, gmin + w * 9 / 16
+    pruned = sum(1 for lo, hi in stats if hi < band_lo or lo > band_hi)
+    # z-order: each file spans ~1/4 of the price range, so a 1/8 band
+    # must prune at least a third of the files on footer stats alone
+    assert pruned >= len(stats) // 3, (pruned, stats)
