@@ -712,3 +712,71 @@ def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_exact_median_twopass",
+    """
+    WITH c AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS cents FROM orders),
+    r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c)
+    SELECT (SELECT count(*) FROM c) AS n,
+           cents AS median_cents,
+           CAST(cents AS DOUBLE) / 100.0 AS median_price
+    FROM r WHERE rn = ((SELECT count(*) FROM c) + 1) // 2
+    """,
+)
+def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median (lower median, 1-based rank (n+1)//2) without a
+    global sort — the two-pass histogram-narrowing algorithm that
+    makes exact quantiles feasible at 100 TB.
+
+    A naive exact median sorts the whole column (one giant range
+    exchange).  Instead:
+      pass 1: map-side integer-cents bucketing into fixed 500.00-wide
+        bins + a partial-aggregated groupBy — the driver receives only
+        the ~1000-row bin histogram (control-plane), walks the
+        cumulative counts, and finds the single bin containing the
+        target rank;
+      pass 2: re-scan with the pushed ``cents BETWEEN bin`` predicate
+        (footer stats skip everything else on a cents-sorted layout),
+        and rank ONLY the ~n/1000 rows of that bin.
+    Total cost: two column scans, one tiny shuffle of one bin —
+    versus a full-table sort.  Generalizes to any quantile and to
+    iterative refinement when a bin is still too big.
+
+    Everything is integer arithmetic (cents, counts, ranks), so the
+    selected value is bit-identical to the oracle's global
+    row_number replay.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        F.expr("cast(o_totalprice * 100 as bigint)").alias("cents")
+    )
+    n = o.count()
+    k = (n + 1) // 2  # 1-based lower-median rank
+    bins = (
+        o.groupBy((F.col("cents") / 50000).cast("bigint").alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bin")
+        .collect()
+    )
+    cum = 0
+    target_bin = None
+    rank_in_bin = None
+    for r in bins:
+        if cum + r["cnt"] >= k:
+            target_bin, rank_in_bin = r["bin"], k - cum
+            break
+        cum += r["cnt"]
+    from pyspark.sql import Window as W
+
+    in_bin = o.filter(
+        (F.col("cents") >= target_bin * 50000) & (F.col("cents") < (target_bin + 1) * 50000)
+    )
+    ranked = in_bin.select(
+        "cents", F.row_number().over(W.orderBy("cents")).alias("rn")
+    ).filter(F.col("rn") == rank_in_bin)
+    return ranked.select(
+        F.lit(n).cast("long").alias("n"),
+        F.col("cents").alias("median_cents"),
+        (F.col("cents").cast("double") / 100.0).alias("median_price"),
+    )

@@ -654,3 +654,64 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_items"), rev.alias("revenue"))
         .orderBy("month")
     )
+
+
+@query(
+    "join_null_skew_split",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS join_key
+      FROM orders
+    )
+    SELECT COALESCE(c_mktsegment, '<null-key>') AS segment,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM o LEFT JOIN customer ON join_key = c_custkey
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join under NULL-KEY SKEW, with the null rows routed
+    AROUND the join — the manual fix for the hottest skew key there
+    is.
+
+    A third of the fact rows here carry a NULL join key.  Nulls never
+    match, but a naive outer join still hashes them all to ONE
+    reducer partition — the classic single-straggler task that stalls
+    a 1000-executor job (AQE's skew splitting handles oversized VALUE
+    keys, but a null flood is better never shuffled at all).  The
+    scale shape: split the input on ``join_key IS NULL``, join only
+    the non-null stream, project the null stream straight to its
+    unmatched output (no exchange for those rows), and UNION the
+    branches — asserted in tests as a Union whose join branch filters
+    to non-null keys.
+
+    Semantically identical to the plain LEFT JOIN the oracle runs,
+    because SQL null keys never match anyway — only the physical
+    distribution differs, which is the point.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(F.col("o_custkey")).alias(
+            "join_key"
+        ),
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    matched = o.filter(F.col("join_key").isNotNull()).join(
+        c, F.col("join_key") == F.col("c_custkey"), "left"
+    ).select("o_totalprice", "c_mktsegment")
+    nulls = o.filter(F.col("join_key").isNull()).select(
+        "o_totalprice", F.lit(None).cast("string").alias("c_mktsegment")
+    )
+    return (
+        matched.unionAll(nulls)
+        .groupBy(F.coalesce("c_mktsegment", F.lit("<null-key>")).alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("total"),
+        )
+        .orderBy("segment")
+    )

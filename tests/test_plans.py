@@ -294,3 +294,19 @@ def test_zorder_layout_bounds_both_dims(spark, sf_dir):
     # z-order: each file spans ~1/4 of the price range, so a 1/8 band
     # must prune at least a third of the files on footer stats alone
     assert pruned >= len(stats) // 3, (pruned, stats)
+
+
+def test_null_skew_split_routes_nulls_around_join(spark, sf_dir):
+    """join_null_skew_split: the physical plan must be a Union whose
+    join branch filters to non-null keys — null-key rows never enter
+    an exchange feeding the join."""
+    df = engine.QUERIES["join_null_skew_split"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Union" in plan
+    # Catalyst pushes isnotnull(join_key) through the CASE projection:
+    # the join branch's scan filter becomes
+    #   CASE WHEN (o_orderkey % 3 = 0) THEN false ELSE isnotnull(o_custkey)
+    # — null-key rows are dropped before the join's exchange
+    assert "THEN false ELSE isnotnull" in plan
+    rows = {r.segment: r.n_orders for r in df.collect()}
+    assert "<null-key>" in rows and rows["<null-key>"] > 0
