@@ -77,30 +77,28 @@ _DRIVER_VERIFIED = {
 # decimal fix — and (b) rotation re-checks of the oldest green rows
 # (r01 verdicts) so stale verdicts refresh.
 _WINDOW_50 = [
-    # new this round — oracle-backed
-    "join_skew_salted", "scan_rowgroup_skipping", "udf_cogrouped_asof",
-    "agg_incremental_merge", "text_boilerplate_ratio", "agg_bitmap_distinct",
-    "corpus_quality_pipeline", "events_sequence_pattern",
-    "join_asof_next_within", "scan_schema_evolution", "sim_kmeans_build",
-    "sql_api_q5", "win_ntile_bucketize", "agg_mode_top_freq", "sink_csv_export",
-    "scan_csv_malformed", "sink_compact_small_files",
-    "join_dynamic_partition_pruned", "filter_exists_subquery",
-    "stream_additive_state_merge", "udtf_lateral_python",
-    "scan_observe_metrics", "multimodal_chunk_binary",
-    "join_interval_banded", "scan_parquet_nested", "agg_histogram_fixed",
-    # changed this round — oracle-backed
-    "dedup_jaccard_prefix", "sim_ivf_probe", "sim_ivf_partition_pruned",
-    "graph_pagerank", "graph_triangle_count", "text_lm_quality",
-    "ingest_pipeline", "sink_delta_merge", "sink_merge_partitioned",
-    "join_bucketed", "scan_partition_pruned", "scan_datasource_sharepoint",
-    "dedup_minhash_portable", "corpus_dedup_pipeline",
-    # changed this round — weak-by-design (rows-only driver verdicts)
-    "dedup_fuzzy_minhash", "dedup_simhash",
-    # changed this round — streaming (json commit markers, state width 2)
-    "stream_foreach_sink", "stream_stream_join", "stream_stateful_custom",
-    # rotation: oldest green rows (r01) re-verify
-    "flagship_q3_topk", "project_select", "project_rename_drop",
-    "filter_comparison", "filter_in_set",
+    # round-6 additions with NO driver verdict yet — all oracle-backed
+    # (the driver's 50-key window must cover every one of these)
+    "sql_api_q5", "filter_exists_subquery", "scan_rowgroup_skipping",
+    "join_dynamic_partition_pruned", "sink_zorder_layout",
+    "join_skew_salted", "join_asof_next_within", "join_interval_banded",
+    "join_runtime_bloom", "join_null_skew_split",
+    "agg_incremental_merge", "agg_bitmap_distinct", "agg_mode_top_freq",
+    "agg_histogram_fixed", "agg_exact_median_twopass",
+    "win_ntile_bucketize", "corpus_quality_pipeline",
+    "events_sequence_pattern", "events_anomaly_zscore",
+    "events_rolling_distinct", "sim_kmeans_build", "sim_pq_adc_topk",
+    "text_chunk_overlap", "text_boilerplate_ratio", "udf_cogrouped_asof",
+    "udtf_lateral_python", "multimodal_chunk_binary",
+    "scan_schema_evolution", "scan_csv_malformed", "scan_observe_metrics",
+    "scan_parquet_nested", "sink_csv_export", "sink_compact_small_files",
+    "sink_snapshot_diff", "stream_additive_state_merge",
+    # rotation: stalest green rows (r01 verdicts on the old corpus,
+    # not judge-rechecked since) re-enter the window
+    "agg_count_distinct", "agg_having", "agg_cube", "agg_grouping_sets",
+    "agg_stats", "agg_percentile", "win_rank_dense", "win_lag_lead",
+    "win_running_sum", "win_moving_avg", "win_first_last",
+    "sort_multi_nulls", "limit_n", "set_union_all", "set_intersect",
 ]
 
 
