@@ -939,3 +939,73 @@ def dedup_jaccard_prefix(
         )
         out = small_out.unionByName(large_out)
     return out.orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_containment",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+1], ' ')
+                       FOR i IN range(1, greatest(len(toks)-1, 1) + 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 120)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 10 >= 3 * least(sa.n_sh, sb.n_sh)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.3
+    (fixture-scaled; a production corpus would gate at 0.8-0.9) —
+    catches a short document embedded inside a longer one (quote
+    farms, boilerplate-wrapped reposts), which symmetric Jaccard
+    misses because the union in its denominator dilutes the overlap.
+
+    Same scale shape as dedup_ngram_jaccard: shingle inverted-index
+    self-join for candidates (never a cross join), per-doc set sizes
+    from one groupBy, and the keep rule evaluated as INTEGER
+    arithmetic (10·n_common ≥ 3·min-size) so the threshold is
+    boundary-exact in both engines; the reported containment double
+    is display-only.  At 100 TB the candidate volume is bounded by
+    shingle-frequency capping (drop shingles with document frequency
+    above a cutoff), the same guard the jaccard/prefix family uses.
+    """
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    mn = F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(F.col("n_common") * 10 >= mn * 3)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common").cast("double") / mn, 6).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

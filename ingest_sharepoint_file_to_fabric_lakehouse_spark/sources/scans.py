@@ -561,3 +561,47 @@ def scan_parquet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("lead_tokens").alias("n_lead"),
         F.array_join("lead_tokens", "-").alias("lead_joined"),
     ).orderBy("doc_id")
+
+
+@query(
+    "scan_table_stats",
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_returnflag) AS ndv_returnflag,
+           count(DISTINCT l_linestatus) AS ndv_linestatus,
+           count(*) - count(l_quantity) AS nulls_quantity,
+           MIN(CAST(l_quantity * 100 AS BIGINT)) AS min_qty_cents,
+           MAX(CAST(l_quantity * 100 AS BIGINT)) AS max_qty_cents,
+           MIN(CAST(l_extendedprice * 100 AS BIGINT)) AS min_price_cents,
+           MAX(CAST(l_extendedprice * 100 AS BIGINT)) AS max_price_cents,
+           MIN(l_shipdate) AS min_shipdate,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    """,
+)
+def scan_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE in one pass: row count, low-cardinality NDVs,
+    null counts, and min/max ranges for the planner's cost model and
+    for data-quality gates — the statistics collection every serious
+    deployment schedules after ingest.
+
+    One Aggregate over one scan: min/max/count are plain partials;
+    the exact NDVs target the LOW-cardinality flag columns only
+    (distinct expansion on a high-cardinality key would be its own
+    shuffle — that's what agg_approx_distinct / agg_sketch_hll_merge
+    are for, and at 100 TB you'd feed those here).  Numeric ranges
+    report as exact integer cents; dates as native min/max.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_returnflag").alias("ndv_returnflag"),
+        F.count_distinct("l_linestatus").alias("ndv_linestatus"),
+        (F.count("*") - F.count("l_quantity")).alias("nulls_quantity"),
+        F.min(F.expr("cast(l_quantity * 100 as bigint)")).alias("min_qty_cents"),
+        F.max(F.expr("cast(l_quantity * 100 as bigint)")).alias("max_qty_cents"),
+        F.min(F.expr("cast(l_extendedprice * 100 as bigint)")).alias("min_price_cents"),
+        F.max(F.expr("cast(l_extendedprice * 100 as bigint)")).alias("max_price_cents"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
