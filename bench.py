@@ -150,6 +150,18 @@ def main() -> None:
     except Exception as ex:
         print(f"# warmup partial: {type(ex).__name__}: {ex}", file=sys.stderr)
 
+    # Machine-speed calibration: identical code+data measured 85.5 s on
+    # one boot and 110-133 s on the next (host/CPU-frequency variance
+    # the variance guard can't remove).  Time a fixed, data-independent
+    # reference job so runs are comparable ACROSS boots: report
+    # calib_sec alongside the total; total/calib is the
+    # machine-independent figure.
+    spark.range(1_000_000).selectExpr("sum(xxhash64(id) % 1000000) s").collect()  # codegen
+    calib_t0 = time.time()
+    spark.range(2_000_000_000).selectExpr("sum(xxhash64(id) % 1000000) s").collect()
+    calib_sec = round(time.time() - calib_t0, 3)
+    print(f"# calibration job: {calib_sec:.2f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     # Execute in REVERSE registration order: queries() fronts the
@@ -231,7 +243,7 @@ def main() -> None:
     # runs measured the same way (ADVICE r5: the r5 order change made
     # per-key rows incomparable to earlier rounds without saying so).
     protocol = {
-        "version": 4,
+        "version": 5,
         "order": "reversed-registration",
         "variance_guard": "rerun-16-slowest-keep-min",
     }
@@ -243,6 +255,7 @@ def main() -> None:
             "sf": sf_val,
             "n_queries": len(timings),
             "protocol_version": protocol["version"],
+            "calib_sec": calib_sec,
             "queries": slowest,
         }
     )
@@ -252,6 +265,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "protocol": protocol,
+        "calib_sec": calib_sec,
         "queries": timings,
         "reruns": reruns,
     }
