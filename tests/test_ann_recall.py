@@ -51,3 +51,16 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
     common = set(est) & set(exact)
     for pair in common:
         assert abs(est[pair] - exact[pair]) <= 0.35, (pair, est[pair], exact[pair])
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    """PQ-ADC approximate top-10 must substantially agree with the
+    exact brute-force top-10: 8x8-dim subspaces with 10 codes each is
+    a coarse quantizer, but the corpus is label-clustered, so the ADC
+    ranking should recover most true neighbors."""
+    exact = _topk_sets(engine.QUERIES["sim_topk_bruteforce"](spark, sf_dir))
+    approx = _topk_sets(engine.QUERIES["sim_pq_adc_topk"](spark, sf_dir))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
