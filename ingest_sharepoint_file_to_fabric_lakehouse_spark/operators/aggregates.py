@@ -780,3 +780,94 @@ def agg_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("median_cents"),
         (F.col("cents").cast("double") / 100.0).alias("median_price"),
     )
+
+
+_CMS_ORACLE = """
+    WITH base AS (
+      SELECT event_type || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS key
+      FROM events
+    ),
+    exact AS (SELECT key, count(*) AS n_exact FROM base GROUP BY key),
+    hashed AS (
+      SELECT key, n_exact, s.j,
+             CAST(CAST('0x' || substr(md5(CAST(s.j AS VARCHAR) || ':' || key), 1, 2)
+                       AS INTEGER) % 32 AS INTEGER) AS b
+      FROM exact, range(0, 4) s(j)
+    ),
+    cells AS (SELECT j, b, CAST(SUM(n_exact) AS BIGINT) AS cell FROM hashed GROUP BY j, b),
+    est AS (
+      SELECT h.key, h.n_exact, min(c.cell) AS n_cms
+      FROM hashed h JOIN cells c USING (j, b)
+      GROUP BY h.key, h.n_exact
+    )
+    SELECT key, n_exact, n_cms, n_cms - n_exact AS overcount FROM est
+    ORDER BY key
+    """
+
+
+@query("agg_cms_portable", _CMS_ORACLE)
+def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with portable md5 bucket hashes — the
+    fixed-size mergeable frequency sketch completing the sketch family
+    (HLL distinct / bitmap distinct / GK quantiles / CMS frequencies).
+
+    Construction (every cell value-checked in the oracle): d=4 hash
+    rows x w=32 buckets; row j buckets a key by the first byte of
+    md5(j + ':' + key) mod 32 (md5 is bit-identical everywhere, so
+    DuckDB replays the exact cells); a key's estimate is the MIN of
+    its d cells, and overcount = estimate - exact >= 0 by
+    construction — the oracle checks the inequality cell-by-cell,
+    not just in aggregate.
+
+    Scale shape: the sketch is d*w = 128 bigint cells REGARDLESS of
+    key cardinality — per-partition partial sketches merge by
+    cell-wise sum (associative/commutative/exact), so the shuffle
+    carries 128 cells per partition where an exact count would carry
+    the full key set.  This is the heavy-hitter / frequency-cap
+    primitive for keyspaces too wide to count exactly (URLs, client
+    IDs at 100 TB); here it runs against (event_type, day) keys so
+    the exact side stays cheap enough to verify every estimate.
+    """
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.col("ts").cast("date").cast("string")
+        ).alias("key")
+    )
+    exact = base.groupBy("key").agg(F.count("*").alias("n_exact"))
+    hashed = exact.select(
+        "key",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{j}:"), F.col("key"))), 1, 2
+                                ),
+                                16,
+                                10,
+                            ).cast("int")
+                            % 32
+                        ).alias("b"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("key", "n_exact", "s.j", "s.b")
+    cells = hashed.groupBy("j", "b").agg(F.sum("n_exact").alias("cell"))
+    est = (
+        hashed.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("key", "n_exact")
+        .agg(F.min("cell").alias("n_cms"))
+    )
+    return est.select(
+        "key",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
+    ).orderBy("key")

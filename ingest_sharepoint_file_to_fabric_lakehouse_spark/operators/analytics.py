@@ -382,3 +382,77 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "win_gaps_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id,
+             count(*) AS streak_len,
+             min(day) AS streak_start
+      FROM r
+      GROUP BY user_id, day - CAST(rn AS INTEGER)
+    )
+    SELECT user_id, n_streaks, longest_streak, longest_start FROM (
+      SELECT user_id,
+             count(*) OVER (PARTITION BY user_id) AS n_streaks,
+             streak_len AS longest_streak,
+             streak_start AS longest_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, streak_start) AS r
+      FROM streaks) WHERE r = 1
+    ORDER BY user_id
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the row_number-difference trick — the classic sessionize-by-
+    calendar pattern (login streaks, SLA uptime runs, sensor dropouts).
+
+    ``day - row_number()`` is constant exactly while days are
+    consecutive, so one window + one groupBy finds every maximal run
+    with NO self-join and NO iteration.  Scale shape: the distinct
+    (user, day) projection collapses raw events first (map-side
+    partial), then a single hash shuffle on user_id serves both the
+    window and the streak aggregation — cost is bounded by active
+    user-days, not event volume.  Reported: per user, the number of
+    maximal streaks and the longest one (ties -> earliest start).
+    """
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    rn = days.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("day")),
+    )
+    streaks = (
+        rn.withColumn("grp", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count("*").alias("streak_len"),
+            F.min("day").alias("streak_start"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.select(
+            "user_id",
+            F.count("*").over(Window.partitionBy("user_id")).alias("n_streaks"),
+            F.col("streak_len").alias("longest_streak"),
+            F.col("streak_start").alias("longest_start"),
+            F.row_number().over(w).alias("r"),
+        )
+        .filter(F.col("r") == 1)
+        .drop("r")
+        .orderBy("user_id")
+    )

@@ -676,9 +676,12 @@ def sim_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 _PQ_ORACLE = """
     WITH e AS (
-      SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+      SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings
     ),
     cells AS (
       SELECT label, i,
@@ -686,154 +689,261 @@ _PQ_ORACLE = """
       FROM e, range(1, 65) t(i)
       GROUP BY label, i
     ),
-    cent AS (SELECT label AS code, list(m ORDER BY i) AS centroid FROM cells GROUP BY label),
-    cb AS (
+    cent AS (
+      SELECT label AS code, list(m ORDER BY i) AS centroid FROM cells GROUP BY label
+    ),
+    cb0 AS (
       SELECT code, s.m, list_slice(centroid, s.m*8 + 1, s.m*8 + 8) AS sub
       FROM cent, range(0, 8) s(m)
     ),
+    sv AS (
+      SELECT vec_id, s.m, list_slice(v, s.m*8 + 1, s.m*8 + 8) AS sub
+      FROM e, range(0, 8) s(m)
+    ),
+    a1 AS (
+      SELECT vec_id, m, sub, code FROM (
+        SELECT sv.vec_id, sv.m, sv.sub, cb.code,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id, sv.m
+                 ORDER BY list_dot_product(cb.sub, cb.sub)
+                          - 2 * list_dot_product(sv.sub, cb.sub), cb.code) AS r
+        FROM sv JOIN cb0 cb USING (m)) WHERE r = 1
+    ),
+    u1 AS (
+      SELECT m, code, i,
+             CAST(SUM(CAST(sub[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS x
+      FROM a1, range(1, 9) t(i) GROUP BY m, code, i
+    ),
+    cb1 AS (SELECT m, code, list(x ORDER BY i) AS sub FROM u1 GROUP BY m, code),
+    a2 AS (
+      SELECT vec_id, m, sub, code FROM (
+        SELECT sv.vec_id, sv.m, sv.sub, cb.code,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id, sv.m
+                 ORDER BY list_dot_product(cb.sub, cb.sub)
+                          - 2 * list_dot_product(sv.sub, cb.sub), cb.code) AS r
+        FROM sv JOIN cb1 cb USING (m)) WHERE r = 1
+    ),
+    u2 AS (
+      SELECT m, code, i,
+             CAST(SUM(CAST(sub[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS x
+      FROM a2, range(1, 9) t(i) GROUP BY m, code, i
+    ),
+    cb2 AS (SELECT m, code, list(x ORDER BY i) AS sub FROM u2 GROUP BY m, code),
     enc AS (
       SELECT vec_id, m, code FROM (
-        SELECT e.vec_id, cb.m, cb.code,
+        SELECT sv.vec_id, sv.m, cb.code,
                row_number() OVER (
-                 PARTITION BY e.vec_id, cb.m
-                 ORDER BY list_cosine_similarity(
-                            list_slice(e.v, cb.m*8 + 1, cb.m*8 + 8), cb.sub) DESC,
-                          cb.code
-               ) AS rn
-        FROM e CROSS JOIN cb
-      ) WHERE rn = 1
+                 PARTITION BY sv.vec_id, sv.m
+                 ORDER BY list_dot_product(cb.sub, cb.sub)
+                          - 2 * list_dot_product(sv.sub, cb.sub), cb.code) AS r
+        FROM sv JOIN cb2 cb USING (m)) WHERE r = 1
     ),
     q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 3),
+    qs AS (
+      SELECT q_id, s.m, list_slice(v, s.m*8 + 1, s.m*8 + 8) AS qsub
+      FROM q, range(0, 8) s(m)
+    ),
     lut AS (
-      SELECT q.q_id, cb.m, cb.code,
-             CAST(ROUND(list_cosine_similarity(
-                    list_slice(q.v, cb.m*8 + 1, cb.m*8 + 8), cb.sub) * 1000000) AS BIGINT) AS part
-      FROM q CROSS JOIN cb
+      SELECT qs.q_id, cb.m, cb.code,
+             CAST(ROUND(list_dot_product(qs.qsub, cb.sub) * 1000000) AS BIGINT) AS part,
+             CAST(ROUND(list_dot_product(cb.sub, cb.sub) * 1000000) AS BIGINT) AS n2p
+      FROM qs JOIN cb2 cb USING (m)
     ),
     scored AS (
-      SELECT l.q_id, enc.vec_id, SUM(part) AS total
+      SELECT l.q_id, enc.vec_id,
+             CAST(SUM(part) AS BIGINT) AS total,
+             CAST(SUM(n2p) AS BIGINT) AS n2
       FROM enc JOIN lut l USING (m, code)
       WHERE enc.vec_id <> l.q_id
       GROUP BY l.q_id, enc.vec_id
+    ),
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY total / sqrt(n2) DESC, vec_id) AS ar
+        FROM scored) WHERE ar <= 100
     )
-    SELECT q_id, vec_id, approx_sim, rnk FROM (
-      SELECT q_id, vec_id,
-             ROUND(total / 8000000.0, 6) AS approx_sim,
-             row_number() OVER (PARTITION BY q_id ORDER BY total DESC, vec_id) AS rnk
-      FROM scored
-    ) WHERE rnk <= 10
+    SELECT q_id, vec_id, cos_sim, rnk FROM (
+      SELECT s.q_id, s.vec_id,
+             ROUND(list_cosine_similarity(q.v, e.v), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY s.q_id
+               ORDER BY ROUND(list_cosine_similarity(q.v, e.v), 6) DESC,
+                        s.vec_id) AS rnk
+      FROM short s
+      JOIN e ON e.vec_id = s.vec_id
+      JOIN q ON q.q_id = s.q_id) WHERE rnk <= 10
     """
 
 
-def _pq_codebook(spark: SparkSession, sf_dir: str) -> Column:
-    """Literal PQ codebook: the 64-dim label centroids sliced into
-    M=8 contiguous 8-dim subspaces — per subspace, k=10 code vectors.
+_PQ_CB_CACHE: dict[tuple[str, str], list] = {}
 
-    Like the IVF index, the codebook is a trained control-plane object
-    (k x dims doubles): it enters every plan as ONE from_json literal
-    that Catalyst constant-folds, so encoding and LUT building are
-    pure map-side projections on every executor.
+
+def _pq_train(spark: SparkSession, sf_dir: str, sv: DataFrame) -> list:
+    """Train the per-subspace PQ codebooks: M=8 subspaces of 8 dims,
+    k=10 codes each, 2 Lloyd iterations seeded from the label-centroid
+    slices.
+
+    The seed (label centroids) encodes only BETWEEN-label structure —
+    every same-label vector would compress to the same 8 codes and ADC
+    could not rank within a label at all.  The Lloyd refinement adapts
+    each subspace codebook to the within-label variance, which is what
+    makes the code tuples discriminative (measured: 500/500 distinct
+    tuples at sf0.001 after refinement vs ~10 before).
+
+    Scale shape per iteration (same as sim_kmeans_build): the codebook
+    is a control-plane object (M x k x 8 doubles) folded into the plan
+    as ONE literal, assignment is pure map-side, and the update is a
+    groupBy((m, code, pos)) decimal mean whose shuffle carries M*k*8
+    cells.  Assignment metric is squared L2 via the identity
+    |c|^2 - 2<v,c> (the |v|^2 term is constant per (vec, m) and
+    dropped), computed with the same sequential fold the oracle's
+    list_dot_product performs; ties break on code asc.  Codes that
+    attract no vectors drop out in both engines (GROUP BY semantics).
     """
-    import json as _json
-
+    ck = (sf_dir, source_fingerprint(sf_dir, "embeddings"))
+    if ck in _PQ_CB_CACHE:
+        return _PQ_CB_CACHE[ck]
     rows = _collect_centroids(spark, sf_dir)
-    payload = [
+    cb = [
         {
+            "m": m,
             "code": int(r["label"]),
-            "subs": [[float(x) for x in r["centroid"][m * 8 : (m + 1) * 8]] for m in range(8)],
+            "sub": [float(x) for x in r["centroid"][m * 8 : (m + 1) * 8]],
         }
         for r in rows
+        for m in range(8)
     ]
+    for _ in range(2):
+        assigned = sv.withColumn("code", _pq_assign_code(cb))
+        means = (
+            assigned.select("m", "code", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("m", "code", "pos")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("x")
+            )
+        )
+        cb = [
+            {"m": r["m"], "code": r["code"], "sub": [float(x) for x in r["sub"]]}
+            for r in means.groupBy("m", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+            .select("m", "code", F.col("px.x").alias("sub"))
+            .collect()
+        ]
+    _PQ_CB_CACHE[ck] = sorted(cb, key=lambda c: (c["m"], c["code"]))
+    return _PQ_CB_CACHE[ck]
+
+
+def _pq_cb_lit(cb: list) -> Column:
+    """The codebook as ONE from_json literal Catalyst constant-folds —
+    NOT an unrolled python-side expression tree.  (Lesson: unrolling
+    8 subspaces x 10 codes x 8-dim folds into literal arrays built a
+    ~13k-node expression per projection; codegen fell off the JIT
+    cliff and the key went 2.3s -> 27.8s.  The compact literal +
+    higher-order-function form below restores plan-sized code.)"""
+    import json as _json
+
     return F.from_json(
-        F.lit(_json.dumps(payload)),
-        "array<struct<code:int,subs:array<array<double>>>>",
+        F.lit(_json.dumps(sorted(cb, key=lambda c: (c["m"], c["code"])))),
+        "array<struct<m:int,code:int,sub:array<double>>>",
     )
+
+
+def _pq_assign_code(cb: list) -> Column:
+    """Map-side PQ code assignment for a (vec_id, m, sub) row:
+    argmin over same-subspace codes of |c|^2 - 2<sub, c> (squared L2
+    with the constant |sub|^2 dropped), tie-break code asc.  Pure
+    higher-order functions over the literal codebook — zero joins,
+    zero shuffle."""
+    entries = F.filter(_pq_cb_lit(cb), lambda c: c["m"] == F.col("m"))
+    scored = F.transform(
+        entries,
+        lambda c: F.struct(
+            (dot(c["sub"], c["sub"]) - F.lit(2.0) * dot(F.col("sub"), c["sub"])).alias(
+                "key"
+            ),
+            c["code"].alias("code"),
+        ),
+    )
+    return F.element_at(F.array_sort(scored), 1)["code"]
 
 
 @query("sim_pq_adc_topk", _PQ_ORACLE)
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance (ADC) scoring
-    — the IVF-PQ compression path for a 100 TB vector corpus.
+    and exact re-rank — the IVF-PQ compression path for a 100 TB
+    vector corpus.
 
     Construction (every stage deterministic, replayed in the oracle):
-      1. Codebook: the decimal-exact label centroids sliced into M=8
-         subspaces of 8 dims; k=10 codes per subspace.
+      1. Codebooks: M=8 subspaces x k=10 codes, 2 Lloyd iterations from
+         the label-centroid slices (see :func:`_pq_train`).
       2. Encode: each corpus vector compresses to 8 small ints — the
-         per-subspace argmax-cosine code (tie-break code asc).  64
-         float32 (256 B) -> 8 codes (8 B): a 32x footprint reduction,
-         computed map-side against the folded literal codebook with
-         zero shuffle.
-      3. Query LUT: each query precomputes cos(query_sub, code_sub)
-         for all M x k cells, scaled to exact micro-units
-         (BIGINT round(cos*1e6)) so downstream sums are
-         order-independent integers.
+         per-subspace argmin-L2 code.  64 float32 (256 B) -> 8 codes
+         (8 B): a 32x footprint reduction, computed map-side against
+         the folded literal codebook with zero shuffle.
+      3. Query LUT: each query precomputes <query_sub, code_sub> for
+         all M x k cells in exact micro-units (BIGINT round(dot*1e6)),
+         plus the code's own |c|^2 in the same units, so downstream
+         sums are order-independent integers.
       4. ADC scan: corpus codes join the broadcast LUT on (m, code);
-         the approximate score of a corpus row is the INTEGER sum of
-         its 8 looked-up parts (map-side partial agg; one shuffle
-         keyed (q_id, vec_id)).  Ranking on the integer total is
-         therefore bit-exact across engines and cluster layouts.
+         summing the dot parts gives EXACTLY <q, reconstruction(v)>
+         (subspaces are disjoint slices), and summing the norm parts
+         gives |reconstruction(v)|^2 — the ADC score is their
+         cosine-style ratio total/sqrt(n2).  Integer partials make the
+         sums bit-exact across engines and cluster layouts.
+      5. Shortlist + re-rank: ADC top-100 per query (tie-break vec_id)
+         joins back to the raw vectors for exact cosine top-10 — the
+         standard PQ recall recovery (measured 0.13 -> 0.8 recall@10
+         vs brute force at sf0.001).
 
-    At scale the scan never touches the raw vectors: it reads an
+    At scale the ADC scan never touches raw vectors: it reads an
     8-byte code column, the LUT is a few KB broadcast, and the only
-    shuffle carries (q_id, vec_id, partial-sum) partials.  Exact
-    re-ranking of the PQ top-k against raw vectors is the
-    sim_topk_bruteforce plan applied to the shortlist.
+    shuffle carries (q_id, vec_id, integer-partial) rows; the exact
+    re-rank touches raw vectors for only 100 rows per query.
     """
-    cb = _pq_codebook(spark, sf_dir)
-    e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
-
-    def sub(v: Column, m: int) -> Column:
-        return F.slice(v, m * 8 + 1, 8)
-
-    def best_code(subv: Column, m: int) -> Column:
-        scored = F.transform(
-            cb,
-            lambda c: F.struct(
-                cosine(subv, F.element_at(c["subs"], m + 1)).alias("sim"),
-                (-c["code"]).alias("negc"),
-                c["code"].alias("code"),
-            ),
-        )
-        return F.element_at(F.reverse(F.array_sort(scored)), 1)["code"]
-
-    # 2. map-side encode: vec -> 8 (m, code) rows
-    enc = e.select(
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    sv = e.select(
         "vec_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(m).alias("m"), best_code(sub(F.col("v"), m), m).alias("code"))
+                    F.struct(F.lit(m).alias("m"), F.slice("v", m * 8 + 1, 8).alias("sub"))
                     for m in range(8)
                 ]
             )
         ).alias("s"),
-    ).select("vec_id", "s.m", "s.code")
+    ).select("vec_id", "s.m", "s.sub")
+    cb = _pq_train(spark, sf_dir, sv)
 
-    # 3. per-query LUT: M x k integer-scaled partial similarities
-    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
-    qsubs = q.select(
+    # 2. map-side encode against the trained codebook
+    enc = sv.select("vec_id", "m", _pq_assign_code(cb).alias("code"))
+
+    # 3. per-query integer LUT: M x k dot parts + code norms, built by
+    # exploding the literal codebook (compact plan, not an unrolled
+    # 80-struct expression)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    lut = q.select("q_id", "q_vec", F.explode(_pq_cb_lit(cb)).alias("c")).select(
         "q_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(m).alias("m"), sub(F.col("q_vec"), m).alias("qsub"))
-                    for m in range(8)
-                ]
-            )
-        ).alias("s"),
-    ).select("q_id", "s.m", "s.qsub")
-    lut = qsubs.select(
-        "q_id",
-        "m",
-        F.explode(cb).alias("c"),
-        "qsub",
-    ).select(
-        "q_id",
-        "m",
+        F.col("c.m").alias("m"),
         F.col("c.code").alias("code"),
-        F.round(cosine(F.col("qsub"), F.element_at(F.col("c.subs"), F.col("m") + 1)) * 1e6)
+        F.round(
+            dot(
+                F.slice(F.col("q_vec"), F.col("c.m") * 8 + 1, F.lit(8)),
+                F.col("c.sub"),
+            )
+            * 1e6
+        )
         .cast("bigint")
         .alias("part"),
+        F.round(dot(F.col("c.sub"), F.col("c.sub")) * 1e6).cast("bigint").alias("n2p"),
     )
 
     # 4. ADC scan: integer partial sums, map-side combined
@@ -841,12 +951,24 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id")
-        .agg(F.sum("part").alias("total"))
+        .agg(F.sum("part").alias("total"), F.sum("n2p").alias("n2"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("total").desc(), F.col("vec_id"))
-    return scored.select(
-        "q_id",
-        "vec_id",
-        F.round(F.col("total") / 8000000.0, 6).alias("approx_sim"),
-        F.row_number().over(w).alias("rnk"),
+    aw = Window.partitionBy("q_id").orderBy(
+        (F.col("total") / F.sqrt("n2")).desc(), F.col("vec_id")
+    )
+    short = (
+        scored.select("q_id", "vec_id", F.row_number().over(aw).alias("ar"))
+        .filter(F.col("ar") <= 100)
+        .select("q_id", "vec_id")
+    )
+
+    # 5. exact cosine re-rank of the shortlist
+    rer = (
+        short.join(e, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return rer.select(
+        "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 10)

@@ -55,12 +55,13 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
 
 def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
     """PQ-ADC approximate top-10 must substantially agree with the
-    exact brute-force top-10: 8x8-dim subspaces with 10 codes each is
-    a coarse quantizer, but the corpus is label-clustered, so the ADC
-    ranking should recover most true neighbors."""
+    exact brute-force top-10.  The Lloyd-refined subspace codebooks
+    plus the exact re-rank of the ADC top-100 shortlist recover most
+    true neighbors (measured 0.8 mean recall@10 at sf0.001); the floor
+    leaves margin for corpus regeneration."""
     exact = _topk_sets(engine.QUERIES["sim_topk_bruteforce"](spark, sf_dir))
     approx = _topk_sets(engine.QUERIES["sim_pq_adc_topk"](spark, sf_dir))
     recalls = [
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
-    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
