@@ -94,12 +94,12 @@ _WINDOW_50 = [
     "scan_parquet_nested", "sink_csv_export", "sink_compact_small_files",
     "sink_snapshot_diff", "stream_additive_state_merge",
     "dedup_containment", "scan_table_stats",
+    "win_gaps_islands", "agg_cms_portable",
     # rotation: stalest green rows (r01 verdicts on the old corpus,
     # not judge-rechecked since) re-enter the window
     "agg_count_distinct", "agg_having", "agg_cube", "agg_grouping_sets",
     "agg_stats", "agg_percentile", "win_rank_dense", "win_lag_lead",
     "win_running_sum", "win_moving_avg", "win_first_last",
-    "sort_multi_nulls", "limit_n",
 ]
 
 

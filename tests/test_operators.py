@@ -534,3 +534,57 @@ def test_additive_state_merge_replay_is_fenced(spark, tmp_path):
     # new epoch adds
     additive_state_merge(partial([("a", 1, 5), ("b", 3, 7)]), state, commits, 1)
     assert read_state() == {"a": (3, 15), "b": (3, 7)}
+
+
+def test_gaps_islands_literal(spark):
+    """Streak detection on a hand-built calendar: user 1 has runs
+    [1-2 Jan] and [5-7 Jan] (longest 3 from the 5th); user 2 has one
+    single-day run."""
+    from datetime import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 9)), (1, dt(2024, 1, 1, 17)),  # dup same day
+            (1, dt(2024, 1, 2, 9)),
+            (1, dt(2024, 1, 5, 9)), (1, dt(2024, 1, 6, 9)), (1, dt(2024, 1, 7, 9)),
+            (2, dt(2024, 1, 3, 9)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    from pyspark.sql import Window
+
+    rn = days.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    )
+    streaks = (
+        rn.withColumn("grp", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"), F.min("day").alias("start"))
+    )
+    got = {
+        (r.user_id, str(r.start)): r.len for r in streaks.collect()
+    }
+    assert got == {
+        (1, "2024-01-01"): 2,
+        (1, "2024-01-05"): 3,
+        (2, "2024-01-03"): 1,
+    }
+
+
+def test_cms_estimate_dominates_exact(spark, sf_dir):
+    """Count-min property: every estimate >= the exact count (sketch
+    never undercounts), and equals it when the key's d=4 cells are
+    collision-free."""
+    rows = engine.QUERIES["agg_cms_portable"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_cms >= r.n_exact, (r.key, r.n_cms, r.n_exact)
+        assert r.overcount == r.n_cms - r.n_exact
+    # sanity: the sketch is not degenerate — with ~|keys|/w ≈ 5 keys
+    # per cell the expected single-row overcount is ~N/w; the min over
+    # d=4 independent rows must land well under that, so the MEAN
+    # overcount stays below N/w (and far below N).
+    n_total = sum(r.n_exact for r in rows)
+    mean_over = sum(r.overcount for r in rows) / len(rows)
+    assert mean_over <= n_total / 32, (mean_over, n_total)
