@@ -452,3 +452,90 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_ix")
     )
+
+
+@query(
+    "text_duplicate_spans",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(list_slice(toks, i, i + 15), ' '))
+                     FOR i IN range(1, n - 14)]) AS h
+      FROM d WHERE n >= 16
+    ),
+    dh AS (SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    agg AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(SUM(CASE WHEN dh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM s LEFT JOIN dh USING (h)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           ROUND(n_dup_spans * 1.0 / n_spans, 6) AS dup_frac,
+           (n_dup_spans * 2 <= n_spans) AS keep
+    FROM agg ORDER BY doc_id
+    """,
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit (the Lee et al. 'Deduplicating
+    Training Data Makes Language Models Better' primitive): every
+    16-token window of every document is fingerprinted, a window is
+    DUPLICATED if its fingerprint occurs in >= 2 distinct documents,
+    and a document is dropped when more than half its windows are
+    duplicated elsewhere in the corpus.
+
+    Plan shape (the 100 TB suffix-array stand-in): stride-1 windows
+    are a pure map-side fan-out (sequence+transform+explode over the
+    token array, md5 fingerprints so rows stay narrow); the duplicated
+    set is one hash aggregate keyed by fingerprint (map-side partial
+    collapses within-partition repeats); the verdict is a fingerprint-
+    keyed join back + one per-doc aggregate.  Three exchanges total,
+    all over (hash, doc) pairs — never over text.  The keep rule is
+    integer-exact (2*n_dup <= n_spans) so the gate is reproducible on
+    any engine.
+    """
+    W = 16
+    d = docs(spark, sf_dir).select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= W)
+    s = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (W - 1)),
+                lambda p: F.md5(
+                    F.array_join(F.slice(F.col("toks"), p, W), " ").cast("binary")
+                ),
+            )
+        ).alias("h"),
+    )
+    dh = (
+        s.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("isdup"))
+    )
+    agg = (
+        s.join(dh, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("isdup"), F.lit(0))).alias("n_dup_spans"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        (F.col("n_dup_spans") * 2 <= F.col("n_spans")).alias("keep"),
+    ).orderBy("doc_id")

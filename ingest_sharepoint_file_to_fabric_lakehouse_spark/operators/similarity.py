@@ -972,3 +972,234 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rer.select(
         "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 10)
+
+
+_IVFPQ_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, label, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT label, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+      FROM e, range(1, 65) t(i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS centroid FROM cells GROUP BY label
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.label AS cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 3),
+    probes AS (
+      SELECT q_id, cell_id FROM (
+        SELECT q.q_id, c.label AS cell_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.label
+               ) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 2
+    ),
+    cb0 AS (
+      SELECT label AS code, s.m, list_slice(centroid, s.m*8 + 1, s.m*8 + 8) AS sub
+      FROM cent, range(0, 8) s(m)
+    ),
+    sv AS (
+      SELECT vec_id, s.m, list_slice(v, s.m*8 + 1, s.m*8 + 8) AS sub
+      FROM e, range(0, 8) s(m)
+    ),
+    a1 AS (
+      SELECT vec_id, m, sub, code FROM (
+        SELECT sv.vec_id, sv.m, sv.sub, cb.code,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id, sv.m
+                 ORDER BY list_dot_product(cb.sub, cb.sub)
+                          - 2 * list_dot_product(sv.sub, cb.sub), cb.code) AS r
+        FROM sv JOIN cb0 cb USING (m)) WHERE r = 1
+    ),
+    u1 AS (
+      SELECT m, code, i,
+             CAST(SUM(CAST(sub[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS x
+      FROM a1, range(1, 9) t(i) GROUP BY m, code, i
+    ),
+    cb1 AS (SELECT m, code, list(x ORDER BY i) AS sub FROM u1 GROUP BY m, code),
+    a2 AS (
+      SELECT vec_id, m, sub, code FROM (
+        SELECT sv.vec_id, sv.m, sv.sub, cb.code,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id, sv.m
+                 ORDER BY list_dot_product(cb.sub, cb.sub)
+                          - 2 * list_dot_product(sv.sub, cb.sub), cb.code) AS r
+        FROM sv JOIN cb1 cb USING (m)) WHERE r = 1
+    ),
+    u2 AS (
+      SELECT m, code, i,
+             CAST(SUM(CAST(sub[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS x
+      FROM a2, range(1, 9) t(i) GROUP BY m, code, i
+    ),
+    cb2 AS (SELECT m, code, list(x ORDER BY i) AS sub FROM u2 GROUP BY m, code),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT sv.vec_id, sv.m, cb.code,
+               row_number() OVER (
+                 PARTITION BY sv.vec_id, sv.m
+                 ORDER BY list_dot_product(cb.sub, cb.sub)
+                          - 2 * list_dot_product(sv.sub, cb.sub), cb.code) AS r
+        FROM sv JOIN cb2 cb USING (m)) WHERE r = 1
+    ),
+    qs AS (
+      SELECT q_id, s.m, list_slice(v, s.m*8 + 1, s.m*8 + 8) AS qsub
+      FROM q, range(0, 8) s(m)
+    ),
+    lut AS (
+      SELECT qs.q_id, cb.m, cb.code,
+             CAST(ROUND(list_dot_product(qs.qsub, cb.sub) * 1000000) AS BIGINT) AS part,
+             CAST(ROUND(list_dot_product(cb.sub, cb.sub) * 1000000) AS BIGINT) AS n2p
+      FROM qs JOIN cb2 cb USING (m)
+    ),
+    scored AS (
+      SELECT l.q_id, enc.vec_id,
+             CAST(SUM(part) AS BIGINT) AS total,
+             CAST(SUM(n2p) AS BIGINT) AS n2
+      FROM enc
+      JOIN lut l USING (m, code)
+      JOIN assigned a ON a.vec_id = enc.vec_id
+      JOIN probes p ON p.q_id = l.q_id AND p.cell_id = a.cell_id
+      WHERE enc.vec_id <> l.q_id
+      GROUP BY l.q_id, enc.vec_id
+    ),
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY total / sqrt(n2) DESC, vec_id) AS ar
+        FROM scored) WHERE ar <= 100
+    )
+    SELECT q_id, vec_id, cos_sim, rnk FROM (
+      SELECT s.q_id, s.vec_id,
+             ROUND(list_cosine_similarity(q.v, e.v), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY s.q_id
+               ORDER BY ROUND(list_cosine_similarity(q.v, e.v), 6) DESC,
+                        s.vec_id) AS rnk
+      FROM short s
+      JOIN e ON e.vec_id = s.vec_id
+      JOIN q ON q.q_id = s.q_id) WHERE rnk <= 10
+    """
+
+
+@query("sim_topk_ivfpq", _IVFPQ_ORACLE)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full production ANN composition — coarse quantizer
+    prunes the corpus to the probed cells, PQ-ADC ranks the survivors
+    from 8-byte codes, exact cosine re-ranks the shortlist.  This is
+    the FAISS IVFPQ index expressed as one declarative plan, and the
+    query shape a 100 TB vector store actually serves:
+
+      1. Coarse quantizer (shared with sim_ivf_probe via the cached
+         centroid index): every vector gets its nearest-centroid
+         cell_id map-side; queries probe their 2 nearest cells —
+         with the corpus laid out partitionBy(cell_id) (see
+         sim_ivf_partition_pruned) the scan reads 2/k of the data.
+      2. Fine quantizer (shared with sim_pq_adc_topk via the cached
+         Lloyd-refined codebooks): survivors are scored from their
+         8 int codes against the query's broadcast integer dot-LUT —
+         the scan inside a probed cell never touches raw vectors.
+      3. Exact re-rank of the ADC top-100 against raw vectors.
+
+    Cell assignment rides the SAME projection that encodes the codes,
+    so the whole per-vector path (cell + 8 codes) is one map-side pass
+    with zero joins; the only corpus-keyed shuffle carries
+    (q_id, vec_id, integer partials) for probed-cell survivors only.
+    Every stage (centroids, cell probes, codebook training, encoding,
+    integer LUT, shortlist, re-rank) is replayed in the oracle.
+    """
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    sv = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.slice("v", m * 8 + 1, 8).alias("sub"))
+                    for m in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sub")
+    cb = _pq_train(spark, sf_dir, sv)
+    best_cells = _ivf_best_cells(spark, sf_dir)
+
+    # 1+2. one map-side pass: cell assignment AND code encoding (two
+    # chained projections, still a single stage — no join, no shuffle)
+    enc = (
+        e.select(
+            "vec_id",
+            F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"), F.slice("v", m * 8 + 1, 8).alias("sub")
+                        )
+                        for m in range(8)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "cell_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+        .select("vec_id", "cell_id", "m", _pq_assign_code(cb).alias("code"))
+    )
+
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    probes = q.select("q_id", F.explode(best_cells(F.col("q_vec"), 2)).alias("cell_id"))
+    lut = q.select("q_id", "q_vec", F.explode(_pq_cb_lit(cb)).alias("c")).select(
+        "q_id",
+        F.col("c.m").alias("m"),
+        F.col("c.code").alias("code"),
+        F.round(
+            dot(F.slice(F.col("q_vec"), F.col("c.m") * 8 + 1, F.lit(8)), F.col("c.sub")) * 1e6
+        )
+        .cast("bigint")
+        .alias("part"),
+        F.round(dot(F.col("c.sub"), F.col("c.sub")) * 1e6).cast("bigint").alias("n2p"),
+    )
+
+    scored = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .join(F.broadcast(probes), ["q_id", "cell_id"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("part").alias("total"), F.sum("n2p").alias("n2"))
+    )
+    aw = Window.partitionBy("q_id").orderBy(
+        (F.col("total") / F.sqrt("n2")).desc(), F.col("vec_id")
+    )
+    short = (
+        scored.select("q_id", "vec_id", F.row_number().over(aw).alias("ar"))
+        .filter(F.col("ar") <= 100)
+        .select("q_id", "vec_id")
+    )
+    rer = (
+        short.join(e, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return rer.select(
+        "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
