@@ -1009,3 +1009,166 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_INCR_MINHASH_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, greatest(len(toks)-2, 1) + 1)]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE doc_id < 1000)
+  )
+),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS delta_doc_id, y.doc_id AS base_doc_id
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+),
+est AS (
+  SELECT delta_doc_id, base_doc_id, ({agree}) / 12.0 AS e
+  FROM cand
+  JOIN sig a ON a.doc_id = delta_doc_id
+  JOIN sig b ON b.doc_id = base_doc_id
+  WHERE ({agree}) / 12.0 >= 0.5
+)
+SELECT delta_doc_id, base_doc_id, ROUND(e, 4) AS est_jaccard FROM (
+  SELECT delta_doc_id, base_doc_id, e,
+         row_number() OVER (PARTITION BY delta_doc_id
+                            ORDER BY e DESC, base_doc_id) AS rn
+  FROM est) WHERE rn = 1
+ORDER BY delta_doc_id
+""".format(
+    mins=", ".join(f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(12)),
+    bands="\n  UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {cc} AS bucket FROM sig".format(
+            bi=bi, cc=" || ',' || ".join(f"h{bi * 3 + ri}" for ri in range(3))
+        )
+        for bi in range(4)
+    ),
+    agree=" + ".join(f"(a.h{k} = b.h{k})::INT" for k in range(12)),
+)
+
+
+def _mh_signature(d: DataFrame, n_hashes: int = 12) -> DataFrame:
+    """Portable md5 MinHash signature as one array column (the
+    dedup_minhash_portable construction, factored for reuse)."""
+    sh = d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    return sh.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("sh", (lambda k: lambda s: F.md5(F.concat(F.lit(f"{k}:"), s)))(k))
+                )
+                for k in range(n_hashes)
+            ]
+        ).alias("sig"),
+    )
+
+
+def _mh_banded(sig: DataFrame, bands: int = 4, rpb: int = 3) -> DataFrame:
+    """(doc_id, band, bucket, sig) band rows from a signature table."""
+    return sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[F.element_at("sig", bi * rpb + ri + 1) for ri in range(rpb)],
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket", "sig")
+
+
+@query("dedup_incremental_minhash", _INCR_MINHASH_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection against a STAGED MinHash index —
+    the production ingest flow, where a new batch is deduped against
+    the already-indexed corpus without recomputing it.
+
+    Base corpus = doc_id % 10 != 0 (its banded md5-MinHash signatures
+    are materialized once to parquet, fingerprint-gated on the source
+    table so a regenerated fixture retrains instead of serving stale
+    rows); delta batch = doc_id % 10 == 0, signed fresh map-side.
+    Candidates come from the delta-bands x index-bands equi-join on
+    (band, bucket) — the index side is a parquet scan of 4 rows/doc,
+    never a recompute — and each matched delta doc reports its best
+    base match (max signature agreement >= 0.5, tie-break lowest base
+    id).
+
+    At 100 TB this is the shape that matters: the index is written
+    partitionBy(band, bucket-prefix), a delta batch touches only its
+    own buckets (partition-pruned scan), and the only shuffle is
+    delta-sized.  Index build amortizes across every future batch —
+    the full-corpus keys (dedup_minhash_portable) are the batch
+    backfill, this is the steady state.  The oracle replays BOTH
+    sides from the raw table, which also proves the staged index
+    equals recomputation.
+    """
+    import os as _os
+
+    from ..core import source_fingerprint, stamp_staging, staging_current
+
+    d = docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+
+    idx_path = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/minhash_index_v1"
+    token = source_fingerprint(sf_dir, "documents")
+    if not staging_current(idx_path, token):
+        _mh_banded(_mh_signature(base)).write.mode("overwrite").parquet(idx_path)
+        stamp_staging(idx_path, token)
+    index = spark.read.parquet(idx_path)
+
+    delta_banded = _mh_banded(_mh_signature(delta).localCheckpoint(eager=True))
+    cand = (
+        delta_banded.select("doc_id", "band", "bucket", F.col("sig").alias("sig_d"))
+        .join(
+            index.select(
+                F.col("doc_id").alias("base_doc_id"),
+                "band",
+                "bucket",
+                F.col("sig").alias("sig_b"),
+            ),
+            ["band", "bucket"],
+        )
+        .select(
+            F.col("doc_id").alias("delta_doc_id"), "base_doc_id", "sig_d", "sig_b"
+        )
+        .dropDuplicates(["delta_doc_id", "base_doc_id"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_d", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(12)
+    scored = cand.select(
+        "delta_doc_id", "base_doc_id", est.alias("e")
+    ).filter(F.col("e") >= 0.5)
+    w = Window.partitionBy("delta_doc_id").orderBy(
+        F.col("e").desc(), F.col("base_doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("delta_doc_id", "base_doc_id", F.round("e", 4).alias("est_jaccard"))
+        .orderBy("delta_doc_id")
+    )
