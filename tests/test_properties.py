@@ -210,3 +210,42 @@ def test_asof_next_matches_naive(left_rows, right_rows):
         else:
             want = None
         assert got[i] == want, (i, k, ts, cands)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 40)), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_gaps_islands_streaks_match_bruteforce(user_days):
+    """The row_number-difference trick finds exactly the maximal
+    consecutive-day runs: for random (user, day-offset) activity sets,
+    the derived streaks equal a brute-force scan."""
+    from datetime import date, timedelta
+
+    base = date(2024, 1, 1)
+    by_user: dict[int, set] = {}
+    for u, d in user_days:
+        by_user.setdefault(u, set()).add(d)
+    # brute force: maximal runs per user
+    expect = {}
+    for u, ds in by_user.items():
+        runs = []
+        for d in sorted(ds):
+            if runs and d == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], d)
+            else:
+                runs.append((d, d))
+        expect[u] = sorted((b - a + 1, base + timedelta(days=a)) for a, b in runs)
+    # the operator's core: day - row_number() grouping (pure python
+    # replica of the window+groupBy the Spark plan runs)
+    got = {}
+    for u, ds in by_user.items():
+        groups: dict[int, list] = {}
+        for rn, d in enumerate(sorted(ds), start=1):
+            groups.setdefault(d - rn, []).append(d)
+        got[u] = sorted(
+            (len(v), base + timedelta(days=min(v))) for v in groups.values()
+        )
+    assert got == expect
