@@ -558,3 +558,141 @@ def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _bpe_iter_sql(prev: str, out: str, pair_cte: str) -> str:
+    """One unrolled BPE iteration for the oracle: top pair CTE over
+    ``prev``, merged-state CTE ``out``."""
+    return f"""
+    {pair_cte} AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS c FROM (
+        SELECT freq, unnest([syms[i] || ' ' || syms[i+1]
+                             FOR i IN range(1, greatest(len(syms)-1, 0) + 1)]) AS pair
+        FROM (SELECT freq, string_split(state, ' ') AS syms FROM {prev}))
+      GROUP BY pair ORDER BY c DESC, pair LIMIT 1
+    ),
+    {out} AS (
+      SELECT word, freq,
+             trim(regexp_replace(replace(
+               ' ' || replace(state, ' ', '  ') || ' ',
+               (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM {pair_cte}),
+               (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM {pair_cte})),
+               ' +', ' ', 'g')) AS state
+      FROM {prev}
+    )"""
+
+
+_BPE_ORACLE = (
+    """
+    WITH w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    st0 AS (
+      SELECT word, freq,
+             array_to_string([word[i] FOR i IN range(1, len(word) + 1)], ' ') AS state
+      FROM w
+    ),"""
+    + _bpe_iter_sql("st0", "st1", "p0")
+    + ","
+    + _bpe_iter_sql("st1", "st2", "p1")
+    + ","
+    + _bpe_iter_sql("st2", "st3", "p2")
+    + """
+    SELECT merge_ix, pair, merged, pair_count FROM (
+      SELECT 1 AS merge_ix, pair, replace(pair, ' ', '') AS merged, c AS pair_count FROM p0
+      UNION ALL
+      SELECT 2, pair, replace(pair, ' ', ''), c FROM p1
+      UNION ALL
+      SELECT 3, pair, replace(pair, ' ', ''), c FROM p2
+    ) ORDER BY merge_ix
+    """
+)
+
+
+@query("vocab_bpe_merges", _BPE_ORACLE)
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the actual merge-learning iteration:
+    3 unrolled rounds of (count symbol pairs weighted by word
+    frequency -> pick the most frequent pair, tie-break lexicographic
+    -> greedily merge it in every word).
+
+    Spark-first shape: the corpus collapses to the (word, freq)
+    vocabulary ONCE (one shuffle, map-side partials; at 100 TB the
+    vocab is sublinear in corpus bytes), and every BPE round is then
+    a pure map-side pair fan-out + one tiny groupBy(pair) whose
+    result is a SINGLE control-plane row (the winning merge) folded
+    back into the next round's projection — the same
+    collect-one-literal pattern as the k-means/IVF index builds.
+    Greedy merge application is engine-portable string rewriting:
+    double the symbol separators so adjacent pair occurrences never
+    share boundary characters (' a  a ' in 'a  a  a' matches twice,
+    where single-spaced greedy replace would miss the overlap), then
+    collapse separators back.  The oracle unrolls all 3 rounds, so
+    pair counts, tie-breaks, AND the rewriting itself are
+    value-checked.
+    """
+    d = docs(spark, sf_dir)
+    w = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("word"), F.lit(1))),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    cur = w.select(
+        "word",
+        "freq",
+        F.when(F.length("word") > 0, F.concat_ws(" ", chars))
+        .otherwise(F.lit(""))
+        .alias("state"),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for t in range(3):
+        syms = F.split("state", " ")
+        pairs = F.when(
+            F.size(syms) > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat(
+                    F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pair, cnt = top["pair"], int(top["c"])
+        merged = pair.replace(" ", "")
+        merges.append((t + 1, pair, merged, cnt))
+        pat = " " + pair.replace(" ", "  ") + " "
+        cur = cur.withColumn(
+            "state",
+            F.trim(
+                F.regexp_replace(
+                    F.replace(
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("state"), F.lit(" "), F.lit("  ")),
+                            F.lit(" "),
+                        ),
+                        F.lit(pat),
+                        F.lit(" " + merged + " "),
+                    ),
+                    " +",
+                    " ",
+                )
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "merge_ix int, pair string, merged string, pair_count bigint"
+    )
