@@ -522,9 +522,13 @@ def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(g2).alias("n2"),
         F.size(F.array_distinct(g2)).alias("n2d"),
     )
+    # sh feeds BOTH the document-frequency aggregate and the join back
+    # — eager checkpoint so the shingle explode runs once, not once per
+    # consumer (measured 7.1 s -> 2.8 s cold at sf0.1; the SCALE.md
+    # fan-out-relation rule)
     sh = d.select(
         "doc_id", F.explode(F.array_distinct(shingles(txt, 3))).alias("shingle")
-    )
+    ).localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     bstats = (
         sh.join(freq, "shingle")
