@@ -637,24 +637,67 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counts, tie-breaks, AND the rewriting itself are
     value-checked.
     """
+    return spark.createDataFrame(
+        _bpe_train(spark, sf_dir),
+        "merge_ix int, pair string, merged string, pair_count bigint",
+    )
+
+
+_BPE_CACHE: dict[tuple, list] = {}
+
+
+def _bpe_char_state() -> "F.Column":
+    """Initial BPE state for a ``word`` column: space-separated chars."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("word"), F.lit(1))),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    return (
+        F.when(F.length("word") > 0, F.concat_ws(" ", chars))
+        .otherwise(F.lit(""))
+    )
+
+
+def _bpe_apply_merge(state, pair: str):
+    """Greedily apply one learned merge to a space-separated state
+    column — the overlap-safe double-separator rewrite."""
+    merged = pair.replace(" ", "")
+    pat = " " + pair.replace(" ", "  ") + " "
+    return F.trim(
+        F.regexp_replace(
+            F.replace(
+                F.concat(
+                    F.lit(" "),
+                    F.replace(state, F.lit(" "), F.lit("  ")),
+                    F.lit(" "),
+                ),
+                F.lit(pat),
+                F.lit(" " + merged + " "),
+            ),
+            " +",
+            " ",
+        )
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list:
+    """The 3-round merge-learning loop, cached per source corpus (the
+    trained tokenizer is a control-plane artifact, like the IVF/PQ
+    indexes) — shared by vocab_bpe_merges and text_bpe_tokenize."""
+    from ..core import source_fingerprint
+
+    ck = (sf_dir, source_fingerprint(sf_dir, "documents"))
+    if ck in _BPE_CACHE:
+        return _BPE_CACHE[ck]
     d = docs(spark, sf_dir)
     w = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("word"), F.lit(1))),
-        lambda i: F.substring(F.col("word"), i, 1),
+    cur = w.select("word", "freq", _bpe_char_state().alias("state")).localCheckpoint(
+        eager=True
     )
-    cur = w.select(
-        "word",
-        "freq",
-        F.when(F.length("word") > 0, F.concat_ws(" ", chars))
-        .otherwise(F.lit(""))
-        .alias("state"),
-    ).localCheckpoint(eager=True)
-
     merges = []
     for t in range(3):
         syms = F.split("state", " ")
@@ -676,27 +719,72 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         pair, cnt = top["pair"], int(top["c"])
-        merged = pair.replace(" ", "")
-        merges.append((t + 1, pair, merged, cnt))
-        pat = " " + pair.replace(" ", "  ") + " "
-        cur = cur.withColumn(
-            "state",
-            F.trim(
-                F.regexp_replace(
-                    F.replace(
-                        F.concat(
-                            F.lit(" "),
-                            F.replace(F.col("state"), F.lit(" "), F.lit("  ")),
-                            F.lit(" "),
-                        ),
-                        F.lit(pat),
-                        F.lit(" " + merged + " "),
-                    ),
-                    " +",
-                    " ",
-                )
-            ),
+        merges.append((t + 1, pair, pair.replace(" ", ""), cnt))
+        cur = cur.withColumn("state", _bpe_apply_merge(F.col("state"), pair))
+    _BPE_CACHE[ck] = merges
+    return merges
+
+
+_BPE_TOKENIZE_ORACLE = (
+    """
+    WITH w AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    st0 AS (
+      SELECT word, freq,
+             array_to_string([word[i] FOR i IN range(1, len(word) + 1)], ' ') AS state
+      FROM w
+    ),"""
+    + _bpe_iter_sql("st0", "st1", "p0")
+    + ","
+    + _bpe_iter_sql("st1", "st2", "p1")
+    + ","
+    + _bpe_iter_sql("st2", "st3", "p2")
+    + """,
+    vocab AS (SELECT word, len(string_split(state, ' ')) AS n_sym FROM st3)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    JOIN vocab USING (word)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+)
+
+
+@query("text_bpe_tokenize", _BPE_TOKENIZE_ORACLE)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the trained merges — the other half of the
+    tokenizer loop (:func:`vocab_bpe_merges` learns the merges, this
+    applies them): per document, the whitespace word count and the
+    BPE token count under the learned segmentation.
+
+    Scale shape: the learned merges are a cached control-plane
+    artifact (3 strings); the word→token-count vocabulary is derived
+    map-side by replaying the merge rewrites on the distinct-word
+    table (vocabulary-sized, NOT corpus-sized) and then broadcast to
+    a single explode→join→groupBy(doc) pass over the corpus — the
+    exact shape of production tokenizer counting, where the trained
+    vocab rides the closure and the corpus is touched once.  The
+    oracle replays training AND encoding, so the per-doc counts gate
+    the whole loop end to end.
+    """
+    merges = _bpe_train(spark, sf_dir)
+    d = docs(spark, sf_dir)
+    w = d.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    state = _bpe_char_state()
+    for _, pair, _merged, _c in merges:
+        state = _bpe_apply_merge(state, pair)
+    vocab = w.select("word", F.size(F.split(state, " ")).alias("n_sym"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
         )
-    return spark.createDataFrame(
-        merges, "merge_ix int, pair string, merged string, pair_count bigint"
+        .orderBy("doc_id")
     )
