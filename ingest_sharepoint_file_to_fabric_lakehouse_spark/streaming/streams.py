@@ -91,14 +91,15 @@ def run_stream_to_parquet(
 
     State-store partition count is pinned low for the fixture scale:
     each micro-batch pays per-partition state checkpointing (and a
-    stream-stream join keeps FOUR stores per partition), so 2
-    partitions beat the session's 32 at 100k rows — measured 2.65 s →
-    2.50 s on the interval join vs 4, and 3.0 s at 8 (at real scale
-    this is sized to state volume, and is fixed at first checkpoint).
+    stream-stream join keeps FOUR stores per partition), so 1
+    partition beats the session's 32 at 100k rows — measured 4.9 →
+    3.6 s on the interval join vs 2 partitions, 3.0 s at 8 (at real
+    scale this is sized to state volume, and is fixed at the first
+    checkpoint of each query's lifetime).
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
