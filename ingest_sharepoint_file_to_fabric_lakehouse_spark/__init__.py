@@ -22,7 +22,9 @@ _MODULES = [
     "operators.sorts_sets",
     "operators.reshape",
     "operators.corpus",
+    "operators.search",
     "operators.analytics",
+    "operators.quality",
     "operators.graph",
     "operators.dedup",
     "operators.similarity",

@@ -456,3 +456,160 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("r")
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS prob_ppm
+    FROM cnt
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    stream: for each (prev_type -> next_type) pair, the transition
+    count and probability — the behavioural model behind next-action
+    prediction, anomaly scoring, and funnel drop-off analysis.
+
+    Float-parity design: probabilities are integer parts-per-million
+    (``n * 1_000_000 div total``), so no engine-specific float
+    division or rounding mode can diverge.  Deterministic sequencing:
+    the lag window orders by ``(ts, event_id)`` — the unique event id
+    breaks timestamp ties identically on both engines.
+
+    Scale shape: ONE hash exchange on user_id serves the lag window
+    (the per-user sequence derivation); the transition counts then
+    partial-aggregate map-side into at most |types|^2 groups — a
+    control-plane-sized matrix regardless of event volume.  The
+    per-prev-type normalisation runs as a window over that tiny
+    relation, not over the event stream.  At 100 TB the only
+    event-volume-proportional cost is the user_id exchange, which any
+    sessionization query already pays (and shares via co-partitioned
+    staging at scale).
+    """
+    ev = t(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    cnt = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    return (
+        cnt.select("prev_type", "next_type", "n", tot.alias("n_from"))
+        # `div` is Spark's exact integral division — a double `/` here
+        # could land an ulp below the true quotient and floor one off
+        # versus DuckDB's exact `//`.
+        .withColumn("prob_ppm", F.expr("(n * 1000000) div n_from"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "events_cooccurrence_lift",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+      FROM lineitem
+    ),
+    nb AS (SELECT count(DISTINCT bid) AS n_baskets FROM basket),
+    supp AS (SELECT item, count(*) AS n_item FROM basket GROUP BY item),
+    pair AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_pair
+      FROM basket a JOIN basket b
+        ON a.bid = b.bid AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, n_pair,
+           sa.n_item AS n_a, sb.n_item AS n_b,
+           CAST(n_pair * n_baskets * 1000000 // (sa.n_item * sb.n_item)
+                AS BIGINT) AS lift_ppm
+    FROM pair
+    JOIN supp sa ON sa.item = item_a
+    JOIN supp sb ON sb.item = item_b
+    CROSS JOIN nb
+    ORDER BY n_pair DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: part pairs bought in the
+    same order, scored by ``lift = P(a,b) / (P(a)P(b))`` — the
+    association-rule / items-also-bought primitive.
+
+    Float-parity design: lift is integer parts-per-million
+    (``n_pair * N * 1_000_000 div (n_a * n_b)``) — exact 128-bit-safe
+    integer arithmetic on both engines (decimal(38,0) intermediates
+    Spark-side), no float division anywhere.
+
+    Scale shape — the a-priori candidate discipline:
+    (1) collapse raw lineitem to DISTINCT (basket, item) FIRST (one
+        partial-aggregated exchange; everything downstream is bounded
+        by basket-item pairs, not line-level volume);
+    (2) the pair generation self-joins on the basket key, so fan-out
+        is sum(k_i^2 / 2) over basket sizes — bounded because TPC-H
+        baskets are small; at 100 TB a per-basket size cap plus
+        frequent-item pre-pruning (join against ``supp`` with a
+        minimum-support filter BEFORE pairing) keeps the quadratic
+        term from the hot tail, exactly how a-priori prunes;
+    (3) ``HAVING n_pair >= 2`` drops the singleton noise before the
+        support joins, so the pair relation entering the final joins
+        is support-thresholded (small), and the per-item support table
+        broadcasts.
+    The basket count is a single scalar (control-plane) crossed in.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_baskets = basket.select(F.countDistinct("bid").alias("n_baskets"))
+    supp = basket.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.bid") == F.col("b.bid")) & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    sa = supp.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        # exact long arithmetic end-to-end (`div`, never float `/`):
+        # n_pair*N*1e6 stays well under 2^63 at fixture scale; at
+        # 100 TB widen the intermediates to decimal(38,0) first.
+        .withColumn(
+            "lift_ppm", F.expr("(n_pair * n_baskets * 1000000) div (n_a * n_b)")
+        )
+        .select("item_a", "item_b", "n_pair", "n_a", "n_b", "lift_ppm")
+        .orderBy(F.col("n_pair").desc(), "item_a", "item_b")
+        .limit(50)
+    )

@@ -119,3 +119,47 @@ def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_EXISTS_SQL)
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+         AS o_totalprice,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 150
+      )
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("sql_api_q18", _Q18_SQL)
+def sql_api_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) through the SQL entry point —
+    the IN-subquery-with-HAVING pattern: orders whose total line
+    quantity exceeds a threshold, joined back out to the customer.
+
+    One ANSI text, two engines (the sql_api_q5 parity statement, on a
+    harder shape): Catalyst decorrelates the IN subquery into a
+    left-semi join against the pre-aggregated lineitem rollup, so the
+    fact table is scanned twice but shuffled on the SAME key
+    (l_orderkey) both times — at 100 TB the rollup's partial
+    aggregation collapses each order's lines map-side before its
+    exchange, the semi-join and the outer join reuse one
+    co-partitioning, and the customer dim broadcasts.  Quantity sums
+    are exact decimals (order-independent aggregation tree); the
+    HAVING threshold (150 at fixture scale, 300 in the spec) keeps the
+    semi-join side selective.
+    """
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q18_SQL)
