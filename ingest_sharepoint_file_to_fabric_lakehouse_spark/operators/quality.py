@@ -34,7 +34,7 @@ WITH rowlocal AS (
     CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
              THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
     CAST(SUM(CASE WHEN o_orderdate < DATE '1992-01-01'
-                    OR o_orderdate >= DATE '1999-01-01'
+                    OR o_orderdate >= DATE '2005-01-01'
              THEN 1 ELSE 0 END) AS BIGINT) AS date_out_of_range,
     CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
     count(*) AS n_rows
@@ -102,7 +102,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
-                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("date")),
+                | (F.col("o_orderdate") >= F.lit("2005-01-01").cast("date")),
                 1,
             ).otherwise(0)
         )

@@ -588,3 +588,121 @@ def test_cms_estimate_dominates_exact(spark, sf_dir):
     n_total = sum(r.n_exact for r in rows)
     mean_over = sum(r.overcount for r in rows) / len(rows)
     assert mean_over <= n_total / 32, (mean_over, n_total)
+
+
+def test_markov_transitions_rows_are_a_distribution(spark, sf_dir):
+    """Transition rows partition each prev_type's outgoing mass:
+    sum(n) per prev == n_from, and prob_ppm is the exact integer
+    floor of n/n_from scaled to 1e6 (never exceeds 1e6 in total
+    beyond rounding loss < n_types)."""
+    rows = engine.QUERIES["events_markov_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_prev: dict = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+        assert r.prob_ppm == (r.n * 1_000_000) // r.n_from
+    for prev, grp in by_prev.items():
+        n_from = grp[0].n_from
+        assert all(g.n_from == n_from for g in grp)
+        assert sum(g.n for g in grp) == n_from
+        total_ppm = sum(g.prob_ppm for g in grp)
+        assert 1_000_000 - len(grp) < total_ppm <= 1_000_000
+
+
+def test_cooccurrence_lift_literal(spark):
+    """Hand-built baskets: items 1,2 co-occur in 2 of 4 baskets
+    (n_1=3, n_2=2) -> lift = (2*4)/(3*2) = 4/3 -> 1333333 ppm."""
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3), (13, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    basket = li.select(
+        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(b, (F.col("a.bid") == F.col("b.bid")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    got = {(r.item_a, r.item_b): r.n_pair for r in pair.collect()}
+    assert got == {(1, 2): 2}
+    # lift in exact ppm as the operator computes it
+    assert (2 * 4 * 1_000_000) // (3 * 2) == 1333333
+
+
+def test_bm25_ranks_term_dense_doc_first(spark, tmp_path):
+    """A doc saturated with the query terms must outrank a doc with a
+    single occurrence diluted by length, and a doc with none scores
+    no row at all."""
+    import shutil
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector stream window vector stream window", "en", "s", 42),
+            (2, "vector " + "pad " * 40, "en", "s", 200),
+            (3, "pad pad pad pad", "en", "s", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    for name in ("documents",):
+        docs.write.mode("overwrite").parquet(f"{sf}/{name}.parquet")
+    rows = engine.QUERIES["search_bm25"](spark, sf).collect()
+    ranked = [r.doc_id for r in rows]
+    assert ranked[0] == 1
+    assert 3 not in ranked
+    assert rows[0].n_terms_hit == 3
+
+
+def test_dq_expectations_clean_table_passes(spark, sf_dir):
+    """The TPC-H fixture satisfies every expectation; violation
+    counts are all zero and n_rows matches the table."""
+    rows = engine.QUERIES["dq_expectations"](spark, sf_dir).collect()
+    assert len(rows) == 6
+    n = engine.t(spark, sf_dir, "orders").count()
+    for r in rows:
+        assert r.n_violations == 0, r.rule
+        assert r.passed
+        assert r.n_rows == n
+
+
+def test_dq_expectations_detects_planted_violations(spark, tmp_path):
+    """Plant one violation per rule in a synthetic orders table and
+    check each is counted: a dup key, a zero price, a bad status, an
+    out-of-range date, and an orphan custkey."""
+    from datetime import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, dt(1995, 1, 1), "1-URGENT"),
+            (1, 10, "O", 100.0, dt(1995, 1, 2), "1-URGENT"),   # dup key
+            (2, 10, "O", 0.0, dt(1995, 1, 3), "1-URGENT"),     # zero price
+            (3, 10, "X", 100.0, dt(1995, 1, 4), "1-URGENT"),   # bad status
+            (4, 10, "F", 100.0, dt(1885, 1, 5), "1-URGENT"),   # bad date
+            (5, 99, "F", 100.0, dt(1995, 1, 6), "1-URGENT"),   # orphan cust
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(10, "c", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    sf = str(tmp_path / "sf")
+    orders.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    cust.write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    got = {
+        r.rule: r.n_violations
+        for r in engine.QUERIES["dq_expectations"](spark, sf).collect()
+    }
+    assert got == {
+        "orderkey_not_null": 0,
+        "totalprice_positive": 1,
+        "orderstatus_in_set": 1,
+        "orderdate_in_range": 1,
+        "orderkey_unique": 1,
+        "custkey_references_customer": 1,
+    }
