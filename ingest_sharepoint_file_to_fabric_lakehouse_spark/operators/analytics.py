@@ -613,3 +613,126 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), "item_a", "item_b")
         .limit(50)
     )
+
+
+@query(
+    "events_resample_ohlc",
+    """
+    WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+             epoch_us(ts)::HUGEINT * 1000000000 + event_id AS ord,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(min_by(v, ord) AS DOUBLE) AS open,
+           CAST(max(v) AS DOUBLE) AS high,
+           CAST(min(v) AS DOUBLE) AS low,
+           CAST(max_by(v, ord) AS DOUBLE) AS close,
+           count(*) AS n,
+           CAST(ROUND(SUM(v), 2) AS DOUBLE) AS volume
+    FROM b
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (series, hour) the
+    opening/high/low/closing value plus count and exact-decimal volume
+    — the candlestick / sensor-rollup resample.
+
+    open/close are ``min_by``/``max_by`` on a composite scalar
+    ordering key (``epoch_us * 1e9 + event_id`` in 128-bit integer
+    space — DuckDB's min_by can't order by a struct) — single-pass
+    order statistics inside ONE hash aggregate (partial map-side),
+    not a window-sort over the raw stream; the unique event_id makes
+    bar edges engine-deterministic under timestamp ties.  Values go through decimal(18,4) before
+    min/max/sum so bar extremes and volume are bit-stable.  Scale
+    shape: one partial-aggregated exchange keyed by (series, bucket) —
+    the downsampled output is calendar-sized, not event-sized, and a
+    coarser-grain rollup (hour -> day) re-aggregates BARS, never the
+    raw stream (open = min_by(open), close = max_by(close), volume =
+    sum — the bars are themselves mergeable state).
+    """
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+            * F.lit(1_000_000_000)
+            + F.col("event_id")
+        ).alias("ord"),
+        dec("value").alias("v"),
+    )
+    key = F.col("ord")
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("v", key).cast("double").alias("open"),
+            F.max("v").cast("double").alias("high"),
+            F.min("v").cast("double").alias("low"),
+            F.max_by("v", key).cast("double").alias("close"),
+            F.count("*").alias("n"),
+            money(F.sum("v")).alias("volume"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "events_ewma",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                                  (acc, x) -> 0.5 * x + 0.5 * acc), 6)
+                AS DOUBLE) AS ewma
+    FROM events WHERE user_id < 30
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (alpha=0.5) —
+    the recursive smoother (``ewma = a*x + (1-a)*ewma``) that SQL
+    windows cannot express because each value depends on ALL prior
+    state, not a finite frame.
+
+    This is the honest Arrow-UDF case (SURVEY.md §2 B.10): a grouped
+    ``applyInPandas`` runs the recurrence per user over in-order
+    numpy values.  Both engines fold the same float64 sequence in the
+    same order with the same IEEE ops (alpha 0.5 is exactly
+    representable), so results match bit-for-bit; the 6-dp round is
+    belt-and-suspenders and runs Spark-side (F.round is half-up like
+    DuckDB's ROUND — Python/numpy round is banker's, a real edge).  Scale shape: ONE hash exchange on user_id,
+    per-user state is a single float — the pattern for any per-key
+    recursive signal (Kalman steps, session scoring, rate limiters).
+    The per-user sort happens inside each Arrow batch over that
+    user's rows only — no global sort anywhere.
+    """
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for x in pdf["value"].to_numpy():
+            acc = x if acc is None else 0.5 * x + 0.5 * acc
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [acc],
+            }
+        )
+
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, "user_id long, n_events long, ewma double")
+        .withColumn("ewma", F.round("ewma", 6))
+        .orderBy("user_id")
+    )

@@ -246,3 +246,59 @@ def win_ntile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "quartile")
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id, ts, event_id, event_type,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a user's event timeline — how many
+    distinct event types each user has touched as of every event (the
+    feature-breadth / exploration metric).
+
+    SQL has no ``count(DISTINCT ...) OVER (ORDER BY ...)``; the
+    scalable identity is two stacked windows on the SAME partitioning:
+    flag each (user, type)'s FIRST occurrence with row_number, then a
+    running sum of the flag along the user timeline.  Both windows
+    hash-shuffle on user_id once (Catalyst reuses the exchange; the
+    second window only re-sorts within partitions), so the cost is one
+    exchange + two in-partition sorts — versus the quadratic
+    self-join ("count distinct among my predecessors") a naive
+    formulation pays.  Ordering carries (ts, event_id) so first-seen
+    flags are engine-deterministic under timestamp ties.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -706,3 +706,78 @@ def test_dq_expectations_detects_planted_violations(spark, tmp_path):
         "orderkey_unique": 1,
         "custkey_references_customer": 1,
     }
+
+
+def test_cumulative_distinct_literal(spark):
+    """Running distinct over types A,B,A,C is 1,2,2,3."""
+    from datetime import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 9, 0), 1, "A"),
+            (1, dt(2024, 1, 1, 9, 1), 2, "B"),
+            (1, dt(2024, 1, 1, 9, 2), 3, "A"),
+            (1, dt(2024, 1, 1, 9, 3), 4, "C"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    from pyspark.sql import Window
+
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    got = [
+        r.d
+        for r in ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("f"),
+        )
+        .select("event_id", F.sum("f").over(w_run).alias("d"))
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got == [1, 2, 2, 3]
+
+
+def test_ohlc_bar_edges_literal(spark, tmp_path):
+    """Within one hourly bucket: open = value at earliest (ts, id),
+    close = value at latest, high/low = extremes."""
+    from datetime import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (2, dt(2024, 1, 1, 9, 5), 7, "m", 5.0, "{}"),
+            (1, dt(2024, 1, 1, 9, 0), 7, "m", 3.0, "{}"),   # open (earliest ts)
+            (3, dt(2024, 1, 1, 9, 5), 7, "m", 9.0, "{}"),   # close (same ts as id 2, higher id)
+            (4, dt(2024, 1, 1, 9, 2), 7, "m", 1.0, "{}"),   # low
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    rows = engine.QUERIES["events_resample_ohlc"](spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.open, r.high, r.low, r.close, r.n) == (3.0, 9.0, 1.0, 9.0, 4)
+    assert r.volume == 18.0
+
+
+def test_ewma_fold_literal(spark, tmp_path):
+    """Values 2, 8, 4 in time order fold to 0.5*4 + 0.5*(0.5*8 + 0.5*2) = 4.5."""
+    from datetime import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 9, 0), 5, "m", 2.0, "{}"),
+            (2, dt(2024, 1, 1, 9, 1), 5, "m", 8.0, "{}"),
+            (3, dt(2024, 1, 1, 9, 2), 5, "m", 4.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    rows = engine.QUERIES["events_ewma"](spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].ewma == 4.5
+    assert rows[0].n_events == 3
