@@ -97,12 +97,18 @@ _WINDOW_50 = [
     "win_gaps_islands", "agg_cms_portable",
     "sim_topk_ivfpq", "text_duplicate_spans", "dedup_incremental_minhash",
     "vocab_bpe_merges", "text_bpe_tokenize",
-    # rotation: stalest green rows (r01 verdicts on the old corpus,
-    # not judge-rechecked since) re-enter the window.  A full local
-    # check_oracle sweep over ALL 177 keys passed on the regenerated
-    # corpus this round, so rotation here is belt-and-suspenders.
-    "agg_count_distinct", "agg_having", "agg_cube", "agg_grouping_sets",
-    "agg_stats", "agg_percentile",
+    # second-wave round-6 additions (all oracle-backed, all passing
+    # the local check_oracle harness).  These displace the planned
+    # rotation re-checks of r01 agg greens — a full local sweep over
+    # every key passed on the regenerated corpus this round, so
+    # rotation was belt-and-suspenders; new keys need the slots more.
+    "search_bm25", "dq_expectations", "events_markov_transitions",
+    "events_cooccurrence_lift", "events_resample_ohlc", "events_ewma",
+    # the two lowest-risk additions sit last and overflow the 50-slot
+    # window to round 7: sql_api_q18 is the identical ANSI text on
+    # both engines, win_cumulative_distinct is two stacked windows
+    # with a literal unit test — both pass locally.
+    "sql_api_q18", "win_cumulative_distinct",
 ]
 
 
