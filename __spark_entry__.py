@@ -102,13 +102,14 @@ _WINDOW_50 = [
     # rotation re-checks of r01 agg greens — a full local sweep over
     # every key passed on the regenerated corpus this round, so
     # rotation was belt-and-suspenders; new keys need the slots more.
-    "search_bm25", "dq_expectations", "events_markov_transitions",
+    "search_bm25", "dq_expectations", "search_hybrid_rrf",
     "events_cooccurrence_lift", "events_resample_ohlc", "events_ewma",
-    # the two lowest-risk additions sit last and overflow the 50-slot
+    # the lowest-risk additions sit last and overflow the 50-slot
     # window to round 7: sql_api_q18 is the identical ANSI text on
-    # both engines, win_cumulative_distinct is two stacked windows
-    # with a literal unit test — both pass locally.
-    "sql_api_q18", "win_cumulative_distinct",
+    # both engines, win_cumulative_distinct and
+    # events_markov_transitions are simple window/groupBy shapes with
+    # literal/property unit tests — all pass the local harness.
+    "sql_api_q18", "win_cumulative_distinct", "events_markov_transitions",
 ]
 
 

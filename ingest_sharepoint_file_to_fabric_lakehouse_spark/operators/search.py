@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core import docs, query
+from ..core import docs, query, t
 
 _BM25_TERMS = ("vector", "stream", "window")
 _BM25_SQL = """
@@ -140,3 +140,122 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(20)
     )
+
+
+_RRF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token IN ('vector', 'stream', 'window')
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+),
+bm25 AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(CAST(SUM(CAST(
+           ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * stats.n_docs / stats.sum_dl))
+           AS DECIMAL(20,12))) AS DOUBLE), 6) AS DOUBLE) AS score
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk_lex
+  FROM bm25
+  QUALIFY rnk_lex <= 20
+),
+e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+qv AS (SELECT v AS q_vec FROM e WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY ROUND(list_cosine_similarity(qv.q_vec, e.v), 6) DESC,
+                    e.vec_id) AS rnk_vec
+  FROM e CROSS JOIN qv
+  WHERE e.vec_id <> 0
+  QUALIFY rnk_vec <= 20
+)
+SELECT doc_id,
+       CAST(rnk_lex AS BIGINT) AS rnk_lex,
+       CAST(rnk_vec AS BIGINT) AS rnk_vec,
+       COALESCE(1000000000 // (60 + rnk_lex), 0)
+         + COALESCE(1000000000 // (60 + rnk_vec), 0) AS rrf_ppb
+FROM lex FULL OUTER JOIN vec USING (doc_id)
+ORDER BY rrf_ppb DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("search_hybrid_rrf", _RRF_SQL)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical
+    top-20 and the exact-cosine vector top-20 (query = embedding 0,
+    vec_id keying the same corpus ids) fused with
+    ``RRF(d) = Σ_arms 1/(60 + rank_arm(d))`` — the standard
+    lexical+semantic blend of a RAG retrieval stack (k=60 per the
+    original RRF paper).
+
+    Float-parity design: each arm's ranking is already
+    engine-deterministic (rounded score + id tiebreak, the
+    search_bm25 / sim_topk_bruteforce contracts); the fusion score is
+    pure integer arithmetic — parts-per-billion contributions via
+    exact integral division — so fused order is bit-stable.
+
+    Scale shape: each arm ends in a bounded top-k (20 rows) — the
+    fusion is a full outer join of two CONTROL-PLANE-sized rank lists,
+    nothing corpus-sized flows past the per-arm retrieval.  The arms
+    themselves carry the scale discipline (posting-list filter for
+    BM25; at 100 TB the vector arm swaps in the IVF/PQ probes of
+    sim_topk_ivfpq — any ranked retriever slots into the fusion).
+    """
+    lex = (
+        search_bm25(spark, sf_dir)
+        .select("doc_id", F.col("rnk").alias("rnk_lex"))
+    )
+    from .similarity import as_double, cosine
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q_vec"))
+    w = Window.orderBy(
+        F.round(cosine(F.col("q_vec"), F.col("v")), 6).desc(), F.col("vec_id")
+    )
+    vec = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), F.row_number().over(w).alias("rnk_vec"))
+        .filter(F.col("rnk_vec") <= 20)
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("rnk_lex").cast("long").alias("rnk_lex"),
+            F.col("rnk_vec").cast("long").alias("rnk_vec"),
+            (
+                F.coalesce(F.expr("1000000000 div (60 + rnk_lex)"), F.lit(0))
+                + F.coalesce(F.expr("1000000000 div (60 + rnk_vec)"), F.lit(0))
+            ).alias("rrf_ppb"),
+        )
+        .orderBy(F.col("rrf_ppb").desc(), "doc_id")
+        .limit(10)
+    )
+    return fused

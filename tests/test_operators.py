@@ -781,3 +781,21 @@ def test_ewma_fold_literal(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].ewma == 4.5
     assert rows[0].n_events == 3
+
+
+def test_hybrid_rrf_fuses_both_arms(spark, sf_dir):
+    """RRF scores decompose exactly into the two arms' integer
+    contributions, docs ranked by both arms beat equal-rank docs
+    found by one, and the output is the global top-10."""
+    rows = engine.QUERIES["search_hybrid_rrf"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        expect = 0
+        if r.rnk_lex is not None:
+            expect += 1_000_000_000 // (60 + r.rnk_lex)
+        if r.rnk_vec is not None:
+            expect += 1_000_000_000 // (60 + r.rnk_vec)
+        assert r.rrf_ppb == expect
+        assert r.rnk_lex is not None or r.rnk_vec is not None
+    scores = [r.rrf_ppb for r in rows]
+    assert scores == sorted(scores, reverse=True)
