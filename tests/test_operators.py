@@ -799,3 +799,16 @@ def test_hybrid_rrf_fuses_both_arms(spark, sf_dir):
         assert r.rnk_lex is not None or r.rnk_vec is not None
     scores = [r.rrf_ppb for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_link_prediction_excludes_existing_edges(spark, sf_dir):
+    """Predicted links are non-adjacent in the strong-link graph,
+    scores decompose as exact integer ppm of n_common/n_union, and
+    every pair shares at least one neighbor."""
+    rows = engine.QUERIES["graph_link_prediction"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.a < r.b
+        assert r.n_common >= 1
+        assert r.n_union >= r.n_common
+        assert r.jaccard_ppm == (r.n_common * 1_000_000) // r.n_union
