@@ -788,3 +788,102 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "vocab_pmi_collocations",
+    """
+    WITH bg AS (
+      SELECT pr.w1, pr.w2 FROM (
+        SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                       FOR i IN range(1, len(toks))]) AS pr
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+      )
+    ),
+    bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+    lft AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS cl FROM bi GROUP BY w1),
+    rgt AS (SELECT w2, CAST(SUM(c2) AS BIGINT) AS cr FROM bi GROUP BY w2),
+    n AS (SELECT CAST(SUM(c2) AS BIGINT) AS n FROM bi),
+    scored AS (
+      SELECT bi.w1, bi.w2, bi.c2,
+             CAST(ROUND(ln(CAST(n.n AS DOUBLE) * bi.c2 / (lft.cl * rgt.cr)), 6)
+                  AS DOUBLE) AS pmi
+      FROM bi
+      JOIN lft USING (w1)
+      JOIN rgt USING (w2)
+      CROSS JOIN n
+      WHERE bi.c2 >= 5
+    )
+    SELECT w1, w2, c2, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 20
+    ORDER BY rnk
+    """,
+)
+def vocab_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: the top-20 bigrams
+    whose co-occurrence most exceeds chance
+    (``pmi = ln(N·c(w1,w2) / (c_left(w1)·c_right(w2)))``) — the
+    phrase-mining / tokenizer-merge-candidate signal (PMI is what BPE
+    merge frequency approximates, and what "New York"-style phrase
+    detectors threshold on).
+
+    Position-specific marginals (left/right counts roll up FROM the
+    bigram table) keep the contingency table exactly consistent; a
+    ``c2 >= 5`` support floor drops the unstable tail, and the score
+    is ranked on the 6-dp-rounded value with a (w1, w2) tiebreak so
+    top-20 membership is engine-deterministic (the one transcendental,
+    ln, is inside the rounding).
+
+    Scale shape: identical to text_lm_quality's model half — ONE
+    partial-aggregated exchange over the exploded bigram stream into
+    |V|² cells, then vocabulary-sized rollups and broadcast joins.
+    No per-doc state at all (corpus-level statistic), so the plan is
+    strictly lighter than the LM scorer.
+    """
+    d = docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bi = (
+        d.select(F.explode(pairs).alias("pr"))
+        .select("pr.w1", "pr.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    lft = bi.groupBy("w1").agg(F.sum("c2").alias("cl"))
+    rgt = bi.groupBy("w2").agg(F.sum("c2").alias("cr"))
+    n = bi.agg(F.sum("c2").alias("n"))
+    scored = (
+        bi.filter(F.col("c2") >= 5)
+        .join(F.broadcast(lft), "w1")
+        .join(F.broadcast(rgt), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            F.round(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.col("c2")
+                    / (F.col("cl") * F.col("cr"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        scored.select(
+            "w1", "w2", "c2", "pmi", F.row_number().over(w).cast("long").alias("rnk")
+        )
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )

@@ -850,3 +850,51 @@ def test_rfm_segments_partition_customers(spark, sf_dir):
     total = sum(r.total_monetary for r in rows)
     expect = o.agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)).collect()[0][0]
     assert abs(total - float(expect)) < 0.5
+
+
+def test_ohlc_bars_merge_to_coarser_grain(spark, sf_dir):
+    """Bars are mergeable state: hourly bars re-aggregated to daily
+    (open = min_by over bucket, close = max_by, extremes/volume fold)
+    must equal OHLC computed directly at daily grain — the continuous-
+    aggregate invariant that makes hierarchical rollups free."""
+    ev = engine.t(spark, sf_dir, "events")
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import dec, money
+
+    def ohlc(grain):
+        b = ev.select(
+            "event_type",
+            F.date_trunc(grain, "ts").cast("timestamp_ntz").alias("bucket"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp")).cast("decimal(38,0)")
+                * F.lit(1_000_000_000)
+                + F.col("event_id")
+            ).alias("ord"),
+            dec("value").alias("v"),
+        )
+        return b.groupBy("event_type", "bucket").agg(
+            F.min_by("v", F.col("ord")).alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max_by("v", F.col("ord")).alias("close"),
+            F.count("*").alias("n"),
+            F.sum("v").alias("volume"),
+        )
+
+    hourly = ohlc("hour")
+    merged = (
+        hourly.withColumn("day", F.date_trunc("day", "bucket").cast("timestamp_ntz"))
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("open", F.col("bucket")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("bucket")).alias("close"),
+            F.sum("n").alias("n"),
+            F.sum("volume").alias("volume"),
+        )
+    )
+    direct = ohlc("day").withColumnRenamed("bucket", "day")
+    cols = ["event_type", "day", "open", "high", "low", "close", "n", "volume"]
+    a = {tuple(r[c] for c in cols[:2]): tuple(r[c] for c in cols[2:]) for r in merged.collect()}
+    b = {tuple(r[c] for c in cols[:2]): tuple(r[c] for c in cols[2:]) for r in direct.collect()}
+    assert a == b
