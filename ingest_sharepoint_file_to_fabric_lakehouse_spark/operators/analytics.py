@@ -912,3 +912,143 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "events_trend_ols",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS x,
+             count(*) AS y
+      FROM events
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy,
+           (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS slope_ppm
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series trend detection: the OLS slope of daily event volume
+    against the day index, in closed form from integer moments —
+    "is this event type growing?" without any iterative fit.
+
+    Everything is EXACT integer arithmetic end to end: x (day index)
+    and y (daily count) are integers, the five moments (n, Σx, Σy,
+    Σxy, Σx²) are integer sums, and the slope ships as parts-per-
+    million via exact integral division of the closed-form numerator
+    and denominator — no float anywhere, so both engines agree
+    bit-for-bit (floor semantics included, since Spark's `div` and
+    DuckDB's `//` both floor toward -inf... both truncate identically
+    on the same signs because numerator and denominator carry the
+    same construction).
+
+    Scale shape: the daily rollup is one partial-aggregated exchange
+    (calendar-sized output); the moments collapse it to one row per
+    series.  The regression over 100 TB of events is literally two
+    hash aggregates — the moment-sketch pattern shared with
+    events_ab_ttest/events_anomaly_zscore.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)").alias(
+            "slope_ppm"
+        ),
+    ).orderBy("event_type")
+
+
+@query(
+    "agg_corr_moments",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(ROUND(
+             (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS DOUBLE) AS corr_qty_price
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group (quantity vs extended price)
+    from exact decimal moments — the distributed replacement for
+    ``corr()``, whose streaming accumulation is order-dependent in
+    float and therefore NOT reproducible across partitionings.
+
+    The five moments are exact decimals (order-free aggregation
+    trees), cast to double once; the closed-form correlation then
+    runs the identical IEEE expression tree on both engines (sqrt is
+    correctly rounded), with 6-dp rounding absorbing the one
+    non-guaranteed step (big-decimal→double casts).  Same algebraic-
+    aggregate discipline as events_ab_ttest — one partial-aggregated
+    scan, a #groups-row result, and the moments themselves are
+    mergeable state for incremental refresh.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    # Engine-matched widths for the SAME exact values: Spark needs
+    # NARROW casts (a (19,4)^2 product would exceed precision 38 and
+    # silently round at scale 7 — the ADVICE-r5 precision-loss trap),
+    # while the DuckDB oracle needs >= 19 digits to force int128
+    # multiply (<= 18 runs in int64 and overflows on price^2).
+    # Width never changes a decimal's value, so the moments agree.
+    x = F.col("l_quantity").cast("decimal(12,4)")
+    y = F.col("l_extendedprice").cast("decimal(14,4)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

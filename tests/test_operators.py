@@ -898,3 +898,40 @@ def test_ohlc_bars_merge_to_coarser_grain(spark, sf_dir):
     a = {tuple(r[c] for c in cols[:2]): tuple(r[c] for c in cols[2:]) for r in merged.collect()}
     b = {tuple(r[c] for c in cols[:2]): tuple(r[c] for c in cols[2:]) for r in direct.collect()}
     assert a == b
+
+
+def test_trend_ols_literal_slope(spark, tmp_path):
+    """Daily counts 1,2,3 on days 0,1,2 -> slope exactly 1 (1e6 ppm)."""
+    from datetime import datetime as dt
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 1), (2, 2), (3, 3)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt(1995, 1, day, 9), 1, "m", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    r = engine.QUERIES["events_trend_ols"](spark, sf).collect()[0]
+    assert r.slope_ppm == 1_000_000
+
+
+def test_corr_moments_matches_numpy(spark, sf_dir):
+    """Closed-form correlation equals numpy's corrcoef to 5 dp."""
+    import numpy as np
+
+    li = engine.t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    got = {
+        r.l_returnflag: r.corr_qty_price
+        for r in engine.QUERIES["agg_corr_moments"](spark, sf_dir).collect()
+    }
+    pdf = li.toPandas()
+    for flag, sub in pdf.groupby("l_returnflag"):
+        expect = np.corrcoef(sub.l_quantity, sub.l_extendedprice)[0, 1]
+        assert abs(got[flag] - expect) < 1e-5, (flag, got[flag], expect)
