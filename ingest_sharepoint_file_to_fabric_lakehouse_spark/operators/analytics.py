@@ -1052,3 +1052,105 @@ def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "events_attribution_lasttouch",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts,
+             CAST(value AS DECIMAL(18,4)) AS revenue
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts, event_id AS touch_id
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    attributed AS (
+      SELECT p.event_id, p.revenue,
+             t.touch_id,
+             (SELECT e2.event_type FROM events e2 WHERE e2.event_id = t.touch_id)
+               AS channel
+      FROM purchases p
+      LEFT JOIN LATERAL (
+        SELECT touch_id FROM touches t
+        WHERE t.user_id = p.user_id
+          AND t.ts <= p.ts
+          AND t.ts >= p.ts - INTERVAL 7 DAYS
+        ORDER BY t.ts DESC, t.touch_id DESC
+        LIMIT 1
+      ) t ON TRUE
+    )
+    SELECT COALESCE(channel, 'unattributed') AS channel,
+           count(*) AS n_purchases,
+           CAST(ROUND(SUM(revenue), 2) AS DOUBLE) AS attributed_revenue
+    FROM attributed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    most recent view/click by the same user within a 7-day lookback —
+    revenue rolled up per attributed channel (the growth-analytics
+    twin of the as-of join).
+
+    Plan discipline: the oracle's per-purchase LATERAL top-1 is the
+    O(n·m) formulation — the engine instead runs the union+window
+    as-of plan (tag purchases and touches, one hash exchange on
+    user_id, last_value over the ordered union, then the lookback
+    filter): every row is touched once, no correlated subquery, no
+    range join.  Deterministic under timestamp ties via the
+    (ts, event_id) composite ordering.  At 100 TB this is one
+    user-keyed exchange + a calendar-bounded window — the same shape
+    join_asof_latest proves against DuckDB's native ASOF JOIN.
+    """
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        dec("value").alias("revenue"),
+        F.lit(1).alias("is_p"),
+        F.lit(None).cast("string").alias("touch_type"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("decimal(18,4)").alias("revenue"),
+        F.lit(0).alias("is_p"),
+        F.col("event_type").alias("touch_type"),
+    )
+    unioned = purchases.unionByName(touches)
+    # order touches BEFORE a same-ts purchase (is_p ascending) so a
+    # simultaneous touch is eligible, matching the oracle's ts <= p.ts
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = unioned.select(
+        "*",
+        F.last(F.col("touch_type"), ignorenulls=True).over(w).alias("last_channel"),
+        F.last(
+            F.when(F.col("is_p") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("last_touch_ts"),
+    )
+    attributed = tagged.filter(F.col("is_p") == 1).select(
+        "revenue",
+        F.when(
+            F.col("last_touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"),
+            F.col("last_channel"),
+        ).alias("channel"),
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce("channel", F.lit("unattributed")).alias("channel")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            money(F.sum("revenue")).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -935,3 +935,30 @@ def test_corr_moments_matches_numpy(spark, sf_dir):
     for flag, sub in pdf.groupby("l_returnflag"):
         expect = np.corrcoef(sub.l_quantity, sub.l_extendedprice)[0, 1]
         assert abs(got[flag] - expect) < 1e-5, (flag, got[flag], expect)
+
+
+def test_attribution_lasttouch_literal(spark, tmp_path):
+    """Purchase at day 8 after a view at day 1 is within the 7-day
+    lookback (credited), a purchase 8 days after the last touch is
+    unattributed, and a same-timestamp touch is eligible."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 9), 1, "view", 0.0, "{}"),
+        (2, dt(2024, 1, 8, 9), 1, "purchase", 10.0, "{}"),   # within 7d of view
+        (3, dt(2024, 2, 1, 9), 2, "click", 0.0, "{}"),
+        (4, dt(2024, 2, 12, 9), 2, "purchase", 20.0, "{}"),  # 11d later: unattributed
+        (5, dt(2024, 3, 1, 9), 3, "view", 0.0, "{}"),
+        (6, dt(2024, 3, 1, 9), 3, "purchase", 30.0, "{}"),   # same ts: eligible
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {
+        r.channel: (r.n_purchases, r.attributed_revenue)
+        for r in engine.QUERIES["events_attribution_lasttouch"](spark, sf).collect()
+    }
+    assert got == {"view": (2, 40.0), "unattributed": (1, 20.0)}
