@@ -112,7 +112,7 @@ _WINDOW_50 = [
     "sql_api_q18", "win_cumulative_distinct", "events_markov_transitions",
     "graph_link_prediction", "events_ab_ttest", "orders_rfm_segments",
     "vocab_pmi_collocations", "events_trend_ols", "agg_corr_moments",
-    "events_attribution_lasttouch",
+    "events_attribution_lasttouch", "graph_bfs_reachability",
 ]
 
 

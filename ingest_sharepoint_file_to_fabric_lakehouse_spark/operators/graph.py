@@ -378,3 +378,81 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "n_common", "n_union", "jaccard_ppm")
         .orderBy(F.col("jaccard_ppm").desc(), "a", "b")
     )
+
+
+@query(
+    "graph_bfs_reachability",
+    """
+    WITH RECURSIVE dedges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey  = c_custkey
+      JOIN supplier  ON l_suppkey  = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    thr AS (SELECT 3 * SUM(w) // (2 * count(*)) AS t FROM dedges),
+    strong AS (SELECT src, dst FROM dedges, thr WHERE w >= t),
+    s0 AS (SELECT min(n_name) AS root FROM nation),
+    reach(node, dist) AS (
+      SELECT root, 0 FROM s0
+      UNION ALL
+      SELECT s.dst, r.dist + 1
+      FROM reach r JOIN strong s ON s.src = r.node
+      WHERE r.dist < 4
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM reach GROUP BY node
+    ORDER BY dist, node
+    """,
+)
+def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability (BFS distances <= 4 hops) over the
+    strong-trade graph from the lexicographically-first nation — the
+    transitive-closure / hierarchy-traversal shape (org charts, BOM
+    explosion, fraud rings) that SQL expresses as WITH RECURSIVE and
+    Spark as an ITERATIVE frontier join.
+
+    The recursion workaround IS the scale design: each round joins
+    only the current FRONTIER (nodes first reached last round)
+    against the edge list and anti-joins the visited set — work per
+    round is proportional to newly-discovered nodes, the distributed
+    analogue of textbook BFS.  Lineage is truncated per round with an
+    eager localCheckpoint (the _cc_label_propagation discipline), so
+    4 rounds don't compound into a 4-deep replay tree.  The DuckDB
+    oracle replays the same traversal as a recursive CTE (min(dist)
+    collapses its path enumeration to first-visit distances) — one
+    semantic, two recursion mechanisms.  The root is derived from the
+    data (min name), never a hard-coded literal, so corpus
+    regeneration can't orphan the query.
+    """
+    dedges = _trade_edges_cached(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    thr = dedges.agg(F.expr("(3 * sum(w)) div (2 * count(*))").alias("t"))
+    strong = (
+        dedges.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("t"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    root = (
+        t(spark, sf_dir, "nation")
+        .agg(F.min("n_name").alias("node"))
+        .withColumn("dist", F.lit(0))
+    )
+    visited = root.localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, 5):
+        nxt = (
+            frontier.join(strong, frontier["node"] == strong["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("dist").cast("long")).orderBy("dist", "node")

@@ -962,3 +962,26 @@ def test_attribution_lasttouch_literal(spark, tmp_path):
         for r in engine.QUERIES["events_attribution_lasttouch"](spark, sf).collect()
     }
     assert got == {"view": (2, 40.0), "unattributed": (1, 20.0)}
+
+
+def test_bfs_distances_are_shortest_paths(spark, sf_dir):
+    """BFS invariants: the root is at distance 0; every node at
+    distance d>0 has an in-edge from some node at distance d-1 and no
+    in-edge from any node at distance < d-1 (else it would have been
+    found earlier)."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.graph import _trade_edges_cached
+
+    rows = engine.QUERIES["graph_bfs_reachability"](spark, sf_dir).collect()
+    dist = {r.node: r.dist for r in rows}
+    assert min(dist.values()) == 0
+    dedges = _trade_edges_cached(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    thr = dedges.agg(F.expr("(3 * sum(w)) div (2 * count(*))").alias("t")).collect()[0].t
+    strong = {(r.src, r.dst) for r in dedges.filter(F.col("w") >= thr).collect()}
+    preds = {}
+    for s, d in strong:
+        preds.setdefault(d, set()).add(s)
+    for node, d in dist.items():
+        if d == 0:
+            continue
+        pd_dists = [dist[p] for p in preds.get(node, set()) if p in dist]
+        assert pd_dists and min(pd_dists) == d - 1, (node, d, pd_dists)
