@@ -278,3 +278,103 @@ def multimodal_chunk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("chunk").alias("n_bytes"),
         F.md5("chunk").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "multimodal_embed_ann",
+    """
+    WITH files AS (
+      SELECT 'doc_' || i || '.bin' AS file_name,
+             repeat(chr((65 + i)::INT), (100 + i)::INT) AS content
+      FROM range(0, 8) t(i)
+    ),
+    embedded AS (
+      SELECT file_name,
+             [ ('0x' || substr(sha256(content) || sha256(content || 'x'),
+                               2 * j + 1, 2))::INT::DOUBLE
+               FOR j IN range(0, 64) ] AS q_vec
+      FROM files
+    ),
+    corpus AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT f.file_name, c.vec_id,
+             ROUND(list_cosine_similarity(f.q_vec, c.v), 6) AS cos_sim
+      FROM embedded f CROSS JOIN corpus c
+    )
+    SELECT file_name, vec_id, cos_sim, rnk FROM (
+      SELECT file_name, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY file_name
+                                ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    ORDER BY file_name, rnk
+    """,
+)
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal retrieval pipeline: opaque binary blobs →
+    deterministic feature vectors → cosine ANN against the embeddings
+    corpus — the shape of image/audio semantic search (decode +
+    embed executor-side, then the vector-search join).
+
+    The 'embedding model' is an honest deterministic stand-in (no
+    torch in this container): 64 dims read from sha256(content) ||
+    sha256(content||'x') hex pairs — computed with BUILT-INS
+    (sha2 + conv inside a transform), so the featurization is
+    map-side JVM code the oracle replays exactly; a real model slots
+    into the same position as a Pandas UDF over Arrow batches
+    (udf_pandas_cosine shows that path).  Blobs stage as printable
+    deterministic bytes so the oracle can reconstruct them with
+    repeat(chr(..)) — content identity is asserted through the hash.
+
+    Scale shape: featurization rides the binaryFile scan (no
+    exchange); 8 query vectors broadcast against the corpus exactly
+    like sim_topk_bruteforce (the exact re-rank stage); at 100 TB the
+    corpus side swaps in the IVF/PQ probes (sim_topk_ivfpq) with the
+    SAME query-side pipeline.
+    """
+    from pyspark.sql import Window
+
+    stage = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/blobs_ascii"
+    os.makedirs(stage, exist_ok=True)
+    for i in range(8):
+        p = f"{stage}/doc_{i}.bin"
+        if not os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(bytes([65 + i]) * (100 + i))
+    blobs = spark.read.format("binaryFile").load(stage)
+    h = F.concat(
+        F.sha2(F.col("content"), 256),
+        F.sha2(F.concat(F.col("content"), F.lit(b"x")), 256),
+    )
+    q = (
+        blobs.select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            h.alias("h"),
+        )
+        .select(
+            "file_name",
+            F.expr(
+                "transform(sequence(0, 63),"
+                " j -> cast(conv(substr(h, 2 * j + 1, 2), 16, 10) as double))"
+            ).alias("q_vec"),
+        )
+    )
+    corpus = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    from ..operators.similarity import cosine as _cos
+
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "file_name",
+        "vec_id",
+        F.round(_cos(F.col("q_vec"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("file_name").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.select("file_name", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("file_name", "rnk")
+    )
