@@ -113,7 +113,8 @@ _WINDOW_50 = [
     "graph_link_prediction", "events_ab_ttest", "orders_rfm_segments",
     "vocab_pmi_collocations", "events_trend_ols", "agg_corr_moments",
     "events_attribution_lasttouch", "graph_bfs_reachability",
-    "multimodal_embed_ann",
+    "multimodal_embed_ann", "agg_heavy_hitters_exact",
+    "sql_api_q6", "sql_api_q10",
 ]
 
 

@@ -871,3 +871,86 @@ def agg_cms_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cms",
         (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
     ).orderBy("key")
+
+
+@query(
+    "agg_heavy_hitters_exact",
+    """
+    WITH c AS (SELECT l_partkey, count(*) AS n_lines FROM lineitem GROUP BY 1),
+    s AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS tot, count(*) AS k FROM c)
+    SELECT l_partkey, n_lines,
+           (SELECT 3 * tot // (2 * k) FROM s) AS thr
+    FROM c, s
+    WHERE n_lines >= 3 * tot // (2 * k)
+    ORDER BY n_lines DESC, l_partkey
+    """,
+)
+def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (parts with line count >= 1.5x the mean)
+    via the classic two-pass sketch-guided plan: a count-min sketch
+    built in pass one becomes a MAP-SIDE ROW FILTER in pass two, so
+    the exact aggregation only ever shuffles rows whose key might be
+    heavy.
+
+    Why the answer is exact: CMS never undercounts, so
+    "sketch-estimate >= threshold" admits a SUPERSET of the true
+    heavy keys — rows of light keys are dropped before the exchange,
+    and the final exact HAVING removes the false positives.  The
+    oracle is therefore the plain GROUP BY ... HAVING, with no sketch
+    anywhere — proving the optimization is answer-preserving.
+
+    Scale shape (the reason this exists): at 100 TB with a keyspace
+    too wide to aggregate exactly, the sketch pass is FIXED-SIZE
+    state (d=4 x w=4096 cells, partials merged by cell-wise sum);
+    pass two probes the cells through four BROADCAST hash joins on
+    the map-side-computed buckets (each cell table is <= 4096 rows of
+    control plane), so the filter never causes an exchange — the
+    exact aggregation's shuffle then carries only the heavy tail.
+    Frequency-based dynamic filtering, the same discipline as
+    join_runtime_bloom but for aggregation.  Buckets come from
+    xxhash64 — the sketch never appears in the oracle, so the hash
+    needs speed, not portability (unlike agg_cms_portable, whose
+    CELLS are the checked output).  (Two rejected designs, measured:
+    a 16k-element array-literal lookup — PySpark F.lit(list) compiles
+    to a per-row CreateArray, not a constant — and md5 bucketing,
+    each ~2x slower.)
+    """
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    stats = li.agg(
+        F.count("*").alias("tot"), F.countDistinct("key").alias("k")
+    ).collect()[0]
+    thr = (3 * stats.tot) // (2 * stats.k)
+
+    def bucket(j: int):
+        # xxhash64, not md5: the sketch is internal (the oracle never
+        # replays it — the filter is answer-preserving), so the
+        # bucketing hash only needs speed, and xxhash64 is JVM-side
+        # codegen vs md5's hex round-trip (measured 2x on this key).
+        return F.pmod(F.xxhash64(F.col("key"), F.lit(j)), F.lit(4096)).cast("int")
+
+    hashed = li.select(
+        "key",
+        F.explode(
+            F.array(*[F.struct(F.lit(j).alias("j"), bucket(j).alias("b")) for j in range(4)])
+        ).alias("s"),
+    ).select("key", "s.j", "s.b")
+    cells = (
+        hashed.groupBy("j", "b").agg(F.count("*").alias("cell")).localCheckpoint(eager=True)
+    )
+    probed = li
+    for j in range(4):
+        cj = cells.filter(F.col("j") == j).select(
+            F.col("b").alias(f"b{j}"), F.col("cell").alias(f"cell{j}")
+        )
+        probed = probed.withColumn(f"b{j}", bucket(j)).join(
+            F.broadcast(cj), f"b{j}"
+        )
+    est = F.least(*[F.col(f"cell{j}") for j in range(4)])
+    survivors = probed.filter(est >= F.lit(thr)).select("key")
+    return (
+        survivors.groupBy(F.col("key").alias("l_partkey"))
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") >= thr)
+        .withColumn("thr", F.lit(thr).cast("long"))
+        .orderBy(F.col("n_lines").desc(), "l_partkey")
+    )

@@ -163,3 +163,69 @@ def sql_api_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders", "lineitem"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_Q18_SQL)
+
+
+_Q6_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_api_q6", _Q6_SQL)
+def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure
+    scan→filter→aggregate shape — no join, no group — that measures
+    raw scan efficiency.  Every predicate (date range, discount band,
+    quantity cap) pushes into the parquet scan as a PushedFilter, the
+    aggregation is a two-stage partial/final sum, and the whole plan
+    is one WholeStageCodegen span over the scan: at 100 TB this query
+    IS the I/O path, and footer min/max skipping on a date-sorted
+    layout (scan_rowgroup_skipping) makes the date predicate prune
+    whole files before any CPU runs.  Identical ANSI text on both
+    engines; decimal-exact revenue.
+    """
+    for name in ("lineitem",):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q6_SQL)
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("sql_api_q10", _Q10_SQL)
+def sql_api_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by
+    returned revenue in a quarter — the star-join + wide-group +
+    top-k shape.  Catalyst broadcasts customer/nation, shuffles the
+    lineitem⋈orders fact join on the order key, aggregates partially
+    map-side on the (custkey, ...) group, and TakeOrderedAndProject
+    replaces any global sort for the LIMIT.  Identical ANSI text on
+    both engines; (revenue, custkey) ordering is deterministic via
+    the decimal-exact 2-dp rounding + unique key tiebreak.
+    """
+    for name in ("customer", "orders", "lineitem", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q10_SQL)

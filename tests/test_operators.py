@@ -985,3 +985,21 @@ def test_bfs_distances_are_shortest_paths(spark, sf_dir):
             continue
         pd_dists = [dist[p] for p in preds.get(node, set()) if p in dist]
         assert pd_dists and min(pd_dists) == d - 1, (node, d, pd_dists)
+
+
+def test_heavy_hitters_sketch_filter_is_lossless(spark, sf_dir):
+    """The sketch-guided plan equals the naive exact GROUP BY +
+    HAVING — the CMS row filter admits a superset (never drops a true
+    heavy key), and the exact HAVING removes the false positives."""
+    got = {
+        (r.l_partkey, r.n_lines)
+        for r in engine.QUERIES["agg_heavy_hitters_exact"](spark, sf_dir).collect()
+    }
+    li = engine.t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    s = c.agg(F.sum("n").alias("tot"), F.count("*").alias("k")).collect()[0]
+    thr = (3 * s.tot) // (2 * s.k)
+    naive = {
+        (r.l_partkey, r.n) for r in c.filter(F.col("n") >= thr).collect()
+    }
+    assert got == naive and got
