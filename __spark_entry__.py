@@ -114,7 +114,7 @@ _WINDOW_50 = [
     "vocab_pmi_collocations", "events_trend_ols", "agg_corr_moments",
     "events_attribution_lasttouch", "graph_bfs_reachability",
     "multimodal_embed_ann", "agg_heavy_hitters_exact",
-    "sql_api_q6", "sql_api_q10",
+    "sql_api_q6", "sql_api_q10", "join_scd2_pointintime", "geo_grid_nearest",
 ]
 
 

@@ -23,6 +23,7 @@ _MODULES = [
     "operators.reshape",
     "operators.corpus",
     "operators.search",
+    "operators.spatial",
     "operators.analytics",
     "operators.quality",
     "operators.graph",

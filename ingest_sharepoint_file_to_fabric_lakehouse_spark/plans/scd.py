@@ -113,3 +113,89 @@ def sink_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = scd2_apply(dim, updates, "c_custkey", "c_mktsegment", "2024-06-01")
     merged.write.mode("overwrite").parquet(base)
     return spark.read.parquet(base)
+
+
+@query(
+    "join_scd2_pointintime",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment,
+             DATE '1992-01-01' AS valid_from,
+             CASE WHEN c_custkey % 10 = 0 THEN DATE '1996-06-01' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'PROMO', DATE '1996-06-01', CAST(NULL AS DATE)
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT d.c_mktsegment AS segment,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 dimension: every
+    order joins the dimension VERSION that was valid on its order
+    date (every 10th customer switches to 'PROMO' mid-1996), then
+    revenue rolls up by as-was segment and year — the
+    temporal-correctness join every warehouse report needs (joining
+    the CURRENT version silently rewrites history).
+
+    Plan discipline: this is an EQUI-join on the business key with
+    the validity window as a residual predicate — versions-per-key is
+    small (here <= 2, in practice bounded by change frequency), so
+    the right plan is the broadcast/shuffled hash join on c_custkey,
+    NOT a range join; the interval machinery (join_interval_banded /
+    join_asof_latest) is only warranted when version counts explode.
+    At 100 TB the dimension partitions by is_current so the hot
+    current-only joins prune history entirely, while point-in-time
+    reads like this one scan both partitions.  Decimal-exact revenue;
+    (segment, year) output is calendar-sized.
+    """
+    cust = t(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.lit("1996-06-01").cast("date")
+        ).alias("valid_to"),
+    )
+    v2 = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.lit("PROMO").alias("c_mktsegment"),
+            F.lit("1996-06-01").cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    o = t(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    from ..core import dec, money
+
+    return (
+        joined.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+        .orderBy("segment", "order_year")
+    )

@@ -1003,3 +1003,41 @@ def test_heavy_hitters_sketch_filter_is_lossless(spark, sf_dir):
         (r.l_partkey, r.n) for r in c.filter(F.col("n") >= thr).collect()
     }
     assert got == naive and got
+
+
+def test_grid_nearest_equals_naive_theta_join(spark, sf_dir):
+    """The 3x3 grid plan is lossless for radius-bounded nearest: it
+    must equal the naive all-pairs distance join it avoids."""
+    got = {
+        (r.c_custkey, r.nearest_suppkey, r.dist2)
+        for r in engine.QUERIES["geo_grid_nearest"](spark, sf_dir).collect()
+    }
+    cust = (
+        engine.t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            ((F.col("c_custkey") * 37) % 1000).alias("x"),
+            ((F.col("c_custkey") * 73) % 1000).alias("y"),
+        )
+    )
+    supp = engine.t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 41) % 1000).alias("sx"),
+        ((F.col("s_suppkey") * 79) % 1000).alias("sy"),
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    naive = (
+        cust.crossJoin(supp)
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= 150 * 150)
+        .groupBy("c_custkey")
+        .agg(
+            F.min_by("s_suppkey", F.col("d2") * F.lit(100_000) + F.col("s_suppkey")).alias("s"),
+            F.min("d2").cast("long").alias("dd"),
+        )
+    )
+    expect = {(r.c_custkey, r.s, r.dd) for r in naive.collect()}
+    assert got == expect and got
