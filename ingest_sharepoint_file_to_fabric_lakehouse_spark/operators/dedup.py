@@ -1172,3 +1172,121 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("delta_doc_id", "base_doc_id", F.round("e", 4).alias("est_jaccard"))
         .orderBy("delta_doc_id")
     )
+
+
+_LSH_EVAL_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, greatest(len(toks)-2, 1) + 1)]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+          WHERE doc_id < 1000)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 5 * i >= 2 * (sa.n + sb.n - i)
+),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+tp AS (SELECT count(*) AS tp FROM cand c WHERE EXISTS (SELECT 1 FROM truth t WHERE t.doc_a = c.doc_a AND t.doc_b = c.doc_b))
+SELECT (SELECT count(*) FROM truth) AS n_truth,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       tp.tp AS n_tp,
+       tp.tp * 1000000 // greatest((SELECT count(*) FROM cand), 1) AS precision_ppm,
+       tp.tp * 1000000 // greatest((SELECT count(*) FROM truth), 1) AS recall_ppm
+FROM tp
+""".format(
+    mins=", ".join(f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(12)),
+    bands="\n  UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {cc} AS bucket FROM sig".format(
+            bi=bi, cc=" || ',' || ".join(f"h{bi * 3 + ri}" for ri in range(3))
+        )
+        for bi in range(4)
+    ),
+)
+
+
+@query("dedup_lsh_eval", _LSH_EVAL_ORACLE)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality evaluation of the LSH candidate generator: precision
+    and recall of band-collision pairs against EXACT-Jaccard ground
+    truth (J >= 0.4 on distinct 3-shingles) — the measurement that
+    tunes (bands, rows-per-band) before running dedup at 100 TB,
+    closing the loop on the approximate-dedup family.
+
+    Both sides are scale-shaped: ground truth comes from the shingle
+    join (pairs with J >= tau > 0 MUST share a shingle — no cross
+    join), with the integer-exact threshold ``5·|A∩B| >= 2·|A∪B|``;
+    candidates are the md5-portable banded-LSH pairs
+    (dedup_minhash_portable's construction, reused).  The confusion
+    counts and ppm precision/recall are pure integer arithmetic, and
+    the DuckDB oracle replays BOTH pipelines end to end.  In
+    production this runs on a SAMPLE of the corpus; the measured
+    recall bounds what the full-scale banded dedup will miss.
+    """
+    d = docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(5 * F.col("i") >= 2 * (F.col("na") + F.col("nb") - F.col("i")))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    banded = _mh_banded(_mh_signature(d)).select("doc_id", "band", "bucket")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tp = cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(F.count("*").alias("tp"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    return (
+        tp.crossJoin(n_truth)
+        .crossJoin(n_cand)
+        .select(
+            "n_truth",
+            "n_candidates",
+            F.col("tp").alias("n_tp"),
+            F.expr("(tp * 1000000) div greatest(n_candidates, 1)").alias("precision_ppm"),
+            F.expr("(tp * 1000000) div greatest(n_truth, 1)").alias("recall_ppm"),
+        )
+    )
