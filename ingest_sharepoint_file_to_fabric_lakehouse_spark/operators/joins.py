@@ -715,3 +715,128 @@ def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id FROM events WHERE user_id < 20
+    ),
+    gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM gaps
+    ),
+    iv AS (
+      SELECT user_id, sid,
+             epoch(min(ts))::BIGINT AS s,
+             epoch(max(ts))::BIGINT AS e
+      FROM sess GROUP BY user_id, sid
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             least(a.e, b.e) - greatest(a.s, b.s) AS ov
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id
+       AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT user_a, user_b,
+           count(*) AS n_overlaps,
+           CAST(SUM(ov) AS BIGINT) AS total_overlap_s
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY user_a, user_b
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP join: which user pairs were active
+    simultaneously, and for how long — co-presence / concurrent-
+    session detection (fraud rings, shared accounts, capacity
+    planning), the two-sided generalization of the point-in-interval
+    join_interval_banded.
+
+    Sessions are the 30-minute-gap islands per user (closed-form, the
+    stream_session oracle's construction); overlap seconds are exact
+    integer epoch arithmetic.  The engine bands BOTH interval sets
+    into the fixed time buckets they span (map-side fan-out bounded
+    by session length / band width) and joins band-to-band — an equi
+    join whose candidates are only the intervals sharing an hour —
+    then applies the exact overlap predicate and dedups pairs that
+    share several bands.  The oracle replays the O(n*m) theta join
+    the banding avoids.  At 100 TB: candidate volume is per-band
+    density squared (AQE skew handling on hot hours), versus the
+    nested-loop the raw inequality join would plan; a minimum-
+    recurrence floor (HAVING) would keep the report to repeat pairs
+    on a denser corpus.
+    """
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+                    > 30 * 60 * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_seconds(F.min("ts").cast("timestamp")).alias("s"),
+            F.unix_seconds(F.max("ts").cast("timestamp")).alias("e"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    band = 3600  # 1-hour bands
+    banded = sess.select(
+        "user_id",
+        "sid",
+        "s",
+        "e",
+        F.explode(F.sequence(F.expr(f"s div {band}"), F.expr(f"e div {band}"))).alias("bnd"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bnd") == F.col("b.bnd"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sid").alias("sid_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sid").alias("sid_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("ov"),
+        )
+        .distinct()  # a pair overlapping across k shared bands counts once
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_overlaps"), F.sum("ov").cast("long").alias("total_overlap_s"))
+        .orderBy("user_a", "user_b")
+    )

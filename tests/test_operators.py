@@ -1041,3 +1041,56 @@ def test_grid_nearest_equals_naive_theta_join(spark, sf_dir):
     )
     expect = {(r.c_custkey, r.s, r.dd) for r in naive.collect()}
     assert got == expect and got
+
+
+def test_interval_overlap_banded_equals_theta(spark, sf_dir):
+    """The banded interval-overlap plan must equal the naive theta
+    join (bands with dedup are lossless: overlapping intervals always
+    share at least one band when bands >= interval length... verified
+    by construction here via direct comparison)."""
+    got = {
+        (r.user_a, r.user_b, r.n_overlaps, r.total_overlap_s)
+        for r in engine.QUERIES["join_interval_overlap"](spark, sf_dir).collect()
+    }
+    from pyspark.sql import Window as W
+
+    ev = engine.t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+                    > 30 * 60 * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_seconds(F.min("ts").cast("timestamp")).alias("s"),
+            F.unix_seconds(F.max("ts").cast("timestamp")).alias("e"),
+        )
+    )
+    a, b = sess.alias("a"), sess.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+            (F.least(F.col("a.e"), F.col("b.e")) - F.greatest(F.col("a.s"), F.col("b.s"))).alias("ov"),
+        )
+        .groupBy("ua", "ub")
+        .agg(F.count("*").alias("n"), F.sum("ov").cast("long").alias("tov"))
+    )
+    expect = {(r.ua, r.ub, r.n, r.tov) for r in naive.collect()}
+    assert got == expect and got
