@@ -115,7 +115,7 @@ _WINDOW_50 = [
     "events_attribution_lasttouch", "graph_bfs_reachability",
     "multimodal_embed_ann", "agg_heavy_hitters_exact",
     "sql_api_q6", "sql_api_q10", "join_scd2_pointintime", "geo_grid_nearest",
-    "dedup_lsh_eval", "join_interval_overlap",
+    "dedup_lsh_eval", "join_interval_overlap", "agg_exact_quantile_grouped",
 ]
 
 

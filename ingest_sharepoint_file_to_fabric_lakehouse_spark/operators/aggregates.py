@@ -954,3 +954,92 @@ def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("thr", F.lit(thr).cast("long"))
         .orderBy(F.col("n_lines").desc(), "l_partkey")
     )
+
+
+@query(
+    "agg_exact_quantile_grouped",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(o_totalprice * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT grp, cents,
+             row_number() OVER (PARTITION BY grp ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM c
+    )
+    SELECT grp AS o_orderpriority, n AS n_orders,
+           cents AS p90_cents
+    FROM ranked
+    WHERE rn = greatest(1, (9 * n + 9) // 10)
+    ORDER BY grp
+    """,
+)
+def agg_exact_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group p90 (discrete quantile, rank ceil(0.9n)) with
+    NO per-group sort — the grouped generalization of
+    agg_exact_median_twopass:
+
+    1. one partial-aggregated pass builds a (group, cents-bin)
+       histogram — #groups x #occupied-bins rows to the driver
+       (control-plane: 5 priorities x ~1000 bins here);
+    2. the driver walks each group's bins to locate the bin holding
+       rank ceil(0.9·n_g) and the residual in-bin rank;
+    3. a second scan filters to the <=#groups target bins (a pushed
+       disjunction of tight range predicates) and ranks only those
+       rows — per-group window input is ONE bin, not the group.
+
+    Versus the oracle's full per-group row_number (a sort of every
+    group), the engine sorts ~n/1000 rows per group.  All arithmetic
+    is integer (cents, counts, ranks): value selection is immune to
+    tie order, so both engines pick the identical k-th smallest
+    cents.  At 100 TB this is the shape for per-tenant / per-day SLO
+    percentiles where groups are large but numerous.
+    """
+    binw = 50_000
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("cast(o_totalprice * 100 as bigint)").alias("cents"),
+    )
+    hist = (
+        o.groupBy("grp", (F.col("cents") / binw).cast("bigint").alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("grp", "bin")
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_group: dict = defaultdict(list)
+    for r in hist:
+        per_group[r.grp].append((r.bin, r.cnt))
+    targets = []  # (grp, bin, rank_in_bin, n)
+    for grp, rows in per_group.items():
+        n = sum(c for _, c in rows)
+        k = max(1, (9 * n + 9) // 10)  # ceil(0.9 n), 1-based
+        cum = 0
+        for b, c in rows:
+            if cum + c >= k:
+                targets.append((grp, b, k - cum, n))
+                break
+            cum += c
+    from pyspark.sql import Window as W
+
+    tgt = o.sparkSession.createDataFrame(
+        targets, "grp string, bin bigint, r bigint, n bigint"
+    )
+    in_bin = o.withColumn("bin", (F.col("cents") / binw).cast("bigint")).join(
+        F.broadcast(tgt), ["grp", "bin"]
+    )
+    w = W.partitionBy("grp").orderBy("cents")
+    return (
+        in_bin.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("r"))
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            F.col("n").alias("n_orders"),
+            F.col("cents").alias("p90_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
