@@ -840,3 +840,60 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overlaps"), F.sum("ov").cast("long").alias("total_overlap_s"))
         .orderBy("user_a", "user_b")
     )
+
+
+@query(
+    "join_null_safe_eq",
+    """
+    WITH a AS (
+      SELECT c_custkey, nullif(c_nationkey % 7, 3) AS k
+      FROM customer WHERE c_custkey < 300
+    ),
+    b AS (
+      SELECT s_suppkey, nullif(s_nationkey % 7, 3) AS k
+      FROM supplier
+    )
+    SELECT COALESCE(CAST(a.k AS VARCHAR), 'NULL') AS k,
+           count(*) AS n_pairs,
+           CAST(SUM(a.c_custkey + b.s_suppkey) AS BIGINT) AS pair_checksum
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``IS NOT DISTINCT FROM`` /
+    ``eqNullSafe``): NULL keys MATCH each other instead of silently
+    dropping — the semantics survivorship/merge pipelines need when
+    'unknown' is itself a join value (both sides' unparsed categories
+    must pair up, not vanish).
+
+    The nullable key is derived deterministically (``nullif(x % 7,
+    3)``) so the NULL bucket is reproducibly populated.  Catalyst
+    plans ``<=>`` as a hash join on a null-safe key (NULLs hash to
+    one bucket) — at scale the NULL group is the classic hot key
+    (join_null_skew_split routes it AROUND the join when null should
+    NOT match; this operator is the opposite contract, where it
+    must), so salting or AQE skew-split applies to the null bucket
+    like any other hot key.  Integer checksums keep the oracle
+    order-insensitive.
+    """
+    a = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select("c_custkey", F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("ka"))
+    )
+    b = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 7, F.lit(3)).alias("kb")
+    )
+    joined = a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("ka").cast("string"), F.lit("NULL")).alias("k")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("c_custkey") + F.col("s_suppkey")).cast("long").alias("pair_checksum"),
+        )
+        .orderBy("k")
+    )
