@@ -887,3 +887,84 @@ def vocab_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .orderBy("rnk")
     )
+
+
+@query(
+    "vocab_zipf_fit",
+    """
+    WITH cnt AS (
+      SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rnk
+      FROM cnt
+    ),
+    logs AS (
+      SELECT CAST(ln(rnk) AS DECIMAL(20,12)) AS x,
+             CAST(ln(n) AS DECIMAL(20,12)) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT count(*) AS k,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM logs
+    )
+    SELECT k AS vocab_size,
+           CAST(ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS DOUBLE)
+             AS zipf_slope,
+           CAST(ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+                AS DOUBLE) AS log_intercept
+    FROM m
+    """,
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) against ln(rank)
+    over the corpus vocabulary — the distributional health check for
+    tokenizer/corpus curation (natural text sits near slope -1;
+    machine-generated or over-deduplicated corpora drift, making this
+    a cheap corpus-quality monitor).
+
+    Composition of proven pieces: vocabulary counts (one exploded-
+    token exchange, vocab-sized output), rank over the VOCABULARY
+    (control-plane-sized window, not a data-sized one), per-term logs
+    absorbed into DECIMAL(20,12) (the text_lm_quality ulp discipline
+    — order-free decimal sums), and the closed-form OLS of
+    events_trend_ols over those moments.  The whole regression costs
+    one corpus pass plus vocabulary-sized arithmetic.
+    """
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked = cnt.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
+    )
+    logs = ranked.select(
+        F.log(F.col("rnk").cast("double")).cast("decimal(20,12)").alias("x"),
+        F.log(F.col("n").cast("double")).cast("decimal(20,12)").alias("y"),
+    )
+    m = logs.agg(
+        F.count("*").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("k").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "log_intercept"
+        ),
+    )
