@@ -1094,3 +1094,42 @@ def test_interval_overlap_banded_equals_theta(spark, sf_dir):
     )
     expect = {(r.ua, r.ub, r.n, r.tov) for r in naive.collect()}
     assert got == expect and got
+
+
+def test_null_safe_join_matches_null_bucket(spark, sf_dir):
+    """The NULL key group must appear and its pair count must equal
+    |A_null| x |B_null| (nulls match each other, not drop)."""
+    rows = {r.k: r.n_pairs for r in engine.QUERIES["join_null_safe_eq"](spark, sf_dir).collect()}
+    a_null = (
+        engine.t(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") < 300) & (F.col("c_nationkey") % 7 == 3))
+        .count()
+    )
+    b_null = (
+        engine.t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 7 == 3).count()
+    )
+    assert rows.get("NULL") == a_null * b_null
+    assert a_null * b_null > 0
+
+
+def test_zipf_fit_slope_is_negative_and_exact_on_literal(spark, tmp_path):
+    """A frequency table 8,4,2,1 over ranks 1..4 is exactly
+    log-linear with slope -3/2 / log-spacing... verified numerically:
+    ln(freq) = ln(8) - slope*ln(rank) fit must recover the least-
+    squares slope of that series."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]), "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    r = engine.QUERIES["vocab_zipf_fit"](spark, sf).collect()[0]
+    x = np.log(np.arange(1, 5))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    assert r.vocab_size == 4
+    assert abs(r.zipf_slope - round(slope, 6)) < 2e-6
+    assert r.zipf_slope < 0
