@@ -1154,3 +1154,65 @@ def events_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "orders_open_backlog",
+    """
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST(7 + (o_orderkey % 21) AS INTEGER) AS e
+      FROM orders
+    ),
+    deltas AS (
+      SELECT s AS day, CAST(count(*) AS BIGINT) AS d FROM iv GROUP BY s
+      UNION ALL
+      SELECT e AS day, CAST(-count(*) AS BIGINT) FROM iv GROUP BY e
+    ),
+    daily AS (SELECT day, CAST(SUM(d) AS BIGINT) AS d FROM deltas GROUP BY day)
+    SELECT day,
+           CAST(SUM(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_open
+    FROM daily
+    ORDER BY day
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: how many orders are in flight on
+    each day, with an order open for ``7 + (key % 21)`` days — the
+    interval-COUNTING problem (concurrent sessions, bed occupancy,
+    WIP limits), solved by a SWEEP LINE instead of any join:
+
+    each interval becomes a +1 at its start and a -1 at its end;
+    deltas aggregate per day (ONE partial-aggregated exchange over
+    2 rows/interval, collapsing to calendar-sized output); the
+    running sum then runs over the DAY SPINE — a window whose input
+    is #days rows, i.e. control-plane, so the 'global ordered
+    cumulative' that is banned over data-sized relations is fine
+    here.  At 100 TB: interval volume only affects the first
+    aggregate; everything after is calendar arithmetic.  Contrast
+    with join_interval_overlap (pairwise overlap -> banding) — when
+    the question is a COUNT over time, the sweep avoids pairs
+    entirely.
+    """
+    iv = t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.expr(
+            "date_add(cast(o_orderdate as date), cast(7 + (o_orderkey % 21) as int))"
+        ).alias("e"),
+    )
+    deltas = (
+        iv.groupBy(F.col("s").alias("day"))
+        .agg(F.count("*").alias("d"))
+        .unionByName(
+            iv.groupBy(F.col("e").alias("day")).agg((-F.count("*")).alias("d"))
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("d"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", F.sum("d").over(w).cast("long").alias("n_open")
+    ).orderBy("day")

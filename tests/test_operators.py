@@ -1133,3 +1133,17 @@ def test_zipf_fit_slope_is_negative_and_exact_on_literal(spark, tmp_path):
     assert r.vocab_size == 4
     assert abs(r.zipf_slope - round(slope, 6)) < 2e-6
     assert r.zipf_slope < 0
+
+
+def test_open_backlog_sweep_equals_direct_count(spark, sf_dir):
+    """The sweep-line backlog must equal the direct per-day interval
+    count on sampled days (and the final day must close to 0 open)."""
+    rows = engine.QUERIES["orders_open_backlog"](spark, sf_dir).collect()
+    assert rows[-1].n_open == 0
+    iv = engine.t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.expr("date_add(cast(o_orderdate as date), cast(7 + (o_orderkey % 21) as int))").alias("e"),
+    )
+    for r in rows[:: max(1, len(rows) // 5)]:
+        direct = iv.filter((F.col("s") <= F.lit(r.day)) & (F.col("e") > F.lit(r.day))).count()
+        assert direct == r.n_open, (r.day, direct, r.n_open)
