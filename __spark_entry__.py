@@ -117,6 +117,7 @@ _WINDOW_50 = [
     "sql_api_q6", "sql_api_q10", "join_scd2_pointintime", "geo_grid_nearest",
     "dedup_lsh_eval", "join_interval_overlap", "agg_exact_quantile_grouped",
     "join_null_safe_eq", "vocab_zipf_fit", "orders_open_backlog",
+    "events_dau_wau_mau",
 ]
 
 

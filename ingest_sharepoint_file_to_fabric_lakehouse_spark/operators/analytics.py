@@ -1216,3 +1216,74 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", F.sum("d").over(w).cast("long").alias("n_open")
     ).orderBy("day")
+
+
+@query(
+    "events_dau_wau_mau",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    ends AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT e.day, count(DISTINCT du.user_id) AS wau
+      FROM ends e JOIN du ON du.day > e.day - 7 AND du.day <= e.day
+      GROUP BY e.day
+    ),
+    mau AS (
+      SELECT e.day, count(DISTINCT du.user_id) AS mau
+      FROM ends e JOIN du ON du.day > e.day - 28 AND du.day <= e.day
+      GROUP BY e.day
+    )
+    SELECT dau.day, dau.dau, wau.wau, mau.mau,
+           (dau.dau * 1000000) // mau.mau AS stickiness_ppm
+    FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day
+    ORDER BY dau.day
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and DAU:MAU stickiness per day — the canonical
+    growth dashboard, built with the dedup-then-fan-out discipline of
+    events_rolling_distinct:
+
+    raw events collapse ONCE to distinct (day, user) pairs (the only
+    event-volume-proportional exchange); each pair then fans out
+    map-side to the <= 7 window-ends it serves for WAU and <= 28 for
+    MAU, and per-end distinct counts aggregate over the deduplicated
+    pair stream — versus re-scanning a trailing window per day.
+    Stickiness is exact integer ppm (`div`).  The oracle replays the
+    trailing windows as range joins over the same distinct pairs.
+    At 100 TB the (day, user) relation is bounded by active
+    user-days, and the 28x fan-out happens after dedup, never over
+    raw events.
+    """
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct().localCheckpoint(eager=True)
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+
+    def trailing(n: int, name: str):
+        fan = du.select(
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {n - 1}), interval 1 day)")
+            ).alias("day_end"),
+            "user_id",
+        )
+        ends = du.select(F.col("day").alias("day_end")).distinct()
+        return (
+            fan.join(ends, "day_end")
+            .groupBy("day_end")
+            .agg(F.countDistinct("user_id").alias(name))
+            .withColumnRenamed("day_end", "day")
+        )
+
+    out = (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(28, "mau"), "day")
+        .withColumn("stickiness_ppm", F.expr("(dau * 1000000) div mau"))
+        .orderBy("day")
+    )
+    return out
