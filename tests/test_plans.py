@@ -351,3 +351,33 @@ def test_ttest_is_single_scan(spark, sf_dir):
     df = engine.QUERIES["events_ab_ttest"](spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1
+
+
+def test_grid_nearest_has_no_cartesian(spark, sf_dir):
+    """The spatial plan must be a hash join on cell keys — never a
+    CartesianProduct / BroadcastNestedLoopJoin over the point sets."""
+    df = engine.QUERIES["geo_grid_nearest"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_is_hash_join(spark, sf_dir):
+    """The banded overlap join must plan as a hash/sort-merge join on
+    the band key with the overlap predicate as a residual condition."""
+    df = engine.QUERIES["join_interval_overlap"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_heavy_hitters_probe_is_broadcast(spark, sf_dir):
+    """The CMS probe must ride broadcast joins (map-side filter), and
+    the plan must not shuffle the fact before the survivor filter's
+    aggregation."""
+    df = engine.QUERIES["agg_heavy_hitters_exact"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4

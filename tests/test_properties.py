@@ -249,3 +249,30 @@ def test_gaps_islands_streaks_match_bruteforce(user_days):
             (len(v), base + timedelta(days=min(v))) for v in groups.values()
         )
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(1, 40)),  # (start_day, length)
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_sweepline_interval_count_matches_direct(intervals):
+    """Sweep-line invariant (pure python mirror of orders_open_backlog's
+    algebra): cumulative +1/-1 deltas at interval starts/ends equal
+    the direct 'how many intervals cover day d' count at every
+    delta day, for arbitrary interval sets."""
+    from collections import defaultdict
+
+    deltas: dict = defaultdict(int)
+    for s, ln in intervals:
+        deltas[s] += 1
+        deltas[s + ln] -= 1
+    days = sorted(deltas)
+    cum = 0
+    for d in days:
+        cum += deltas[d]
+        direct = sum(1 for s, ln in intervals if s <= d < s + ln)
+        assert cum == direct
