@@ -544,7 +544,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT item_a, item_b, n_pair,
            sa.n_item AS n_a, sb.n_item AS n_b,
-           CAST(n_pair * n_baskets * 1000000 // (sa.n_item * sb.n_item)
+           CAST(CAST(n_pair AS HUGEINT) * n_baskets * 1000000
+                  // (CAST(sa.n_item AS HUGEINT) * sb.n_item)
                 AS BIGINT) AS lift_ppm
     FROM pair
     JOIN supp sa ON sa.item = item_a
@@ -619,11 +620,19 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.join(F.broadcast(sa), "item_a")
         .join(F.broadcast(sb), "item_b")
         .crossJoin(F.broadcast(n_baskets))
-        # exact long arithmetic end-to-end (`div`, never float `/`):
-        # n_pair*N*1e6 stays well under 2^63 at fixture scale; at
-        # 100 TB widen the intermediates to decimal(38,0) first.
+        # exact integral arithmetic end-to-end (`div`, never float
+        # `/`), with the numerator/denominator widened to
+        # decimal(38,0) BEFORE the multiplies: int64 would wrap
+        # silently in non-ANSI Spark once n_pair*N*1e6 crosses 2^63
+        # (DuckDB's HUGEINT mirror is the oracle side), so the
+        # widening is what keeps the engines in lockstep at corpus
+        # scale rather than diverging without an error.
         .withColumn(
-            "lift_ppm", F.expr("(n_pair * n_baskets * 1000000) div (n_a * n_b)")
+            "lift_ppm",
+            F.expr(
+                "(cast(n_pair as decimal(38,0)) * n_baskets * 1000000)"
+                " div (cast(n_a as decimal(38,0)) * n_b)"
+            ),
         )
         .select("item_a", "item_b", "n_pair", "n_a", "n_b", "lift_ppm")
         .orderBy(F.col("n_pair").desc(), "item_a", "item_b")
@@ -841,7 +850,8 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref AS (
       SELECT max(last_order) AS now_ts,
              SUM(freq) // count(*) AS f_mean,
-             CAST(SUM(monetary) / count(*) AS DECIMAL(18,4)) AS m_mean,
+             SUM(monetary) AS m_sum,
+             count(*) AS n_cust,
              SUM(datediff('day', last_order, (SELECT max(o_orderdate) FROM orders)))
                // count(*) AS r_mean
       FROM per_cust
@@ -851,7 +861,7 @@ def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN datediff('day', p.last_order, ref.now_ts) <= ref.r_mean
                   THEN 1 ELSE 0 END AS r,
              CASE WHEN p.freq >= ref.f_mean THEN 1 ELSE 0 END AS f,
-             CASE WHEN p.monetary >= ref.m_mean THEN 1 ELSE 0 END AS m,
+             CASE WHEN p.monetary * ref.n_cust >= ref.m_sum THEN 1 ELSE 0 END AS m,
              p.monetary
       FROM per_cust p CROSS JOIN ref
     )
@@ -876,9 +886,12 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer rollup, then the 8-row segment aggregate).  For true
     quantile cuts at scale, agg_exact_median_twopass generalizes —
     the histogram pass yields any rank's boundary, still no global
-    sort.  Thresholds are integer/decimal-exact (integer-div day and
-    frequency means, decimal monetary mean), so segment membership is
-    engine-deterministic.
+    sort.  Thresholds are integer/decimal-exact: integer-div day and
+    frequency means, and the monetary cut compares
+    ``monetary * n_cust >= sum(monetary)`` in pure decimal space —
+    no division anywhere (DuckDB evaluates decimal/integer division
+    in DOUBLE, so a divided mean would be one-ulp flaky at .xxxx5
+    boundaries) — so segment membership is engine-deterministic.
     """
     o = t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -890,7 +903,8 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = per_cust.crossJoin(F.broadcast(now_all)).agg(
         F.max("now_ts").alias("now_ts"),
         F.expr("sum(freq) div count(*)").alias("f_mean"),
-        (F.sum("monetary") / F.count("*")).cast("decimal(18,4)").alias("m_mean"),
+        F.sum("monetary").alias("m_sum"),
+        F.count("*").alias("n_cust"),
         F.expr("sum(datediff(now_ts, last_order)) div count(*)").alias("r_mean"),
     )
     scored = per_cust.crossJoin(F.broadcast(ref)).select(
@@ -899,7 +913,9 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("now_ts"), F.col("last_order")) <= F.col("r_mean"), 1
         ).otherwise(0).alias("r"),
         F.when(F.col("freq") >= F.col("f_mean"), 1).otherwise(0).alias("f"),
-        F.when(F.col("monetary") >= F.col("m_mean"), 1).otherwise(0).alias("m"),
+        F.when(F.col("monetary") * F.col("n_cust") >= F.col("m_sum"), 1)
+        .otherwise(0)
+        .alias("m"),
         "monetary",
     )
     return (

@@ -40,15 +40,17 @@ supp AS (
          (s_suppkey * 79) % 1000 AS y
   FROM supplier
 ),
+kb AS (SELECT CAST(max(s_suppkey) + 1 AS BIGINT) AS key_bound FROM supplier),
 pairs AS (
   SELECT c.c_custkey,
          min_by(s.s_suppkey,
-                ((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)) * 100000
-                  + s.s_suppkey) AS nearest_suppkey,
+                ((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y))
+                  * kb.key_bound + s.s_suppkey) AS nearest_suppkey,
          CAST(min((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y))
               AS BIGINT) AS dist2
   FROM cust c JOIN supp s
     ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 150 * 150
+  CROSS JOIN kb
   GROUP BY c.c_custkey
 )
 SELECT c_custkey, nearest_suppkey, dist2
@@ -72,7 +74,13 @@ def geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_interval_banded relationship, one dimension up).  All
     geometry is integer (positions in tenths, squared distances, a
     composite (dist2, suppkey) min_by scalar), so nearest selection
-    is bit-deterministic with no sqrt and no float ordering.
+    is bit-deterministic with no sqrt and no float ordering.  The
+    composite's key multiplier is max(s_suppkey)+1 DERIVED FROM THE
+    DATA (one control-plane agg, broadcast), not a constant — a fixed
+    scale would silently mis-rank once keys outgrow it (supplier
+    count is 10k x SF, so any hard-coded bound eventually loses);
+    overflow headroom is d2 <= 22_500 x key_bound, safe in int64 up
+    to ~4e14 suppliers.
     """
     cust = (
         t(spark, sf_dir, "customer")
@@ -108,16 +116,21 @@ def geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
         F.col("y") - F.col("sy")
     ) * (F.col("y") - F.col("sy"))
+    key_bound = (
+        t(spark, sf_dir, "supplier")
+        .agg((F.max("s_suppkey") + 1).cast("long").alias("key_bound"))
+    )
     cand = (
         cust.join(supp9, ["cell_x", "cell_y"])
         .withColumn("d2", d2)
         .filter(F.col("d2") <= _R * _R)
+        .crossJoin(F.broadcast(key_bound))
     )
     return (
         cand.groupBy("c_custkey")
         .agg(
             F.min_by(
-                "s_suppkey", F.col("d2") * F.lit(100_000) + F.col("s_suppkey")
+                "s_suppkey", F.col("d2") * F.col("key_bound") + F.col("s_suppkey")
             ).alias("nearest_suppkey"),
             F.min("d2").cast("long").alias("dist2"),
         )

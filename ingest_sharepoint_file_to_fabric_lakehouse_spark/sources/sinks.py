@@ -276,27 +276,29 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_snapshot_diff",
     """
     WITH snap1 AS (
-      SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status
+      SELECT o_orderkey AS key,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             o_orderstatus AS status
       FROM orders
     ),
     snap2 AS (
       SELECT key,
-             CASE WHEN key % 97 = 0 THEN price + 100.0 ELSE price END AS price,
+             CASE WHEN key % 97 = 0 THEN cents + 10000 ELSE cents END AS cents,
              status
       FROM snap1 WHERE key % 101 <> 0
       UNION ALL
-      SELECT key + 10000000 AS key, price, 'N' AS status
+      SELECT key + 10000000 AS key, cents, 'N' AS status
       FROM snap1 WHERE key % 103 = 0
     ),
     diff AS (
       SELECT COALESCE(s2.key, s1.key) AS key,
              CASE WHEN s1.key IS NULL THEN 'insert'
                   WHEN s2.key IS NULL THEN 'delete'
-                  WHEN s1.price <> s2.price OR s1.status <> s2.status THEN 'update'
+                  WHEN s1.cents <> s2.cents OR s1.status <> s2.status THEN 'update'
                   ELSE 'unchanged' END AS change_type
       FROM snap1 s1 FULL OUTER JOIN snap2 s2 ON s1.key = s2.key
     )
-    SELECT change_type, count(*) AS n_rows, SUM(key) AS key_checksum
+    SELECT change_type, count(*) AS n_rows, CAST(SUM(key) AS BIGINT) AS key_checksum
     FROM diff WHERE change_type <> 'unchanged'
     GROUP BY change_type ORDER BY change_type
     """,
@@ -317,21 +319,26 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary agg, so the output scales with the CHANGE volume, not the
     table.  Row-identity compare here is the typed column pair;
     a wide table would compare a single xxhash64(struct(*)) instead.
+
+    All value paths are integer-exact for cross-engine parity: prices
+    compare as BIGINT cents (never doubles), and the key checksum is
+    explicitly BIGINT on both sides (DuckDB's SUM(BIGINT) otherwise
+    yields HUGEINT, which value-hashes differently even when equal).
     """
     s1 = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("key"),
-        F.col("o_totalprice").alias("price"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
         F.col("o_orderstatus").alias("status"),
     )
     s2 = s1.filter(F.col("key") % 101 != 0).select(
         "key",
-        F.when(F.col("key") % 97 == 0, F.col("price") + 100.0).otherwise(F.col("price")).alias(
-            "price"
+        F.when(F.col("key") % 97 == 0, F.col("cents") + 10000).otherwise(F.col("cents")).alias(
+            "cents"
         ),
         "status",
     ).unionAll(
         s1.filter(F.col("key") % 103 == 0).select(
-            (F.col("key") + 10000000).alias("key"), "price", F.lit("N").alias("status")
+            (F.col("key") + 10000000).alias("key"), "cents", F.lit("N").alias("status")
         )
     )
     j = s1.alias("a").join(s2.alias("b"), F.col("a.key") == F.col("b.key"), "full_outer")
@@ -339,7 +346,7 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("a.key").isNull(), F.lit("insert"))
         .when(F.col("b.key").isNull(), F.lit("delete"))
         .when(
-            (F.col("a.price") != F.col("b.price")) | (F.col("a.status") != F.col("b.status")),
+            (F.col("a.cents") != F.col("b.cents")) | (F.col("a.status") != F.col("b.status")),
             F.lit("update"),
         )
         .otherwise(F.lit("unchanged"))
@@ -348,6 +355,6 @@ def sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(F.coalesce(F.col("b.key"), F.col("a.key")).alias("key"), change.alias("change_type"))
         .filter(F.col("change_type") != "unchanged")
         .groupBy("change_type")
-        .agg(F.count("*").alias("n_rows"), F.sum("key").alias("key_checksum"))
+        .agg(F.count("*").alias("n_rows"), F.sum("key").cast("long").alias("key_checksum"))
         .orderBy("change_type")
     )

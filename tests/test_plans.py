@@ -331,7 +331,11 @@ def test_cooccurrence_has_single_fact_exchange_chain(spark, sf_dir):
     df = engine.QUERIES["events_cooccurrence_lift"](spark, sf_dir)
     plan = plan_of(df)
     assert "Generate explode" in plan
-    assert "SortMergeJoin" not in plan.split("Generate")[0] or True
+    # no basket self-join anywhere: pairs are map-side fan-out over
+    # collect_set output and every support/count join broadcasts, so
+    # the whole plan must be free of shuffle joins
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
     assert "BroadcastExchange" in plan
     # the basket relation is aggregated (collect_set), never self-joined
     assert plan.count("collect_set") >= 1
