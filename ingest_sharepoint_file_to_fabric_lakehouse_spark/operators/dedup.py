@@ -627,6 +627,36 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attach_shingle_df(
+    sh: DataFrame, dfrel: DataFrame, skew_df_threshold: int
+) -> tuple[DataFrame, bool]:
+    """Attach per-shingle document frequency, skew-guarded.
+
+    Default is a window partitioned by shingle — one shuffle it shares
+    with ranking, measured 2-4x faster here than a join-back (the join
+    pays a second full occurrence pass).  But a window puts EVERY
+    occurrence of one shingle in one task, so a corpus-scale
+    stop-shingle would pin a straggler; one control-plane scalar off
+    the (already materialized) df relation decides, and above the
+    threshold the attachment switches to a broadcast join-back — the
+    sh side then never shuffles on shingle at all, which no hot key
+    can skew.  (At a vocab too large to broadcast, the same fallback
+    becomes a shuffle join and AQE's skew splitter handles the hot
+    buckets; the window form has no such escape hatch.)  Returns the
+    df-attached relation and whether the fallback engaged.
+    """
+    max_df = dfrel.agg(F.max("df")).first()[0] or 0
+    if max_df > skew_df_threshold:
+        return (
+            sh.join(F.broadcast(dfrel), "shingle").select("doc_id", "shingle", "df"),
+            True,
+        )
+    return (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle"))),
+        False,
+    )
+
+
 @query(
     "dedup_jaccard_prefix",
     """
@@ -677,7 +707,10 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_prefix(
-    spark: SparkSession, sf_dir: str, large_doc_cap: int = 1 << 16
+    spark: SparkSession,
+    sf_dir: str,
+    large_doc_cap: int = 1 << 16,
+    skew_df_threshold: int = 1 << 22,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard over the FULL corpus — the 100 TB
     form of dedup_ngram_jaccard (which joins every shingle and needs a
@@ -707,10 +740,10 @@ def dedup_jaccard_prefix(
     # the explode is the whole dedup, and docs() already laid the rows
     # out hash(doc_id) so the per-doc windows and the verification
     # collect run exchange-free on the cached layout.  The
-    # document-frequency window below partitions by shingle and does
-    # pay one shuffle — at scale, a frequent shingle lands its whole
-    # partition on one task; if that skews, swap the df window back to
-    # a groupBy(shingle) partial-agg + join.  Both shared relations are
+    # document-frequency attachment below is skew-guarded: a window
+    # partitioned by shingle when the hottest shingle is bounded, a
+    # broadcast join-back above `skew_df_threshold` (probed from one
+    # control-plane scalar).  Both shared relations are
     # EAGER localCheckpoints, not persist(): a persist left lazy can be
     # evicted mid-query late in a long session and silently degrade to
     # recomputing the whole window subtree (measured 6s -> 60s on the
@@ -721,20 +754,19 @@ def dedup_jaccard_prefix(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text"), 2))).alias("shingle"),
     ).localCheckpoint(eager=True)
-    # Document frequency and per-doc shingle count via windows over the
-    # materialized relation — one pass, no join-back of separate
-    # aggregates.  (Two rejected alternatives, both measured SLOWER:
-    # size(array)-at-explode-time — CollapseProject re-inlines the
-    # array expression into size() evaluated per EXPLODED row, 3x
-    # regression; and groupBy(shingle) + broadcast join-back — 2-4x
-    # regression here because the join materializes a second full
-    # occurrence pass while the window reuses the shuffle it already
-    # pays for ranking.  On corpora where one shingle's partition skews
-    # a task, the join-back form becomes the right trade — revisit
-    # with real skew, not by default.)
+    # Document frequency: the per-(shingle) counts double as the
+    # vocabulary (they feed the dictionary encode below), so the
+    # groupBy materializes ONCE — vocab-sized, partial-aggregated
+    # (map-side combine absorbs any hot shingle before the exchange),
+    # checkpointed for its three consumers.
+    dfrel = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    based, _used_fallback = _attach_shingle_df(sh, dfrel, skew_df_threshold)
     ranked = (
-        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        based.withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -887,10 +919,8 @@ def dedup_jaccard_prefix(
     # row_number window is vocabulary-sized; at 100 TB dictionary
     # assignment is the standard distributed encode (sort or
     # hash-partition the vocab), not a single-partition window.
-    vocab = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")))
+    vocab = dfrel.select("shingle").withColumn(
+        "sid", F.row_number().over(Window.orderBy("shingle"))
     )
     shi = sh.join(F.broadcast(vocab), "shingle").select("doc_id", "sid")
 

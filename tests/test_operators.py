@@ -442,6 +442,61 @@ def test_jaccard_prefix_large_doc_fallback(spark, tmp_path):
     assert plain == expected
 
 
+def test_jaccard_prefix_hot_shingle_triggers_df_join_fallback(spark, tmp_path):
+    """A shingle hotter than skew_df_threshold must flip the document-
+    frequency attachment from the shingle-partitioned window (whole hot
+    shingle on one task) to the broadcast join-back (no shuffle of the
+    occurrence relation on shingle at all), without changing the
+    answer."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup import (
+        _attach_shingle_df,
+        dedup_jaccard_prefix,
+    )
+    from pyspark.sql import functions as F
+
+    # 10 docs all containing the 'hot spot' shingle (df=10) + one
+    # exactly-at-threshold pair that must survive both paths
+    utoks = [f"u{i}" for i in range(6)]
+    docs = [
+        (i, "hot spot " + " ".join(f"x{i}k{j}" for j in range(4)))
+        for i in range(1, 11)
+    ]
+    docs += [(21, " ".join(utoks[:5])), (22, " ".join(utoks))]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    # unit level: the helper switches paths at the threshold, and the
+    # fallback plan really is window-free / broadcast-joined
+    sh = spark.createDataFrame(
+        [(d, s) for d in range(10) for s in ("hot spot", f"only{d}")],
+        "doc_id long, shingle string",
+    )
+    dfrel = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    windowed, fb = _attach_shingle_df(sh, dfrel, skew_df_threshold=10)
+    assert not fb
+    assert "windowspecdefinition(shingle" in windowed._jdf.queryExecution().optimizedPlan().toString()
+    joined, fb = _attach_shingle_df(sh, dfrel, skew_df_threshold=9)
+    assert fb
+    jplan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(shingle" not in jplan
+    assert windowed.subtract(joined).count() == 0 and joined.subtract(windowed).count() == 0
+
+    # end to end: fallback-forced run returns the identical pairs
+    expected = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_prefix(spark, str(tmp_path)).collect()
+    }
+    assert (21, 22) in expected and expected[(21, 22)] == 0.8
+    forced = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_jaccard_prefix(
+            spark, str(tmp_path), skew_df_threshold=5
+        ).collect()
+    }
+    assert forced == expected
+
+
 def test_repetition_filter_flags_crafted_repetition(spark, tmp_path):
     """A doc that is one 2-gram over and over must be flagged; a doc of
     all-distinct tokens must keep."""
