@@ -121,22 +121,32 @@ def run_ingest(
     source_root: str,
     bronze_root: str,
     run_ts: str = "2024-06-01 12:00:00",
+    shuffle_width: int | None = None,
 ) -> DataFrame:
     """One incremental ingest run; returns the full current ingestion log.
 
     ``run_ts`` is an injected clock (Asia/Kuala_Lumpur wall time in the
     reference, :116-122) so archive names are deterministic in tests.
     """
-    # The whole run is control-plane-sized relative to the cluster (the
-    # per-run DELTA listing, not the corpus): pin shuffle width to the
-    # delta scale like run_stream_to_parquet does for state stores —
-    # 32 shuffle tasks over a 9-row manifest is pure scheduler latency
-    # (4 measured 2.1 s → 1.85 s; 1 shaves another ~0.3 s of pure
-    # task-launch overhead across the pipeline's ~10 jobs).
-    # At a real 100 TB ingest the delta is millions of files and this
-    # knob is sized to that volume instead.
+    # The whole run is sized by the per-run DELTA listing, not the
+    # corpus: 32 shuffle tasks over a 9-row manifest is pure scheduler
+    # latency (4 measured 2.1 s → 1.85 s; 1 shaves another ~0.3 s of
+    # task-launch overhead across the pipeline's ~10 jobs).  Shuffle
+    # width is therefore a TUNING PARAMETER derived from the delta
+    # size (the driver-side listing is already in hand, so the
+    # estimate is free): ~10k manifest rows per task, capped at the
+    # session's parallelism — at a real 100 TB ingest with millions of
+    # changed files this lands at full cluster width, while the
+    # fixture-scale delta keeps the measured width-1 fast path.
+    # Callers with better knowledge (e.g. a known-huge backfill) pass
+    # an explicit width.
+    if shuffle_width is None:
+        n_delta = len(list_source_files(source_root, [f for f, *_ in FOLDER_CONFIG]))
+        shuffle_width = max(
+            1, min(spark.sparkContext.defaultParallelism, n_delta // 10_000 + 1)
+        )
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_width))
     try:
         return _run_ingest_inner(spark, source_root, bronze_root, run_ts)
     finally:

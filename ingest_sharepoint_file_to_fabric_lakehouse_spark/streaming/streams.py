@@ -83,23 +83,49 @@ def stage_event_files(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str
     return src_dir
 
 
+def _default_state_width(spark, src_dir: str | None) -> int:
+    """State-store width from estimated input volume: ~64 MB of source
+    per state partition, clamped to [1, defaultParallelism].  With no
+    source dir to size, fall back to 1 (the measured fixture-scale
+    optimum — callers at real volume pass ``state_width`` or
+    ``src_dir`` explicitly)."""
+    if not src_dir or not os.path.isdir(src_dir):
+        return 1
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return max(1, min(spark.sparkContext.defaultParallelism, total // (64 << 20) + 1))
+
+
 def run_stream_to_parquet(
-    stream_df, out_path: str, checkpoint: str, mode: str = "append"
+    stream_df,
+    out_path: str,
+    checkpoint: str,
+    mode: str = "append",
+    state_width: int | None = None,
+    src_dir: str | None = None,
 ) -> None:
     """Drain a stream with AvailableNow into parquet via foreachBatch
     (idempotent overwrite-per-epoch layout).
 
-    State-store partition count is pinned low for the fixture scale:
-    each micro-batch pays per-partition state checkpointing (and a
-    stream-stream join keeps FOUR stores per partition), so 1
-    partition beats the session's 32 at 100k rows — measured 4.9 →
-    3.6 s on the interval join vs 2 partitions, 3.0 s at 8 (at real
-    scale this is sized to state volume, and is fixed at the first
-    checkpoint of each query's lifetime).
+    ``state_width`` sizes the state-store partition count — a TUNING
+    PARAMETER, not a constant: each micro-batch pays per-partition
+    state checkpointing (and a stream-stream join keeps FOUR stores
+    per partition), so at fixture volume 1 partition beats the
+    session's 32 (measured 4.9 → 3.6 s on the interval join vs 2
+    partitions, 3.0 s at 8), while a real deployment sizes it to
+    state volume (keys x payload / target-partition-size) — and it is
+    FROZEN at the first checkpoint of each query's lifetime, so the
+    choice must be made before the stream first starts.  Default
+    derives from the source's estimated input size when the caller
+    doesn't know better: fixture-scale inputs land on the measured
+    width-1 fast path.
     """
     spark = stream_df.sparkSession
+    if state_width is None:
+        state_width = _default_state_width(spark, src_dir)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_width))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
@@ -149,7 +175,7 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    run_stream_to_parquet(stream, out, ckpt, mode="complete")
+    run_stream_to_parquet(stream, out, ckpt, mode="complete", src_dir=src)
     epochs = sorted(int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("epoch="))
     return spark.read.parquet(f"{out}/epoch={epochs[-1]}")
 
@@ -194,7 +220,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id")
     )
-    run_stream_to_parquet(stream, out, ckpt, mode="append")
+    run_stream_to_parquet(stream, out, ckpt, mode="append", src_dir=src)
     deduped = spark.read.parquet(f"{out}/epoch=*")
     return deduped.agg(
         F.count("*").alias("n_unique"), F.sum("event_id").alias("id_checksum")
@@ -259,7 +285,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    run_stream_to_parquet(stream, out, ckpt, mode="update")
+    run_stream_to_parquet(stream, out, ckpt, mode="update", src_dir=src)
     emitted = spark.read.parquet(f"{out}/epoch=*")
     # running totals are monotone: the max per user == final state
     return emitted.groupBy("user_id").agg(
@@ -314,7 +340,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    run_stream_to_parquet(stream, out, ckpt, mode="append")
+    run_stream_to_parquet(stream, out, ckpt, mode="append", src_dir=src)
     emitted = spark.read.parquet(f"{out}/epoch=*")
     return emitted.groupBy("event_type").agg(
         F.count("*").alias("n_closed_windows"), F.sum("n_events").alias("n_events_emitted")
@@ -420,7 +446,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
         .select("event_id", "event_type", "c_mktsegment")
     )
-    run_stream_to_parquet(stream, out, ckpt, mode="append")
+    run_stream_to_parquet(stream, out, ckpt, mode="append", src_dir=src)
     enriched = spark.read.parquet(f"{out}/epoch=*")
     return enriched.groupBy("event_type", "c_mktsegment").agg(
         F.count("*").alias("n_events"), F.sum("event_id").alias("id_checksum")
@@ -489,7 +515,7 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    run_stream_to_parquet(stream, out, ckpt, mode="append")
+    run_stream_to_parquet(stream, out, ckpt, mode="append", src_dir=src)
     return spark.read.parquet(f"{out}/epoch=*")
 
 
@@ -553,7 +579,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select("v_id", "p_id", "v_type", "p_type")
-    run_stream_to_parquet(joined, out, ckpt, mode="append")
+    run_stream_to_parquet(joined, out, ckpt, mode="append", src_dir=src)
     pairs = spark.read.parquet(f"{out}/epoch=*")
     return pairs.groupBy(
         F.col("v_type").alias("view_type"), F.col("p_type").alias("purchase_type")
