@@ -40,6 +40,28 @@ except ImportError:
     HAVE_DELTA = False
 
 
+def write_table(df: DataFrame, path: str, part_col: str | None = None) -> None:
+    """Seed a merge target: Delta format when delta-spark is on the
+    classpath, plain parquet otherwise.  One seam, so the whole MERGE
+    surface flips to real Delta by installing the package."""
+    w = df.write.mode("overwrite")
+    if part_col is not None:
+        w = w.partitionBy(part_col)
+    if HAVE_DELTA:  # pragma: no cover - delta not installed here
+        w.format("delta").save(path)
+    else:
+        w.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a merge target written by :func:`write_table`.  A Delta
+    table must NOT be read as bare parquet (stale versions' files
+    would double-count), so the format is detected, not assumed."""
+    if HAVE_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
+        return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)
+
+
 def _merged_frame(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     """MERGE semantics as a relational plan: matched → take source row,
     not-matched → keep target row / insert source row."""
@@ -70,9 +92,24 @@ def merge_upsert(
     source: DataFrame,
     key: str,
 ) -> None:
-    """MERGE INTO an *unpartitioned* parquet target (see module doc:
-    one staged write + rename swap; idempotent re-ingest semantics the
-    reference lacks, SURVEY.md §4.1 "Incremental/exactly-once")."""
+    """MERGE INTO an *unpartitioned* target (see module doc: one
+    staged write + rename swap; idempotent re-ingest semantics the
+    reference lacks, SURVEY.md §4.1 "Incremental/exactly-once").
+
+    When delta-spark is installed and the target is a Delta table,
+    this is a real ``DeltaTable.merge`` — transactional, no rename
+    dance needed; the portable full-outer-join path is the fallback.
+    """
+    if HAVE_DELTA and DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
+        (
+            DeltaTable.forPath(spark, target_path)
+            .alias("t")
+            .merge(source.alias("s"), f"t.{key} = s.{key}")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
     target = spark.read.parquet(target_path)
     merged = _merged_frame(target, source, key)
 
@@ -112,8 +149,26 @@ def merge_upsert_partitioned(
     between partitions) — the standard partitioned-MERGE contract.
     ``part_col`` must be bounded-cardinality (it's a partition column),
     so collecting the touched-partition values is driver-safe.
+
+    On a Delta target the same touched-partition predicate goes into
+    the MERGE condition, so Delta's file pruning skips untouched
+    partitions exactly like the parquet path's pruned read.
     """
     touched = [r[0] for r in source.select(part_col).distinct().collect()]
+    if HAVE_DELTA and DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
+        in_list = ", ".join(repr(v) for v in touched)
+        (
+            DeltaTable.forPath(spark, target_path)
+            .alias("t")
+            .merge(
+                source.alias("s"),
+                f"t.{part_col} IN ({in_list}) AND t.{key} = s.{key}",
+            )
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
     target = spark.read.parquet(target_path).filter(F.col(part_col).isin(touched))
     merged = _merged_frame(target, source, key)
     (

@@ -28,7 +28,12 @@ from ..core import (
     staging_current,
     t,
 )
-from ..plans.merge import merge_upsert, merge_upsert_partitioned
+from ..plans.merge import (
+    merge_upsert,
+    merge_upsert_partitioned,
+    read_table,
+    write_table,
+)
 
 
 def _staging(sf_dir: str) -> str:
@@ -132,7 +137,7 @@ def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = orders.filter(
             F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
         )
-        target.write.mode("overwrite").parquet(path)
+        write_table(target, path)
     source = (
         orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
@@ -141,7 +146,7 @@ def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stamp AFTER the merge: merge_upsert swaps directories, which
     # drops any marker written before it
     stamp_staging(path, token)
-    back = spark.read.parquet(path)
+    back = read_table(spark, path)
     return back.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("o_orderkey").alias("n_keys"),
@@ -192,14 +197,14 @@ def sink_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = orders.filter(
             F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
         )
-        target.write.mode("overwrite").partitionBy("order_year").parquet(path)
+        write_table(target, path, part_col="order_year")
     source = (
         orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
     )
     merge_upsert_partitioned(spark, path, source, "o_orderkey", "order_year")
     stamp_staging(path, token)
-    back = spark.read.parquet(path)
+    back = read_table(spark, path)
     return back.groupBy(F.col("order_year").cast("int").alias("order_year")).agg(
         F.count("*").alias("n_orders"),
         money(F.sum(dec("o_totalprice"))).alias("total"),
