@@ -68,47 +68,19 @@ _DRIVER_VERIFIED = {
     "multimodal_binary_meta",
 }
 
-# This round's 50-slot window, pinned explicitly.  All 136 keys carry
-# a cumulative driver verdict (133 strong + 3 weak-by-design, zero red
-# through r05), so round 6's window is (a) every key whose
-# implementation changed this round — the staging-fingerprint gating,
-# the persist→eager-localCheckpoint conversions, the single-literal
-# IVF index, the ingest read-back restructure, and the lm-quality
-# decimal fix — and (b) rotation re-checks of the oldest green rows
-# (r01 verdicts) so stale verdicts refresh.
+# Round 7's 50-slot window, pinned explicitly per the round-6 verdict:
+# (a) the 24 round-6 second-wave keys that overflowed the r06 window
+# and have NEVER had a driver verdict (all pass the local harness);
+# (b) every key whose implementation changed this round — the
+# sink_snapshot_diff integer-cents/BIGINT parity fix (the one r06 red
+# row), the cooccurrence decimal(38,0) widening, the jaccard-prefix
+# skew fallback, the Delta-gated merge sinks, the ingest shuffle-width
+# derivation, and the streaming scratch-root/state-width change (all
+# 9 live streaming keys); (c) rotation re-checks of the oldest r01
+# verdicts with the remaining slots.
 _WINDOW_50 = [
-    # round-6 additions with NO driver verdict yet — all oracle-backed
-    # (the driver's 50-key window must cover every one of these)
-    "sql_api_q5", "filter_exists_subquery", "scan_rowgroup_skipping",
-    "join_dynamic_partition_pruned", "sink_zorder_layout",
-    "join_skew_salted", "join_asof_next_within", "join_interval_banded",
-    "join_runtime_bloom", "join_null_skew_split",
-    "agg_incremental_merge", "agg_bitmap_distinct", "agg_mode_top_freq",
-    "agg_histogram_fixed", "agg_exact_median_twopass",
-    "win_ntile_bucketize", "corpus_quality_pipeline",
-    "events_sequence_pattern", "events_anomaly_zscore",
-    "events_rolling_distinct", "sim_kmeans_build", "sim_pq_adc_topk",
-    "text_chunk_overlap", "text_boilerplate_ratio", "udf_cogrouped_asof",
-    "udtf_lateral_python", "multimodal_chunk_binary",
-    "scan_schema_evolution", "scan_csv_malformed", "scan_observe_metrics",
-    "scan_parquet_nested", "sink_csv_export", "sink_compact_small_files",
-    "sink_snapshot_diff", "stream_additive_state_merge",
-    "dedup_containment", "scan_table_stats",
-    "win_gaps_islands", "agg_cms_portable",
-    "sim_topk_ivfpq", "text_duplicate_spans", "dedup_incremental_minhash",
-    "vocab_bpe_merges", "text_bpe_tokenize",
-    # second-wave round-6 additions (all oracle-backed, all passing
-    # the local check_oracle harness).  These displace the planned
-    # rotation re-checks of r01 agg greens — a full local sweep over
-    # every key passed on the regenerated corpus this round, so
-    # rotation was belt-and-suspenders; new keys need the slots more.
-    "search_bm25", "dq_expectations", "search_hybrid_rrf",
-    "events_cooccurrence_lift", "events_resample_ohlc", "events_ewma",
-    # the lowest-risk additions sit last and overflow the 50-slot
-    # window to round 7: sql_api_q18 is the identical ANSI text on
-    # both engines, win_cumulative_distinct and
-    # events_markov_transitions are simple window/groupBy shapes with
-    # literal/property unit tests — all pass the local harness.
+    # (a) never driver-checked — exactly the 24 listed in VERDICT.md
+    # "What's missing" §1; these MUST land in CORRECTNESS_r07
     "sql_api_q18", "win_cumulative_distinct", "events_markov_transitions",
     "graph_link_prediction", "events_ab_ttest", "orders_rfm_segments",
     "vocab_pmi_collocations", "events_trend_ols", "agg_corr_moments",
@@ -118,6 +90,17 @@ _WINDOW_50 = [
     "dedup_lsh_eval", "join_interval_overlap", "agg_exact_quantile_grouped",
     "join_null_safe_eq", "vocab_zipf_fit", "orders_open_backlog",
     "events_dau_wau_mau",
+    # (b) implementation changed in round 7 — re-earn the verdict
+    "sink_snapshot_diff", "events_cooccurrence_lift", "dedup_jaccard_prefix",
+    "sink_delta_merge", "sink_merge_partitioned", "ingest_pipeline",
+    "stream_tumbling_live", "stream_dedup", "stream_stateful_custom",
+    "stream_watermark_late", "stream_foreach_sink", "stream_static_join",
+    "stream_session_live", "stream_stream_join", "stream_additive_state_merge",
+    # (c) rotation re-checks of the oldest (r01) green verdicts
+    "flagship_q3_topk", "join_bucketed", "scan_partition_pruned",
+    "project_select", "filter_comparison", "join_broadcast_dim",
+    "join_shuffle_large", "agg_group_sum", "win_row_number",
+    "topk_per_group", "set_except",
 ]
 
 

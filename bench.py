@@ -45,6 +45,15 @@ def main() -> None:
         # 92 codegen'd queries in one JVM: default 240m code cache silently
         # disables the JIT when full — the classic long-session slowdown
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # shuffle/spill/localCheckpoint blocks on the RAM disk: /tmp is
+        # disk-backed here and sf0.1 scratch is tens of MB, so block
+        # I/O (eager localCheckpoints especially) stops paying disk
+        # latency.  Cluster deployments size spark.local.dir to real
+        # NVMe instead — this is bench-host placement, not semantics.
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
         .appName("ingest-sharepoint-file-to-fabric-lakehouse-spark-bench")
         .getOrCreate()
     )
