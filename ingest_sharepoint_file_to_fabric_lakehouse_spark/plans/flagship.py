@@ -229,3 +229,150 @@ def sql_api_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders", "lineitem", "nation"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_Q10_SQL)
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))
+                      * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE)
+         AS sum_charge,
+       CAST((SUM(CAST(l_quantity AS BIGINT)) * 1000000
+             - SUM(CAST(l_quantity AS BIGINT)) * 1000000 % count(*))
+            / count(*) AS BIGINT) AS avg_qty_micro,
+       CAST((SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) * 100
+             - SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) * 100
+               % count(*))
+            / count(*) AS BIGINT) AS avg_price_e4,
+       CAST((SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)) * 100
+             - SUM(CAST(CAST(l_discount AS DECIMAL(4,2)) * 10000 AS BIGINT)) * 100
+               % count(*))
+            / count(*) AS BIGINT) AS avg_disc_micro,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_api_q1", _Q1_SQL)
+def sql_api_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): the canonical
+    scan→filter→wide-aggregate over the whole fact table — 8
+    aggregates per (returnflag, linestatus) group, 4-6 groups total,
+    so the plan is one pushed date filter + one partial/final hash
+    aggregate whose shuffle carries a handful of rows.  At 100 TB
+    this is pure scan bandwidth + map-side combine; no exchange ever
+    sees data volume.
+
+    Parity design (identical ANSI text on both engines): money
+    aggregates are exact-decimal sums rounded to 2 dp; the three
+    TPC-H averages ship in exact integer micro-units via the
+    divisible-numerator identity ``(x - x % n) / n`` — BIGINT ``%``
+    agrees across engines for positive operands, the adjusted
+    numerator is exactly divisible, and the double division of an
+    exact multiple below 2^53 is lossless, so no engine's
+    decimal-division or float-mean semantics are ever invoked.
+    (Above 2^53 the identity needs HUGEINT/DECIMAL(38,0) widening —
+    at sf0.1 the largest numerator is ~5e13.)
+    """
+    for name in ("lineitem",):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q1_SQL)
+
+
+_Q14_SQL = """
+SELECT
+  CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(1 - l_discount AS DECIMAL(4,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+    AS promo_revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+    AS total_revenue,
+  CAST((SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(1 - l_discount AS DECIMAL(4,2))
+                           * 10000 AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END) * 10000
+        - SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(1 - l_discount AS DECIMAL(4,2))
+                             * 10000 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END) * 10000
+          % SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(1 - l_discount AS DECIMAL(4,2))
+                     * 10000 AS BIGINT)))
+       / SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(4,2))
+                  * 10000 AS BIGINT)) AS BIGINT) AS promo_share_bp
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+@query("sql_api_q14", _Q14_SQL)
+def sql_api_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month's promo-revenue share
+    — a selective date band on the fact side, a broadcast join to
+    part for the type flag, and conditional aggregation to a single
+    row.  The date predicate pushes into the lineitem scan (at 100 TB
+    with a date-sorted layout this is footer-level file skipping, cf.
+    scan_rowgroup_skipping); part broadcasts, so the fact never
+    shuffles at all — scan, map-side join, 1-row aggregate.
+
+    The TPC-H percentage is 100*promo/total — float division.  Here
+    the share ships in exact integer basis points via the same
+    divisible-numerator identity as sql_api_q1, on revenue in 1e-4
+    currency units (the decimal(17,4) product is exact, so the BIGINT
+    conversion is lossless); identical ANSI text on both engines.
+    """
+    for name in ("lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q14_SQL)
+
+
+_Q19_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("sql_api_q19", _Q19_SQL)
+def sql_api_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted): the disjunctive
+    multi-table predicate query — three OR'd conjunctions mixing
+    part-side (brand, size) and lineitem-side (quantity) bands.
+    Catalyst splits the DNF: the lineitem-only disjunct
+    ``l_quantity BETWEEN 1 AND 30`` (the union of the three quantity
+    bands) and the part-only disjunct over (brand, size) are each
+    pushed below the join as partial filters, part broadcasts, and
+    the full residual predicate evaluates on the joined row — at
+    100 TB the pushed quantity band and the broadcast hash lookup
+    drop most fact rows before the residual ever runs.  The fixture
+    schema carries no l_shipmode/l_shipinstruct/p_container, so the
+    bands quote the columns it does have — the DNF pushdown shape,
+    which is what Q19 exists to exercise, is unchanged.  Identical
+    ANSI text on both engines; decimal-exact revenue.
+    """
+    for name in ("lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q19_SQL)

@@ -385,3 +385,17 @@ def test_heavy_hitters_probe_is_broadcast(spark, sf_dir):
     df = engine.QUERIES["agg_heavy_hitters_exact"](spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q19_dnf_partial_pushdown(spark, sf_dir):
+    """Catalyst must split the OR-of-ANDs predicate: the lineitem-only
+    quantity disjunct and the part-only (brand, size) disjunct each
+    reach their scan as PushedFilters, and part broadcasts."""
+    df = engine.QUERIES["sql_api_q19"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # pushed quantity band
+    assert "EqualTo(p_brand,Brand#12)" in plan           # pushed brand/size DNF
+    assert "SortMergeJoin" not in plan
