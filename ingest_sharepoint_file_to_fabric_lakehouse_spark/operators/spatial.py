@@ -116,21 +116,21 @@ def geo_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
         F.col("y") - F.col("sy")
     ) * (F.col("y") - F.col("sy"))
-    key_bound = (
-        t(spark, sf_dir, "supplier")
-        .agg((F.max("s_suppkey") + 1).cast("long").alias("key_bound"))
-    )
+    # one control-plane scalar, folded as a literal so the point-set
+    # plan stays a pure cell-key hash join (no scalar BNLJ riding it)
+    key_bound = int(
+        t(spark, sf_dir, "supplier").agg(F.max("s_suppkey")).first()[0] or 0
+    ) + 1
     cand = (
         cust.join(supp9, ["cell_x", "cell_y"])
         .withColumn("d2", d2)
         .filter(F.col("d2") <= _R * _R)
-        .crossJoin(F.broadcast(key_bound))
     )
     return (
         cand.groupBy("c_custkey")
         .agg(
             F.min_by(
-                "s_suppkey", F.col("d2") * F.col("key_bound") + F.col("s_suppkey")
+                "s_suppkey", F.col("d2") * F.lit(key_bound) + F.col("s_suppkey")
             ).alias("nearest_suppkey"),
             F.min("d2").cast("long").alias("dist2"),
         )
