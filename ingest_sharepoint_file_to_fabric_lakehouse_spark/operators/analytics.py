@@ -1303,3 +1303,58 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
     )
     return out
+
+
+@query(
+    "orders_cohort_ltv",
+    """
+    WITH first_order AS (
+      SELECT o_custkey, min(year(o_orderdate)) AS cohort_year
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT f.cohort_year,
+           CAST(year(o.o_orderdate) - f.cohort_year AS INTEGER) AS order_age,
+           count(*) AS n_orders,
+           count(DISTINCT o.o_custkey) AS n_active,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    GROUP BY f.cohort_year, year(o.o_orderdate) - f.cohort_year
+    ORDER BY cohort_year, order_age
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers cohorted by
+    first-order year, activity and revenue rolled up by order age —
+    the retention/LTV matrix every growth dashboard draws, and the
+    acquisition-vintage quality readout.
+
+    Plan shape at 100 TB: the cohort assignment is ONE groupBy on
+    o_custkey (customer-cardinality output, partial-aggregated); the
+    join back to orders is a plain equi-join on the same key, so both
+    sides shuffle on o_custkey once and the final rollup output is
+    years x ages — control-plane-sized.  The cohort relation is far
+    too big to broadcast at scale BY DESIGN (it is the point of the
+    key: this is the co-partitioned large-large join shape, cf.
+    join_shuffle_large), and revenue is an exact decimal sum, so the
+    triangle is bit-stable under any partial-aggregation tree.
+    """
+    o = t(spark, sf_dir, "orders")
+    first_order = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    return (
+        o.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year"))
+            .cast("int")
+            .alias("order_age"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_active"),
+            money(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+        .orderBy("cohort_year", "order_age")
+    )
