@@ -114,6 +114,7 @@ def run_stream_to_parquet(
     mode: str = "append",
     state_width: int | None = None,
     src_dir: str | None = None,
+    final_nodata_batch: bool = True,
 ) -> None:
     """Drain a stream with AvailableNow into parquet via foreachBatch
     (idempotent overwrite-per-epoch layout).
@@ -136,6 +137,19 @@ def run_stream_to_parquet(
         state_width = _default_state_width(spark, src_dir)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_width))
+    # ``final_nodata_batch=False`` skips the trailing no-data
+    # micro-batch AvailableNow otherwise runs to advance the watermark
+    # and evict state.  ONLY valid for queries whose OUTPUT never
+    # depends on watermark finalization — inner stream-stream joins,
+    # stateful dedup, update-mode aggregates, and complete-mode
+    # aggregates all emit exclusively from data batches, so the
+    # finalize batch is pure fixed cost for a drain-and-stop run
+    # (state eviction is moot when the query ends).  Append-mode
+    # event-time aggregates (windowed/session) EMIT on watermark
+    # advance and must keep the default.
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    if not final_nodata_batch:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
@@ -151,6 +165,7 @@ def run_stream_to_parquet(
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
 
 
 @query(
@@ -185,7 +200,9 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    run_stream_to_parquet(stream, out, ckpt, mode="complete", src_dir=src)
+    run_stream_to_parquet(
+        stream, out, ckpt, mode="complete", src_dir=src, final_nodata_batch=False
+    )
     epochs = sorted(int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("epoch="))
     return spark.read.parquet(f"{out}/epoch={epochs[-1]}")
 
@@ -230,7 +247,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id")
     )
-    run_stream_to_parquet(stream, out, ckpt, mode="append", src_dir=src)
+    run_stream_to_parquet(
+        stream, out, ckpt, mode="append", src_dir=src, final_nodata_batch=False
+    )
     deduped = spark.read.parquet(f"{out}/epoch=*")
     return deduped.agg(
         F.count("*").alias("n_unique"), F.sum("event_id").alias("id_checksum")
@@ -295,7 +314,9 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    run_stream_to_parquet(stream, out, ckpt, mode="update", src_dir=src)
+    run_stream_to_parquet(
+        stream, out, ckpt, mode="update", src_dir=src, final_nodata_batch=False
+    )
     emitted = spark.read.parquet(f"{out}/epoch=*")
     # running totals are monotone: the max per user == final state
     return emitted.groupBy("user_id").agg(
@@ -589,7 +610,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select("v_id", "p_id", "v_type", "p_type")
-    run_stream_to_parquet(joined, out, ckpt, mode="append", src_dir=src)
+    run_stream_to_parquet(
+        joined, out, ckpt, mode="append", src_dir=src, final_nodata_batch=False
+    )
     pairs = spark.read.parquet(f"{out}/epoch=*")
     return pairs.groupBy(
         F.col("v_type").alias("view_type"), F.col("p_type").alias("purchase_type")
