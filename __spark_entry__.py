@@ -98,10 +98,10 @@ _WINDOW_50 = [
     "stream_session_live", "stream_stream_join", "stream_additive_state_merge",
     # (b') new round-7 keys (need their first driver verdicts)
     "sql_api_q1", "sql_api_q14", "sql_api_q19", "orders_cohort_ltv",
+    "sim_mmr_diversify",
     # (c) rotation re-checks of the oldest (r01) green verdicts
     "flagship_q3_topk", "join_bucketed", "scan_partition_pruned",
     "project_select", "filter_comparison", "join_broadcast_dim",
-    "join_shuffle_large",
 ]
 
 

@@ -1270,3 +1270,169 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rer.select(
         "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 10)
+
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """Unrolled-greedy MMR oracle (cf. the unrolled Lloyd iterations in
+    sim_kmeans_build): round r scores every unselected candidate
+    lambda*rel - (1-lambda)*max-sim-to-selected on the 6-dp-rounded
+    cosines and picks the (score desc, vec_id) argmax — the DuckDB
+    replay of the exact plan the Spark side runs."""
+    parts = ["""
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 3),
+rel AS (
+  SELECT q.q_id, e.vec_id, ROUND(list_cosine_similarity(q.q_vec, e.v), 6) AS rel
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+),
+cand AS (
+  SELECT q_id, vec_id, rel FROM (
+    SELECT q_id, vec_id, rel,
+           row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+    FROM rel
+  ) WHERE rn <= 20
+),
+sims AS (
+  SELECT a.q_id, a.vec_id AS ca, b.vec_id AS cb,
+         ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+  FROM cand a
+  JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+),
+sel1 AS (
+  SELECT q_id, vec_id, 1 AS mmr_rank, rel AS score FROM (
+    SELECT q_id, vec_id, rel,
+           row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+acc1 AS (SELECT * FROM sel1)"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+sel{r} AS (
+  SELECT q_id, vec_id, {r} AS mmr_rank, score FROM (
+    SELECT c.q_id, c.vec_id,
+           ROUND(CAST(0.7 AS DOUBLE) * c.rel
+                 - CAST(0.3 AS DOUBLE) * mx.maxsim, 6) AS score,
+           row_number() OVER (
+             PARTITION BY c.q_id
+             ORDER BY ROUND(CAST(0.7 AS DOUBLE) * c.rel
+                            - CAST(0.3 AS DOUBLE) * mx.maxsim, 6) DESC,
+                      c.vec_id) AS rn
+    FROM cand c
+    JOIN (SELECT s.q_id, s.ca AS vec_id, max(s.sim) AS maxsim
+          FROM sims s JOIN acc{r - 1} p ON s.q_id = p.q_id AND s.cb = p.vec_id
+          GROUP BY s.q_id, s.ca) mx
+      ON mx.q_id = c.q_id AND mx.vec_id = c.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM acc{r - 1} p
+                      WHERE p.q_id = c.q_id AND p.vec_id = c.vec_id)
+  ) WHERE rn = 1
+),
+acc{r} AS (SELECT * FROM acc{r - 1} UNION ALL SELECT * FROM sel{r})""")
+    parts.append(f"""
+SELECT q_id, vec_id, mmr_rank, score FROM acc{k}
+ORDER BY q_id, mmr_rank""")
+    return "".join(parts)
+
+
+@query("sim_mmr_diversify", _mmr_oracle_sql())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (Maximal Marginal Relevance) retrieval diversification: the
+    cosine top-20 shortlist per query is greedily re-ranked so each of
+    the 5 final picks maximizes ``lambda*relevance -
+    (1-lambda)*max-similarity-to-already-picked`` — the standard RAG
+    retrieval step that stops five near-identical chunks filling the
+    context window.  Any ANN shortlist (IVF, IVF-PQ, LSH) slots in as
+    the candidate source; brute-force cosine keeps this key's oracle
+    exact.
+
+    Scale shape: relevance scoring is the corpus-proportional part and
+    is the same broadcast map-side pass as sim_topk_bruteforce; the
+    greedy rounds run on the CANDIDATE relation (queries x 20 rows —
+    control-plane-sized by construction, independent of corpus size),
+    unrolled k-1 times as declarative joins + windows exactly like
+    sim_kmeans_build unrolls Lloyd iterations.  Determinism: every
+    relevance and pairwise similarity is rounded to 6 dp before any
+    comparison, scores recompute with the same IEEE double expression
+    on both engines, and all argmaxes tiebreak on vec_id — so the
+    greedy trajectory is bit-identical in DuckDB's unrolled replay.
+    """
+    # lam/one_minus_lam are BOTH explicit literals (never 1.0 - lam:
+    # IEEE 1.0 - 0.7 = 0.30000000000000004, not the 0.3 the oracle
+    # parses — a one-ulp coefficient skew that flips rounded scores)
+    k = 5
+    lam = F.lit(0.7).cast("double")
+    one_minus_lam = F.lit(0.3).cast("double")
+    e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    rel = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("rel"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("vec_id"))
+    cand = (
+        rel.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    cv = cand.join(e, "vec_id").select("q_id", "vec_id", "v")
+    a, b = cv.alias("a"), cv.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.vec_id").alias("ca"),
+            F.col("b.vec_id").alias("cb"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "vec_id", F.lit(1).alias("mmr_rank"), F.col("rel").alias("score"))
+    )
+    acc = sel
+    for r in range(2, k + 1):
+        mx = (
+            sims.join(
+                acc.select("q_id", F.col("vec_id").alias("cb")), ["q_id", "cb"]
+            )
+            .groupBy("q_id", F.col("ca").alias("vec_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = (
+            cand.join(acc.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti")
+            .join(mx, ["q_id", "vec_id"])
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    lam * F.col("rel") - one_minus_lam * F.col("maxsim"), 6
+                ).alias("score"),
+            )
+        )
+        ws = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+        pick = (
+            scored.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "vec_id", F.lit(r).alias("mmr_rank"), "score")
+        )
+        # per-round lineage truncation (cf. graph_bfs_reachability):
+        # acc is referenced twice per round (anti-join + max-sim), so
+        # an unmaterialized accumulator doubles the plan every round —
+        # 2^k subplan copies by round k (measured 19 s; 2 s with the
+        # control-plane-sized checkpoint).
+        acc = acc.unionByName(pick).localCheckpoint(eager=True)
+    return acc.orderBy("q_id", "mmr_rank")
