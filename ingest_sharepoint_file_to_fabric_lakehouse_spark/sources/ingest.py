@@ -163,6 +163,12 @@ def _run_ingest_inner(
     bronze_path = os.path.join(bronze_root, "bronze_files")
     manifest = discover_manifest(spark, source_root)
 
+    # Narrow catch: only a MISSING log means "first run, ingest all".
+    # A transient IO/permission error must surface, not silently
+    # reclassify the whole source as new (which would duplicate every
+    # file into bronze on a 100 TB ingest).
+    from pyspark.errors import AnalysisException
+
     try:
         log = spark.read.parquet(log_path)
         # (folder, name, mtime) key: unseen files AND seen-but-modified
@@ -172,8 +178,8 @@ def _run_ingest_inner(
             ["folder_name", "file_name", "mtime_epoch"],
             "left_anti",
         )
-    except Exception:
-        new_files = manifest  # first run: empty log
+    except AnalysisException:
+        new_files = manifest  # first run: no log written yet
 
     # Control-plane scalars only cross to the driver — a count and a
     # min-mtime watermark — never a data-proportional path list (at
