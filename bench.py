@@ -180,12 +180,18 @@ def main() -> None:
     # long-stable cheap surface; running it first warms the JVM for
     # everyone.  Every key still runs exactly once and the total is
     # unchanged in meaning.
+    import gc as _gc
+
     ordered = list(reversed(qs.items()))
     for qi, (key, fn) in enumerate(ordered):
         if qi and qi % 20 == 0:
             # periodic GC nudge (untimed): Spark's ContextCleaner frees
             # broadcast/shuffle state only on GC, and ~114 queries in
-            # one JVM otherwise degrade late-position queries 2-4x
+            # one JVM otherwise degrade late-position queries 2-4x.
+            # Python gc FIRST: py4j releases a JVM handle only when its
+            # Python proxy is collected, so cycles holding DataFrame
+            # refs pin the JVM objects through any number of JVM GCs.
+            _gc.collect()
             spark.sparkContext._jvm.System.gc()
         # queries are independent: drop any persist() the previous
         # query left behind so cached blocks don't accumulate across
@@ -220,6 +226,7 @@ def main() -> None:
         k for k, v in sorted(timings.items(), key=lambda kv: -kv[1]) if v > 0.8
     ]
     for key in suspects:
+        _gc.collect()
         spark.sparkContext._jvm.System.gc()
         try:
             spark.catalog.clearCache()
