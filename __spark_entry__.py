@@ -99,9 +99,12 @@ _WINDOW_50 = [
     # (b') new round-7 keys (need their first driver verdicts)
     "sql_api_q1", "sql_api_q14", "sql_api_q19", "orders_cohort_ltv",
     "sim_mmr_diversify",
+    # (b'') staged-index rework late in round 7 (PQ code index shared
+    # by the two PQ keys; corpus-dedup canon/signature staging) — the
+    # prior verdicts are for the unstaged implementations
+    "sim_pq_adc_topk", "sim_topk_ivfpq", "corpus_dedup_pipeline",
     # (c) rotation re-checks of the oldest (r01) green verdicts
-    "flagship_q3_topk", "join_bucketed", "scan_partition_pruned",
-    "project_select", "filter_comparison", "join_broadcast_dim",
+    "flagship_q3_topk", "join_bucketed", "join_broadcast_dim",
 ]
 
 

@@ -1417,8 +1417,29 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IEEE 1.0 - 0.7 = 0.30000000000000004, not the 0.3 the oracle
     # parses — a one-ulp coefficient skew that flips rounded scores)
     k = 5
+    n_queries = 3
     lam = F.lit(0.7).cast("double")
     one_minus_lam = F.lit(0.3).cast("double")
+    # Every shuffle in this key hashes on q_id (the top-20 window, the
+    # greedy rounds' joins/groupBys/argmax windows), so useful reducer
+    # count is bounded by the query count — a TUNING parameter derived
+    # from it, not the session's corpus-sized default (32 reducers over
+    # 3 keys = 29 empty tasks per stage x ~20 stages of unrolled
+    # greedy; measured 2.61 -> 2.06 s at sf0.1).  The corpus-
+    # proportional relevance pass is map-side (broadcast cross join)
+    # and unaffected by shuffle width.
+    width = max(2, min(spark.sparkContext.defaultParallelism, n_queries))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        return _mmr_body(spark, sf_dir, k, lam, one_minus_lam)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _mmr_body(
+    spark: SparkSession, sf_dir: str, k: int, lam: Column, one_minus_lam: Column
+) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
