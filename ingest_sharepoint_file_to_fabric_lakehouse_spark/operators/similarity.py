@@ -968,7 +968,7 @@ def _pq_code_index(
     projection so the Generate replicates finished values."""
     import os as _os
 
-    path = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/pq_codes_v1"
+    path = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/pq_codes_v2"
     token = source_fingerprint(sf_dir, "embeddings")
     if not staging_current(path, token):
         best_cells = _ivf_best_cells(spark, sf_dir)
@@ -993,7 +993,13 @@ def _pq_code_index(
             .select(
                 "vec_id", "cell_id", F.col("s.m").alias("m"), F.col("s.code").alias("code")
             )
+            # cell-keyed inverted-file layout: one write task per cell
+            # (at 100 TB: N files per cell sized to ~128 MB), so a
+            # probed query physically reads nprobe/k of the index via
+            # partition pruning — the IVF in IVF-PQ
+            .repartition("cell_id")
             .write.mode("overwrite")
+            .partitionBy("cell_id")
             .parquet(path)
         )
         stamp_staging(path, token)
@@ -1287,6 +1293,13 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
     )
     probes = q.select("q_id", F.explode(best_cells(F.col("q_vec"), 2)).alias("cell_id"))
+    # Physical cell pruning: the probed cell set is control-plane-sized
+    # (queries x nprobe), so collect it and push the literal IN filter
+    # down to the cell-partitioned code index — the scan reads only the
+    # probed partitions (PartitionFilters), while the broadcast probes
+    # join below keeps the per-query cell attribution.
+    probe_cells = sorted({r["cell_id"] for r in probes.collect()})
+    enc = enc.filter(F.col("cell_id").isin(probe_cells))
     lut = q.select("q_id", "q_vec", F.explode(_pq_cb_lit(cb)).alias("c")).select(
         "q_id",
         F.col("c.m").alias("m"),

@@ -124,6 +124,29 @@ def test_ivf_partitioned_scan_prunes_cells(spark, sf_dir):
     assert len(m.group(1).split(",")) <= 6, m.group(1)
 
 
+def test_ivfpq_code_index_scan_prunes_cells(spark, sf_dir):
+    """The staged IVF-PQ code index is cell-partitioned and the ADC
+    scan reads only the probed cells (partition pruning on cell_id) —
+    the inverted-file half of IVF-PQ, physically."""
+    df = engine.QUERIES["sim_topk_ivfpq"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan[:2000]
+    assert len(m.group(1).split(",")) <= 6, m.group(1)
+    # the scan must read the staged code index, not the raw embeddings,
+    # for the ADC stage: raw vectors appear only in the re-rank (and
+    # the query-side LUT), so the embeddings table is scanned at most
+    # twice while the codes scan carries the partition filter
+    assert "pq_codes_v2" in plan
+
+
 def test_staged_layouts_rebuild_on_source_change(spark, tmp_path):
     """Staged layouts (partitioned orders, IVF cells, bucketed tables)
     are keyed on a fingerprint of their SOURCE data: a regenerated
