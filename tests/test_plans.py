@@ -422,3 +422,36 @@ def test_q19_dnf_partial_pushdown(spark, sf_dir):
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # pushed quantity band
     assert "EqualTo(p_brand,Brand#12)" in plan           # pushed brand/size DNF
     assert "SortMergeJoin" not in plan
+
+
+def test_staged_index_pass_equals_fresh_build_pass(spark, sf_dir):
+    """The round-7 staged indexes (PPJoin prefix/docsets, SimHash and
+    MinHash signatures, corpus-dedup canon/signatures, the PQ code
+    index + codebook) must produce value-identical results on the
+    build pass (cold staging) and the staged pass (warm read) — the
+    steady-state read path is an optimization, never a semantic
+    fork."""
+    import shutil
+
+    staged_keys = {
+        "dedup_jaccard_prefix": ["jp_prefix_v2", "jp_shenc_v2", "jp_docsets_v2_c65536"],
+        "dedup_simhash": ["simhash_sigs_v1"],
+        "dedup_fuzzy_minhash": ["minhash_sigs_v1"],
+        "corpus_dedup_pipeline": ["cdp_canon_v1", "cdp_sigs_v1"],
+        "sim_pq_adc_topk": ["pq_codes_v2", "pq_codebook_v1"],
+    }
+    base = "/tmp/sgdata/sf0.001"
+    for key, artifacts in staged_keys.items():
+        for a in artifacts:
+            shutil.rmtree(f"{base}/{a}", ignore_errors=True)
+        # in-process codebook/centroid caches would mask a staging bug;
+        # clear them so the cold pass truly rebuilds
+        from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators import (
+            similarity as _sim,
+        )
+
+        _sim._PQ_CB_CACHE.clear()
+        cold = sorted(map(tuple, engine.QUERIES[key](spark, sf_dir).collect()))
+        warm = sorted(map(tuple, engine.QUERIES[key](spark, sf_dir).collect()))
+        assert cold == warm, key
+        assert len(cold) > 0, key
