@@ -103,8 +103,9 @@ _WINDOW_50 = [
     # by the two PQ keys; corpus-dedup canon/signature staging) — the
     # prior verdicts are for the unstaged implementations
     "sim_pq_adc_topk", "sim_topk_ivfpq", "corpus_dedup_pipeline",
+    "text_lm_quality",
     # (c) rotation re-checks of the oldest (r01) green verdicts
-    "flagship_q3_topk", "join_bucketed", "join_broadcast_dim",
+    "flagship_q3_topk", "join_bucketed",
 ]
 
 

@@ -439,6 +439,7 @@ def test_staged_index_pass_equals_fresh_build_pass(spark, sf_dir):
         "dedup_fuzzy_minhash": ["minhash_sigs_v1"],
         "corpus_dedup_pipeline": ["cdp_canon_v1", "cdp_sigs_v1"],
         "sim_pq_adc_topk": ["pq_codes_v2", "pq_codebook_v1"],
+        "text_lm_quality": ["lm_docbg_v1"],
     }
     base = "/tmp/sgdata/sf0.001"
     for key, artifacts in staged_keys.items():
