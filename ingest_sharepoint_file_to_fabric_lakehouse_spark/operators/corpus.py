@@ -547,14 +547,15 @@ def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(g2).alias("n2"),
         F.size(F.array_distinct(g2)).alias("n2d"),
     )
-    # sh feeds BOTH the document-frequency aggregate and the join back
-    # — eager checkpoint so the shingle explode runs once, not once per
-    # consumer (measured 7.1 s -> 2.8 s cold at sf0.1; the SCALE.md
-    # fan-out-relation rule)
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles(txt, 3))).alias("shingle")
-    ).localCheckpoint(eager=True)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # sh feeds BOTH the document-frequency aggregate and the join back;
+    # it and the df vocabulary are the STAGED corpus 3-gram layouts
+    # shared with text_boilerplate_ratio (one explode for the whole
+    # boilerplate family, and steady state reads the index — upgraded
+    # from an eager localCheckpoint, which already enforced the
+    # explode-once rule: measured 7.1 s -> 2.8 s cold at sf0.1)
+    from ..functions.text import boiler_shingle_layouts
+
+    sh, freq = boiler_shingle_layouts(spark, sf_dir)
     bstats = (
         sh.join(freq, "shingle")
         .groupBy("doc_id")

@@ -440,6 +440,8 @@ def test_staged_index_pass_equals_fresh_build_pass(spark, sf_dir):
         "corpus_dedup_pipeline": ["cdp_canon_v1", "cdp_sigs_v1"],
         "sim_pq_adc_topk": ["pq_codes_v2", "pq_codebook_v1"],
         "text_lm_quality": ["lm_docbg_v1"],
+        "text_boilerplate_ratio": ["boiler_sh3_v1", "boiler_df3_v1"],
+        "corpus_quality_pipeline": [],
     }
     base = "/tmp/sgdata/sf0.001"
     for key, artifacts in staged_keys.items():
