@@ -385,7 +385,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_foreach_sink",
     """
-    SELECT CAST(4 AS BIGINT) AS n_epochs,
+    SELECT CAST(2 AS BIGINT) AS n_epochs,
            count(*) AS rows_via_log,
            count(*) AS rows_on_disk
     FROM events
@@ -397,10 +397,13 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     archive/delete mirror of A-5/A-6 — actions keyed to the committed
     epoch, the ordering fix for sharepoint_to_bronze_delta.py:222-231).
 
-    Strong oracle: staging pins 4 files × maxFilesPerTrigger=1 ⇒
-    exactly 4 epochs (stateless query, no flush batch), and the
-    commit-log row count must equal the on-disk row count must equal
-    the source row count — the exactly-once invariant."""
+    Strong oracle: staging pins 4 files × maxFilesPerTrigger=2 ⇒
+    exactly 2 epochs (stateless query, no flush batch — 2 is the
+    minimum that proves the marker protocol repeats across epochs;
+    epochs beyond that are pure micro-batch fixed cost, cf.
+    stream_additive_state_merge), and the commit-log row count must
+    equal the on-disk row count must equal the source row count — the
+    exactly-once invariant."""
     base = _staging(sf_dir, "stream_sink")
     src = stage_event_files(spark, sf_dir)
     out, ckpt, commits = f"{base}/out", f"{base}/ckpt", f"{base}/commits"
@@ -410,8 +413,13 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         import json
 
-        counted = batch_df.count()
         batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+        # Count from the COMMITTED files (parquet footer metadata — no
+        # data scan): the marker then describes what was durably
+        # written, and the batch plan executes once per epoch instead
+        # of twice (a pre-write batch_df.count() re-ran the whole
+        # incremental plan just to learn the row count).
+        counted = spark.read.parquet(f"{out}/epoch={epoch_id}").count()
         # Post-commit action: marker written only after the data commit.
         # The marker is CONTROL-PLANE — one row per epoch — so it's a
         # driver-side atomic file create (write temp + rename), exactly
@@ -427,7 +435,7 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
         .select("event_id", "ts", "event_type", "value")
         .writeStream.foreachBatch(sink)
