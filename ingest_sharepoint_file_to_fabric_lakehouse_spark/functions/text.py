@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core import docs, query, t
+from ..core import docs, query, read_staged, t
 
 
 @query(
@@ -300,7 +300,7 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(docbg_path)
         )
         stamp_staging(docbg_path, token)
-    docbg = spark.read.parquet(docbg_path)
+    docbg = read_staged(spark, docbg_path)
     bi = docbg.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
     # unigram counts roll up from the bigram table (c1 = Σ_w2 c2):
     # one fewer pass over the bigram stream, and the rollup input is
@@ -438,7 +438,7 @@ def boiler_shingle_layouts(
         )
         for p in (sh_path, df_path):
             stamp_staging(p, token)
-    return spark.read.parquet(sh_path), spark.read.parquet(df_path)
+    return read_staged(spark, sh_path), read_staged(spark, df_path)
 
 
 @query(

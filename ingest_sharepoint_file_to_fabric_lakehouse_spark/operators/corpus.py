@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core import docs, query, t
+from ..core import docs, query, read_staged, t
 
 
 @query(
@@ -390,9 +390,9 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for p in (canon_path, sig_path):
             stamp_staging(p, token)
-    canon = spark.read.parquet(canon_path)
+    canon = read_staged(spark, canon_path)
     dd = d.join(canon, "doc_id")
-    sig = spark.read.parquet(sig_path)
+    sig = read_staged(spark, sig_path)
     banded = sig.select(
         "doc_id",
         F.explode(

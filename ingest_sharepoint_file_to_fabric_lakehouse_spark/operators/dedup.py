@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core import docs, query, t
+from ..core import docs, query, read_staged, t
 
 
 @query(
@@ -178,7 +178,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sig_path)
         )
         stamp_staging(sig_path, token)
-    sig = spark.read.parquet(sig_path)
+    sig = read_staged(spark, sig_path)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -430,7 +430,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         stamp_staging(sig_path, token)
     # both sides of the self-join read the staged banded signatures —
     # a block read, never a recompute of the vote aggregate
-    banded = spark.read.parquet(sig_path)
+    banded = read_staged(spark, sig_path)
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(
@@ -901,7 +901,7 @@ def dedup_jaccard_prefix(
         )
         for p in (pfx_path, se_path, ds_path):
             stamp_staging(p, token)
-    pb = spark.read.parquet(pfx_path)
+    pb = read_staged(spark, pfx_path)
     # ASYMMETRIC prefixes (PPJoin indexing prefix; Xiao et al.,
     # "Efficient Similarity Joins for Near Duplicate Detection",
     # WWW'08): put each pair's SMALLER set on side a with the shorter
@@ -1024,7 +1024,7 @@ def dedup_jaccard_prefix(
     # The staged docsets hold every doc at or under the cap (built
     # small-filtered at index time — see the build branch); max n_sh is
     # one control-plane scalar off the staged prefix.
-    docsets_staged = spark.read.parquet(ds_path)
+    docsets_staged = read_staged(spark, ds_path)
     max_nsh = pb.agg(F.max("n_sh")).first()[0] or 0
     if max_nsh <= large_doc_cap:
         out = verify_arrays(cand.drop("max_sh"), docsets_staged)
@@ -1044,7 +1044,7 @@ def dedup_jaccard_prefix(
         # staged ENCODED shingle relation — counting matching sids
         # equals counting matching shingles (injective dictionary),
         # and per-task state is a counter, never an array.
-        shi = spark.read.parquet(se_path)
+        shi = read_staged(spark, se_path)
         ov = (
             large.join(shi.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
             .join(
@@ -1264,7 +1264,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not staging_current(idx_path, token):
         _mh_banded(_mh_signature(base)).write.mode("overwrite").parquet(idx_path)
         stamp_staging(idx_path, token)
-    index = spark.read.parquet(idx_path)
+    index = read_staged(spark, idx_path)
 
     delta_banded = _mh_banded(_mh_signature(delta).localCheckpoint(eager=True))
     cand = (

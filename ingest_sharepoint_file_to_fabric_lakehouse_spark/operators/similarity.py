@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core import query, source_fingerprint, stamp_staging, staging_current, t
+from ..core import (
+    query,
+    read_staged,
+    source_fingerprint,
+    stamp_staging,
+    staging_current,
+    t,
+)
 
 
 def as_double(v) -> Column:
@@ -395,7 +402,7 @@ def sim_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = sorted(
         r["cell_id"] for r in probes.select("cell_id").distinct().collect()
     )
-    back = spark.read.parquet(path).filter(F.col("cell_id").isin(probe_cells))
+    back = read_staged(spark, path).filter(F.col("cell_id").isin(probe_cells))
     cand = back.join(F.broadcast(probes), "cell_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
@@ -1003,7 +1010,7 @@ def _pq_code_index(
             .parquet(path)
         )
         stamp_staging(path, token)
-    return spark.read.parquet(path)
+    return read_staged(spark, path)
 
 
 @query("sim_pq_adc_topk", _PQ_ORACLE)
