@@ -151,6 +151,9 @@ def _t_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_DOCS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``documents`` spread across the session's cores.
 
@@ -162,9 +165,26 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-width parallelism; at 100 TB the scan itself has thousands
     of splits and this helper's exchange is noise (and the doc_id
     layout is exactly what the downstream per-doc aggregates want).
-    """
-    d = t(spark, sf_dir, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    The repartitioned relation is MEMOIZED as an eager localCheckpoint
+    (same key discipline as :func:`t`): ~40 registered keys consume
+    it, and without the memo each re-runs the scan + exchange.  The
+    checkpoint blocks live for the SparkContext's lifetime (the cache
+    reference pins them against ContextCleaner), which is a few tens
+    of MB at fixture scale — at 100 TB the equivalent is a
+    doc_id-bucketed table, not an in-memory block."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_fingerprint(sf_dir, "documents"),
+    )
+    cached = _DOCS_CACHE.get(key)
+    if cached is None:
+        d = t(spark, sf_dir, "documents")
+        _DOCS_CACHE[key] = cached = d.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        ).localCheckpoint(eager=True)
+    return cached
 
 
 def source_fingerprint(sf_dir: str, *tables: str) -> str:
