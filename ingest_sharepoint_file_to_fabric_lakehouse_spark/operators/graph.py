@@ -135,7 +135,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     not sum to 1 — relative ordering is the product), identically on
     both engines.
     """
+    # The iteration state is #nations rows and every shuffle hashes on
+    # node/src — 25 keys — so reducer width is control-plane-sized (the
+    # MMR rule; A/B on two hosts: 32 -> 2 measured 1.83 -> 1.48 s and
+    # 2.22 -> 1.48 s at sf0.1).  The one corpus-proportional pass (the
+    # trade-edge aggregation) is inside _trade_edges_cached, which
+    # materializes before this pin.
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
     edges = _trade_edges_cached(spark, sf_dir)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        return _pagerank_body(spark, edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+
+
+def _pagerank_body(spark: SparkSession, edges: DataFrame) -> DataFrame:
     outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
     nodes = (
         edges.select(F.col("src").alias("node"))

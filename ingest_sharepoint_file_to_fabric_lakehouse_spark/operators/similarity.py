@@ -597,6 +597,16 @@ def sim_kmeans_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
 
     k, iters = 8, 2
+    # (A reducer-width pin like MMR's was tried for the (cell, pos)
+    # update shuffles and A/B-measured inconclusive — the update's
+    # map-side partials already collapse to k x dims cells, so the
+    # session default costs only empty-task launch, within noise.)
+    return _kmeans_body(spark, sf_dir, k, iters)
+
+
+def _kmeans_body(spark: SparkSession, sf_dir: str, k: int, iters: int) -> DataFrame:
+    import json as _json
+
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     ).localCheckpoint(eager=True)
