@@ -76,8 +76,12 @@ _DRIVER_VERIFIED = {
 # row), the cooccurrence decimal(38,0) widening, the jaccard-prefix
 # skew fallback, the Delta-gated merge sinks, the ingest shuffle-width
 # derivation, and the streaming scratch-root/state-width change (all
-# 9 live streaming keys); (c) rotation re-checks of the oldest r01
-# verdicts with the remaining slots.
+# 9 live streaming keys); (b') the five keys ADDED in round 7; (b'')
+# the late-round staged-index rework.  The (a)+(b) families consumed
+# all 50 slots, so the planned rotation re-checks of old r01 greens
+# were dropped — changed keys re-earning verdicts outranks
+# re-confirming stable ones (flagship_q3_topk still smoke-runs every
+# round via entry()).
 _WINDOW_50 = [
     # (a) never driver-checked — exactly the 24 listed in VERDICT.md
     # "What's missing" §1; these MUST land in CORRECTNESS_r07
