@@ -376,3 +376,213 @@ def sql_api_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("lineitem", "part"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_Q19_SQL)
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("sql_api_q4", _Q4_SQL)
+def sql_api_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders in one quarter that
+    had at least one line shipped late, counted per priority — the
+    correlated-EXISTS-with-inequality pattern.  Catalyst decorrelates
+    the subquery into a LEFT SEMI join on o_orderkey with the
+    ``l_shipdate > o_orderdate + 60 days`` comparison as a residual
+    join predicate (it references both sides, so it can't be pushed
+    to either scan alone); the quarter band DOES push into the orders
+    scan, and the semi-join's early-out means each order probes until
+    its first late line, never materializing the multiplicity.  At
+    100 TB both sides shuffle once on the uniformly-distributed order
+    key — the same co-partitioning sql_api_q18 reuses.  The fixture
+    carries no l_commitdate/l_receiptdate, so "late" is
+    shipped-more-than-60-days-after-ordering — the decorrelation
+    shape Q4 exists to exercise is unchanged.  Identical ANSI text on
+    both engines; all-integer output.
+    """
+    for name in ("orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q4_SQL)
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("sql_api_q13", _Q13_SQL)
+def sql_api_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): how many
+    customers placed 0, 1, 2, ... qualifying orders — the
+    OUTER-join-then-double-aggregate shape.  The LEFT OUTER join is
+    load-bearing twice: the extra ON predicate filters orders WITHOUT
+    dropping order-less customers (a WHERE would turn it into an
+    inner join and lose the 0 bucket — the classic outer-join
+    semantics trap), and count(o_orderkey) counts 0 for the
+    NULL-extended rows because count(col) skips NULLs.  At 100 TB the
+    first aggregate shuffles on c_custkey (the same key the join just
+    co-partitioned — one exchange serves both), and the second
+    aggregate's input is order-count-distribution-sized, i.e.
+    control-plane.  The fixture carries no o_comment, so the spec's
+    NOT LIKE '%special%requests%' becomes a priority exclusion — the
+    outer-join + conditional-ON shape is unchanged.  Identical ANSI
+    text on both engines; all-integer output.
+    """
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q13_SQL)
+
+
+_Q17_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_small_qty_revenue,
+       count(*) AS n_lines,
+       CAST((SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               * 10000
+             - SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               * 10000 % 7)
+            / 7 AS BIGINT) AS avg_yearly_e6
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#2'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("sql_api_q17", _Q17_SQL)
+def sql_api_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines of one brand
+    whose quantity is below 20% of that part's average order quantity
+    — the correlated SCALAR subquery pattern.  Catalyst decorrelates
+    it into an aggregate-then-join: lineitem rolls up avg(l_quantity)
+    per l_partkey once (partial map-side combine, one shuffle on
+    partkey), and the outer fact joins against that rollup — the
+    per-row re-execution a naive reading implies never happens.  At
+    100 TB the rollup is part-cardinality-sized; the brand filter
+    broadcasts through part.
+
+    Determinism: quantities are integral doubles, so every partial
+    sum is an exact integer below 2^53 and avg = exact_sum/count is
+    the same IEEE double on both engines — the 0.2*avg threshold
+    can't drift.  The spec's avg_yearly (sum/7.0) ships as exact
+    integer 1e-6 currency units via the q1 divisible-numerator
+    identity, next to the exact-decimal total.  Identical ANSI text
+    on both engines.
+    """
+    for name in ("lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q17_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+JOIN nation n    ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n.n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("sql_api_q21", _Q21_SQL)
+def sql_api_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): suppliers in one
+    nation who were the SOLE at-fault supplier on a multi-supplier
+    finished order — the hardest decorrelation in the suite, one
+    correlated EXISTS and one correlated NOT EXISTS against the same
+    fact table the outer query already joins.  Catalyst turns them
+    into a LEFT SEMI and a LEFT ANTI join, each with the
+    ``l2.l_suppkey <> l1.l_suppkey`` cross-reference as a residual
+    predicate — so lineitem is scanned three times but every one of
+    the three shuffles hashes the SAME l_orderkey key, and AQE reuses
+    the co-partitioning end-to-end; the nation filter broadcasts
+    through supplier.  The fixture carries no commit/receipt dates,
+    so "at fault" is l_returnflag = 'R' — the
+    semi-anti-double-correlation shape Q21 exists to exercise is
+    unchanged.  Identical ANSI text on both engines; all-integer
+    output, (numwait DESC, s_name) ordering deterministic.
+    """
+    for name in ("supplier", "lineitem", "orders", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS totacctbal
+FROM customer c
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+  AND CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      * (SELECT count(*) FROM customer c2
+         WHERE c2.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+           AND c2.c_acctbal > 0.0)
+      > (SELECT SUM(CAST(CAST(c2.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+         FROM customer c2
+         WHERE c2.c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+           AND c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("sql_api_q22", _Q22_SQL)
+def sql_api_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers in
+    target segments who have gone dormant (no order since 2000) — an
+    UNCORRELATED scalar aggregate threshold plus a correlated NOT
+    EXISTS anti-join in one query.  (Every fixture customer has at
+    least one lifetime order, so the spec's "never ordered" predicate
+    would be vacuously empty; the recency cutoff keeps the anti-join
+    shape AND a non-trivial answer.)  Catalyst evaluates the scalar subquery once (a subquery
+    broadcast/reused-exchange, never per-row), turns the NOT EXISTS
+    into a LEFT ANTI join on c_custkey, and the segment IN-list
+    pushes into both customer scans.  At 100 TB the anti-join is the
+    only data-volume exchange; the threshold is one control-plane
+    scalar.
+
+    Parity design: the spec compares acctbal > avg(acctbal), but avg
+    of DECIMAL returns DOUBLE in DuckDB and DECIMAL in Spark — an
+    engine-semantics fork — so the comparison is restated in exact
+    integer space as ``acctbal_cents * n > sum_cents`` (algebraically
+    identical for n > 0, zero floats anywhere).  The fixture carries
+    no c_phone, so the spec's country-code prefixes become market
+    segments — the anti-join + global-aggregate-threshold shape is
+    unchanged.  Identical ANSI text on both engines.
+    """
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q22_SQL)

@@ -459,3 +459,63 @@ def test_staged_index_pass_equals_fresh_build_pass(spark, sf_dir):
         warm = sorted(map(tuple, engine.QUERIES[key](spark, sf_dir).collect()))
         assert cold == warm, key
         assert len(cold) > 0, key
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must plan as a LEFT SEMI join on the
+    order key with the late-shipment comparison as a residual join
+    predicate — never per-row re-execution — and the quarter band
+    must push into the orders scan."""
+    df = engine.QUERIES["sql_api_q4"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "GreaterThanOrEqual(o_orderdate" in fmt  # pushed quarter band
+
+
+def test_q13_outer_join_survives_to_physical_plan(spark, sf_dir):
+    """The ON-clause order filter must NOT collapse the outer join to
+    an inner join (order-less customers supply the 0 bucket), and the
+    per-customer aggregate must reuse the join's c_custkey hashing —
+    at most one exchange on the customer key."""
+    df = engine.QUERIES["sql_api_q13"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftOuter" in plan
+    assert plan.count("Exchange hashpartitioning(c_custkey") <= 1
+
+
+def test_q17_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
+    """The correlated avg(l_quantity) scalar subquery must plan as a
+    per-partkey rollup joined back to the fact (an aggregate above a
+    lineitem scan, then a join) — not a per-row subquery."""
+    df = engine.QUERIES["sql_api_q17"](spark, sf_dir)
+    plan = plan_of(df)
+    # the rollup exists (partial_avg under an exchange on partkey) and
+    # joins back to the fact (broadcast at fixture scale, shuffled at
+    # cluster scale — either is the decorrelated shape)
+    assert "partial_avg(l_quantity" in plan
+    assert "Join" in plan
+    assert "Subquery" not in plan  # fully decorrelated, no per-row subquery node
+
+
+def test_q21_double_correlation_plans_semi_and_anti(spark, sf_dir):
+    """EXISTS and NOT EXISTS against the same fact must become one
+    LEFT SEMI and one LEFT ANTI join, both hashing l_orderkey — the
+    co-partitioning is shared, the suppkey cross-reference rides as a
+    residual predicate."""
+    df = engine.QUERIES["sql_api_q21"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q22_scalar_threshold_evaluates_once(spark, sf_dir):
+    """The global-average threshold must be a one-shot scalar subquery
+    (Subquery scalar-subquery / ReusedSubquery nodes), and NOT EXISTS
+    must plan as a LEFT ANTI join on c_custkey."""
+    df = engine.QUERIES["sql_api_q22"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    assert "scalar-subquery" in plan or "Subquery" in plan
