@@ -586,3 +586,174 @@ def sql_api_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_Q22_SQL)
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01') shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_api_q7", _Q7_SQL)
+def sql_api_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations
+    by supplier-side/customer-side direction and year — the
+    double-dimension-lookup star: nation joins BOTH ends of the
+    lineitem⋈orders⋈customer chain, with a symmetric OR predicate
+    over the pair.  Catalyst broadcasts both nation lookups and the
+    supplier dim, pushes the two-year ship-date band into the fact
+    scan, and the only data-volume exchange is the lineitem⋈orders
+    shuffle on the order key.  The OR-pair predicate evaluates after
+    both nation joins (it references both sides) but the per-side
+    implication (n_name IN (N1, N2)) prunes each dim broadcast to two
+    rows.  Identical ANSI text on both engines; decimal-exact
+    revenue, EXTRACT(YEAR) cast to BIGINT on both (Spark returns INT,
+    DuckDB BIGINT — the cast removes the schema fork).
+    """
+    for name in ("supplier", "lineitem", "orders", "customer", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = """
+SELECT o_year,
+       CAST((SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume_e4
+                      ELSE CAST(0 AS BIGINT) END) * 10000
+             - SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume_e4
+                        ELSE CAST(0 AS BIGINT) END) * 10000
+               % SUM(volume_e4))
+            / SUM(volume_e4) AS BIGINT) AS mkt_share_bp,
+       count(*) AS n_lines
+FROM (SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                  * 10000 AS BIGINT) AS volume_e4,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01') all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("sql_api_q8", _Q8_SQL)
+def sql_api_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share
+    of a part-type market inside one customer region, by order year —
+    the deepest join tree in the suite (8 tables: the fact chain plus
+    nation twice and region).  Every dimension broadcasts; the region
+    filter prunes the customer side through two broadcast hops
+    (nation→region), the part-type filter prunes the fact through the
+    part broadcast, and the single data-volume exchange is again
+    lineitem⋈orders.  The spec's share is sum(case)/sum — float
+    division — so it ships as exact integer basis points over 1e-4
+    currency units via the q1/q14 divisible-numerator identity
+    (volume_e4 is lossless: the decimal(17,4) product is exact).
+    Identical ANSI text on both engines.
+    """
+    for name in ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q8_SQL)
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag IN ('R', 'A')
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("sql_api_q12", _Q12_SQL)
+def sql_api_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping priority classes): line categories crossed
+    with order-priority buckets — the join-then-conditional-count
+    shape where the measure comes from the OTHER side of the join
+    than the group key.  The category IN-list and the date band push
+    into the lineitem scan; the fact-fact join shuffles on the order
+    key and the conditional SUMs collapse map-side to
+    category-cardinality rows.  The fixture carries no l_shipmode /
+    l_commitdate / l_receiptdate, so categories are return flags and
+    the year band filters ship dates — the
+    cross-side-conditional-aggregate shape Q12 exists to exercise is
+    unchanged.  Identical ANSI text on both engines; all-integer
+    output.
+    """
+    for name in ("orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q12_SQL)
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(1 - l_discount AS DECIMAL(4,2))
+                  * 10000 AS BIGINT)) AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@query("sql_api_q15", _Q15_SQL)
+def sql_api_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with the maximum
+    quarterly revenue — the CTE-referenced-twice pattern (the spec
+    uses a VIEW; the CTE is the same thing inline).  The revenue
+    rollup aggregates lineitem once per reference unless the engine
+    reuses it: Spark's scalar subquery executes the max() over one
+    instance and the join consumes the other — both are
+    supplier-cardinality-sized after the map-side partial agg, so the
+    double evaluation costs two fact scans but no extra exchange
+    volume; at 100 TB you'd materialize the CTE (the
+    agg_incremental_merge pattern) if the double scan hurt.  Revenue
+    is summed in exact integer 1e-4 currency units, so the max-equality
+    join — the part of this query that floats would break — compares
+    exact integers on both engines.  Identical ANSI text.
+    """
+    for name in ("lineitem", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q15_SQL)

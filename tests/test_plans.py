@@ -519,3 +519,23 @@ def test_q22_scalar_threshold_evaluates_once(spark, sf_dir):
     plan = plan_of(df)
     assert "LeftAnti" in plan
     assert "scalar-subquery" in plan or "Subquery" in plan
+
+
+def test_q8_deep_star_broadcasts_every_dim(spark, sf_dir):
+    """The 8-table market-share star must broadcast all six dimension
+    lookups (part, supplier, customer, nation x2, region); the only
+    shuffled join is lineitem⋈orders on the order key."""
+    df = engine.QUERIES["sql_api_q8"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q15_max_revenue_is_scalar_subquery(spark, sf_dir):
+    """The max-revenue threshold must be a one-shot scalar subquery
+    over the supplier-sized rollup, not a join explosion; the rollup
+    aggregates lineitem with a map-side partial."""
+    df = engine.QUERIES["sql_api_q15"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Subquery" in plan or "scalar-subquery" in plan
+    assert "partial_sum" in plan
