@@ -113,11 +113,13 @@ _WINDOW_50 = [
     # verdicts before stale-but-stable r01 greens get re-confirmed
     # (flagship_q3_topk still runs every round as the entry() smoke).
     # (d) ADDED AFTER the window filled (late r7): sql_api_q4/q13/q17/
-    # q21/q22 (the decorrelation suite) and sql_api_q7/q8/q12/q15 (the
-    # multi-dim star / conditional-agg / CTE-max classics).  They sort
-    # directly after the window via _ordered_keys (unverified strong),
-    # i.e. they are FIRST IN LINE for the round-8 window; COVERAGE.md's
-    # provenance table records them as local-sweep-only until then.
+    # q21/q22 (the decorrelation suite), sql_api_q7/q8/q12/q15 (the
+    # multi-dim star / conditional-agg / CTE-max classics), and
+    # events_changepoint_cusum / sim_ivf_recall_eval /
+    # corpus_dedup_keep_best.  They sort directly after the window via
+    # _ordered_keys (unverified strong), i.e. they are FIRST IN LINE
+    # for the round-8 window; COVERAGE.md's provenance table records
+    # them as local-sweep-only until then.
 ]
 
 

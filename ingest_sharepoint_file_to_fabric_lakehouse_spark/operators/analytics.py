@@ -1358,3 +1358,99 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "order_age")
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS x,
+             count(*) AS y
+      FROM events
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, x, y,
+             CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY x
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY x)
+                  AS BIGINT) AS k,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, x, n_days, total,
+             abs(n_days * prefix - k * total) AS cusum_n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n_days * prefix - k * total) DESC,
+                                         x) AS rn
+      FROM c
+    )
+    SELECT event_type, n_days, total AS total_events,
+           x AS changepoint_day, cusum_n AS max_cusum_scaled
+    FROM s WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection on daily event volume via the CUSUM
+    statistic: for each series, the day k maximizing |Σ_{i<=k}(y_i -
+    ȳ)| — the classic single-changepoint location estimator (where
+    the level shift most plausibly happened), the monitoring
+    counterpart to events_anomaly_zscore's point outliers.
+
+    Exactness: the mean-centered prefix sum is scaled through by
+    n_days — ``n·S_k = n·prefix_k - k·total`` — so the whole statistic
+    is integer arithmetic (no mean division, no floats), and the
+    argmax tiebreaks on the day index: both engines agree
+    bit-for-bit.
+
+    Scale shape: one partial-aggregated exchange to calendar-sized
+    daily counts, then two windows and the argmax all ride ONE
+    event_type exchange (prefix/rank and the full-partition moments
+    share the same partitioning; the per-series output is one row).
+    CUSUM over 100 TB of raw events is the same two exchanges as
+    every moment-sketch key in this family.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    w_ord = Window.partitionBy("event_type").orderBy("x")
+    w_all = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type",
+        "x",
+        F.sum("y").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.sum("y").over(w_all).alias("total"),
+        F.count("*").over(w_all).cast("long").alias("n_days"),
+    )
+    s = c.select(
+        "event_type",
+        "x",
+        "n_days",
+        "total",
+        F.abs(F.col("n_days") * F.col("prefix") - F.col("k") * F.col("total")).alias(
+            "cusum_n"
+        ),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.col("cusum_n").desc(), F.col("x"))
+        ),
+    )
+    return (
+        s.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("total").alias("total_events"),
+            F.col("x").alias("changepoint_day"),
+            F.col("cusum_n").alias("max_cusum_scaled"),
+        )
+        .orderBy("event_type")
+    )

@@ -342,6 +342,46 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation above it); the funnel summary is one #sources-row
     aggregate.  No stage is all-pairs, none collects data-scale rows.
     """
+    d, canon, comps = _dedup_cluster_components(spark, sf_dir)
+    near_dropped = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    # 5. per-source funnel
+    status = (
+        d.select("doc_id", "source")
+        .join(canon.withColumn("in_canon", F.lit(True)), "doc_id", "left")
+        .join(near_dropped.withColumn("near", F.lit(True)), "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("in_canon", F.lit(False)).alias("in_canon"),
+            F.coalesce("near", F.lit(False)).alias("near"),
+        )
+    )
+    return (
+        status.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(~F.col("in_canon"), 1).otherwise(0)).alias("n_exact_dropped"),
+            F.sum(F.when(F.col("in_canon") & F.col("near"), 1).otherwise(0)).alias(
+                "n_near_dropped"
+            ),
+            F.sum(F.when(F.col("in_canon") & ~F.col("near"), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_cluster_components(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared stages 1-4 of the near-dup funnel (exact-dedup canon →
+    staged MinHash signatures → banded candidates → agreement edges →
+    connected components), returning (docs, canon, components) —
+    consumed by corpus_dedup_pipeline (the per-source funnel) and
+    corpus_dedup_keep_best (the per-cluster survivor selection)."""
     from .dedup import shingles
 
     d = docs(spark, sf_dir)
@@ -438,37 +478,9 @@ def corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(siga, "a").join(sigb, "b").filter(agree >= 6).select("a", "b")
     )
 
-    # 4. components -> drop everything but each cluster's min doc_id
+    # 4. components over the agreement graph
     comps = connected_components(edges)
-    near_dropped = comps.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias("doc_id")
-    )
-
-    # 5. per-source funnel
-    status = (
-        d.select("doc_id", "source")
-        .join(canon.withColumn("in_canon", F.lit(True)), "doc_id", "left")
-        .join(near_dropped.withColumn("near", F.lit(True)), "doc_id", "left")
-        .select(
-            "source",
-            F.coalesce("in_canon", F.lit(False)).alias("in_canon"),
-            F.coalesce("near", F.lit(False)).alias("near"),
-        )
-    )
-    return (
-        status.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(~F.col("in_canon"), 1).otherwise(0)).alias("n_exact_dropped"),
-            F.sum(F.when(F.col("in_canon") & F.col("near"), 1).otherwise(0)).alias(
-                "n_near_dropped"
-            ),
-            F.sum(F.when(F.col("in_canon") & ~F.col("near"), 1).otherwise(0)).alias(
-                "n_kept"
-            ),
-        )
-        .orderBy("source")
-    )
+    return d, canon, comps
 
 
 @query(
@@ -993,4 +1005,128 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
             "log_intercept"
         ),
+    )
+
+
+_KEEP_BEST_ORACLE = """
+WITH RECURSIVE canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+dd AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN canon c USING (doc_id)
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, greatest(len(toks)-2, 1) + 1)]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM dd)
+  )
+),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+edges AS (
+  SELECT a, b FROM cand
+  JOIN sig sa ON sa.doc_id = a
+  JOIN sig sb ON sb.doc_id = b
+  WHERE ({agree}) >= 6
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges UNION SELECT DISTINCT b FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, p.x AS r
+  FROM reach
+  JOIN (SELECT a, b AS x FROM edges UNION ALL SELECT b, a FROM edges) p
+    ON reach.r = p.a
+),
+comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+ranked AS (
+  SELECT c.comp AS cluster_id, d.doc_id, d.n_chars, d.source,
+         row_number() OVER (PARTITION BY c.comp
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.comp) AS cluster_size,
+         SUM(d.n_chars) OVER (PARTITION BY c.comp) AS total_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       doc_id AS kept_doc_id,
+       n_chars AS kept_chars,
+       source AS kept_source,
+       CAST(total_chars AS BIGINT) AS cluster_chars
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+""".format(
+    mins=", ".join(f"min(md5('{k}:' || shingle)) AS h{k}" for k in range(12)),
+    bands="\n  UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, {cc} AS bucket FROM sig".format(
+            bi=bi, cc=" || ',' || ".join(f"h{bi * 3 + ri}" for ri in range(3))
+        )
+        for bi in range(4)
+    ),
+    agree=" + ".join(f"(sa.h{k} = sb.h{k})::INT" for k in range(12)),
+)
+
+
+@query("corpus_dedup_keep_best", _KEEP_BEST_ORACLE)
+def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document SELECTION inside near-dup clusters: instead
+    of corpus_dedup_pipeline's keep-the-lowest-id rule, each cluster
+    keeps its HIGHEST-QUALITY member — here the longest document
+    (n_chars desc, doc_id tiebreak), the standard curation choice of
+    "keep the most complete version" when crawl duplicates truncate
+    each other.  Emits one row per non-singleton cluster: the
+    survivor, its length, its source, and the cluster's size and
+    total footprint — the review table a curator scans before the
+    drop is committed.  Any scoring column (text_quality_score,
+    text_lm_quality) slots into the ORDER BY unchanged.
+
+    Reuses stages 1-4 of the funnel verbatim (the staged canon +
+    signature index, banded candidates, agreement edges, connected
+    components via _dedup_cluster_components) — the selection is one
+    window over the cluster-sized relation, so the added cost over
+    the funnel is nil at any scale.  STRONG oracle: the whole
+    pipeline replays in DuckDB (recursive-CTE components) and the
+    argmax is deterministic via the (n_chars, doc_id) tiebreak.
+    """
+    d, _canon, comps = _dedup_cluster_components(spark, sf_dir)
+    from pyspark.sql import Window
+
+    members = comps.join(d, comps.node == d.doc_id).select(
+        F.col("comp").alias("cluster_id"), "doc_id", "n_chars", "source"
+    )
+    w_all = Window.partitionBy("cluster_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        members.select(
+            "cluster_id",
+            "doc_id",
+            "n_chars",
+            "source",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_all).alias("cluster_size"),
+            F.sum("n_chars").over(w_all).alias("cluster_chars"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_chars").alias("kept_chars"),
+            F.col("source").alias("kept_source"),
+            "cluster_chars",
+        )
+        .orderBy("cluster_id")
     )

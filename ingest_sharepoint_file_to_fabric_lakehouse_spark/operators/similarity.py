@@ -1540,3 +1540,102 @@ def _mmr_body(
         # control-plane-sized checkpoint).
         acc = acc.unionByName(pick).localCheckpoint(eager=True)
     return acc.orderBy("q_id", "mmr_rank")
+
+
+_IVF_RECALL_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 3),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY ROUND(list_cosine_similarity(q.q_vec, e.v), 6) DESC,
+                          e.vec_id) AS rnk
+        FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+      ) WHERE rnk <= 10
+    ),
+    cells AS (
+      SELECT label, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+      FROM (SELECT em.label, e.v FROM e JOIN embeddings em USING (vec_id)),
+           range(1, 65) t(i)
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM cells GROUP BY label),
+    assigned AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT e.vec_id, e.v, c.label AS cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.label
+               ) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, q_vec, cell_id FROM (
+        SELECT q.q_id, q.q_vec, c.label AS cell_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.q_vec, c.centroid) DESC, c.label
+               ) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 2
+    ),
+    approx AS (
+      SELECT q_id, vec_id FROM (
+        SELECT p.q_id, a.vec_id,
+               row_number() OVER (
+                 PARTITION BY p.q_id
+                 ORDER BY ROUND(list_cosine_similarity(p.q_vec, a.v), 6) DESC,
+                          a.vec_id) AS rnk
+        FROM assigned a JOIN probes p USING (cell_id)
+        WHERE a.vec_id <> p.q_id
+      ) WHERE rnk <= 10
+    )
+    SELECT x.q_id,
+           count(a.vec_id) AS n_hit,
+           count(*) AS n_exact,
+           CAST(count(a.vec_id) * 1000000 / count(*) AS BIGINT) AS recall_ppm
+    FROM exact x
+    LEFT JOIN approx a ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    GROUP BY x.q_id
+    ORDER BY x.q_id
+    """
+
+
+@query("sim_ivf_recall_eval", _IVF_RECALL_ORACLE)
+def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY EVALUATION: recall@10 of the IVF probe against the
+    exact brute-force top-10 per query, in integer ppm — the
+    measurement you run before committing an index config (nprobe,
+    cell count) to a 100 TB corpus, the vector-search counterpart of
+    dedup_lsh_eval's (bands, rows) tuning harness.  Both retrieval
+    pipelines are the engine's own keys (sim_topk_bruteforce /
+    sim_ivf_probe) composed: the ground truth is the broadcast
+    map-side exact pass, the candidate is the cell-pruned probe, and
+    the recall join runs on the two top-10 lists — queries x k rows,
+    control-plane-sized regardless of corpus size.
+
+    STRONG oracle: both pipelines are deterministic (rounded scores +
+    vec_id tiebreaks, decimal-exact centroids), so DuckDB replays
+    ground truth AND candidate lists bit-identically; the recall is
+    an exact integer count over them.
+    """
+    exact = sim_topk_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    approx = sim_ivf_probe(spark, sf_dir).select(
+        "q_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.count("*").alias("n_exact"),
+            (F.count("hit") * 1000000 / F.count("*")).cast("long").alias("recall_ppm"),
+        )
+        .orderBy("q_id")
+    )
