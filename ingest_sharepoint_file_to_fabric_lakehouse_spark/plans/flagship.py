@@ -685,10 +685,10 @@ def sql_api_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_returnflag IN ('R', 'A')
@@ -722,9 +722,9 @@ def sql_api_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                  * CAST(1 - l_discount AS DECIMAL(4,2))
-                  * 10000 AS BIGINT)) AS total_revenue_e4
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(1 - l_discount AS DECIMAL(4,2))
+                       * 10000 AS BIGINT)) AS BIGINT) AS total_revenue_e4
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
