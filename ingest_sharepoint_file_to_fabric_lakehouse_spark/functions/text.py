@@ -493,3 +493,74 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_ngram_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tc AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY doc_id, token),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             SUM(CAST(c AS DECIMAL(8,0)) * CAST(ln(c) AS DECIMAL(20,12)))
+               AS sum_clnc
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(ROUND(CAST(CAST(ln(n_tokens) AS DECIMAL(20,12)) AS DOUBLE)
+                      - CAST(sum_clnc AS DOUBLE) / n_tokens, 6) AS DOUBLE)
+             AS entropy_nats
+    FROM agg ORDER BY doc_id
+    """,
+)
+def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (nats):
+    ``H = ln(n) − Σ c·ln(c) / n`` over the doc's unigram counts — the
+    lexical-diversity quality signal (machine-generated spam and
+    keyword-stuffed pages score low; natural prose scores near the
+    corpus ceiling), sitting between text_repetition_filter's n-gram
+    fractions and text_lm_quality's corpus-model score in the quality
+    stack.
+
+    Float-parity design (the text_lm_quality idiom): each ln() is
+    cast to DECIMAL(20,12) — absorbing cross-engine ulp drift — and
+    c is cast to DECIMAL(8,0) before the multiply so the per-term
+    product is exact at scale 12; the per-doc sum is then
+    order-independent decimal addition, and only the final
+    single-divide-and-subtract runs in IEEE doubles (identical
+    operands → identical result), rounded to 6 dp.
+
+    Scale shape: the exploded token stream partial-aggregates
+    map-side into per-(doc, token) counts — the one corpus-volume
+    exchange, keyed by doc_id so the per-doc rollup that follows
+    reuses the same partitioning — and the output is one row per
+    document.  No UDFs, no iteration.
+    """
+    d = docs(spark, sf_dir)
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(
+            F.col("c").cast("decimal(8,0)")
+            * F.log(F.col("c").cast("double")).cast("decimal(20,12)")
+        ).alias("sum_clnc"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log(F.col("n_tokens").cast("double")).cast("decimal(20,12)").cast("double")
+            - F.col("sum_clnc").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("entropy_nats"),
+    ).orderBy("doc_id")

@@ -1454,3 +1454,109 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "orders_pareto_abc",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM c),
+    r AS (
+      SELECT cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM c
+    )
+    SELECT CASE WHEN cum * 100 <= (SELECT total FROM tot) * 80 THEN 'A'
+                WHEN cum * 100 <= (SELECT total FROM tot) * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           CAST(SUM(cents) * 10000 // (SELECT total FROM tot) AS BIGINT)
+             AS share_bp
+    FROM r
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of customers by lifetime revenue:
+    class A holds the customers covering the first 80% of cumulative
+    revenue (ranked largest-first), B the next 15%, C the tail — the
+    inventory-management 80/20 cut, here as the revenue-concentration
+    readout.
+
+    The global revenue-ordered running sum is the distributed
+    TWO-PHASE prefix sum (cf. text_pack_sequences, on a DESCENDING
+    range partitioning): each range partition computes its local
+    cumulative window in parallel, the per-partition totals (one tiny
+    row each) prefix-sum on the driver, and the offsets broadcast
+    back — bit-identical to the oracle's single global window without
+    ever serializing the corpus through one task.  The grand total
+    falls out of the same driver pass (the final running value), so
+    classification is pure map-side integer arithmetic: cum·100 ≤
+    total·80 in exact cents, no percentile estimation, no floats.
+
+    Scale shape: one groupBy(custkey) exchange to customer-cardinality
+    cents, one range exchange for the ordering, and a 3-row output.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import spark_partition_id
+
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    n_parts = min(max(spark.sparkContext.defaultParallelism, 2), 4096)
+    ranked = c.repartitionByRange(
+        n_parts, F.col("cents").desc(), F.col("o_custkey")
+    ).withColumn("_part", spark_partition_id())
+    local_w = (
+        Window.partitionBy("_part")
+        .orderBy(F.col("cents").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranked.withColumn("local_cum", F.sum("cents").over(local_w))
+    totals = (
+        local.groupBy("_part")
+        .agg(F.sum("cents").alias("part_total"))
+        .orderBy("_part")
+        .collect()
+    )
+    offsets, running = {}, 0
+    for row in totals:
+        offsets[row["_part"]] = running
+        running += row["part_total"]
+    total = int(running)
+    import pandas as pd
+
+    off_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"_part": list(offsets), "part_offset": [offsets[p] for p in offsets]}
+        ),
+        "_part int, part_offset long",
+    )
+    cum = local.join(F.broadcast(off_df), "_part").withColumn(
+        "cum", (F.col("local_cum") + F.col("part_offset")).cast("long")
+    )
+    cls = cum.withColumn(
+        "abc_class",
+        F.when(F.col("cum") * 100 <= F.lit(total) * 80, "A")
+        .when(F.col("cum") * 100 <= F.lit(total) * 95, "B")
+        .otherwise("C"),
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("class_cents"),
+            F.expr(f"(sum(cents) * 10000) div {total}").alias("share_bp"),
+        )
+        .orderBy("abc_class")
+    )

@@ -471,3 +471,107 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select("node", F.col("dist").cast("long")).orderBy("dist", "node")
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation: each round every node
+    adopts its neighbors' most frequent label (count desc, label asc
+    tiebreak) — the DuckDB replay of the exact Spark rounds."""
+    parts = ["""
+    WITH dedges AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+      FROM lineitem
+      JOIN orders    ON l_orderkey = o_orderkey
+      JOIN customer  ON o_custkey  = c_custkey
+      JOIN supplier  ON l_suppkey  = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY 1, 2
+    ),
+    thr AS (SELECT 3 * SUM(w) // (2 * count(*)) AS t FROM dedges),
+    strong AS (SELECT src, dst FROM dedges, thr WHERE w >= t),
+    adj AS (
+      SELECT DISTINCT src AS u, dst AS v FROM strong
+      UNION SELECT DISTINCT dst, src FROM strong
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    l{r} AS (
+      SELECT node, lbl FROM (
+        SELECT adj.u AS node, l.lbl, count(*) AS c,
+               row_number() OVER (PARTITION BY adj.u
+                                  ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM adj JOIN l{r - 1} l ON l.node = adj.v
+        GROUP BY adj.u, l.lbl
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT l.node, l.lbl AS community,
+           CAST(count(*) OVER (PARTITION BY l.lbl) AS BIGINT) AS community_size
+    FROM l{rounds} l
+    ORDER BY l.node""")
+    return "".join(parts)
+
+
+@query("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (LPA) on
+    the strong-trade backbone: every node starts as its own label and,
+    for 3 synchronous rounds, adopts the most frequent label among its
+    neighbors — the near-linear community detector (Raghavan et al.),
+    here with a deterministic (count desc, label asc) tiebreak so the
+    trajectory is bit-identical in the oracle's unrolled replay
+    (LPA's usual random tie-breaking is what makes it unstable;
+    determinism is what makes it TESTABLE — same discipline as
+    sim_kmeans_build's unrolled Lloyd rounds).
+
+    Scale shape per round: one join of the adjacency against the
+    label table (both keyed by node — at billions of edges both sides
+    hash-partition on the same key and the partitioning is reused
+    round to round), one partial-aggregated (node, label) count, one
+    node-keyed argmax window.  Labels-as-min-reachable CC
+    (dedup_cluster_cc) finds connected pieces; LPA finds DENSE pieces
+    inside a connected graph — complementary graph primitives.
+    """
+    dedges = (
+        _trade_edges_cached(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", "w")
+    )
+    thr = dedges.agg(F.expr("(3 * sum(w)) div (2 * count(*))").alias("t"))
+    strong = (
+        dedges.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("t"))
+        .select("src", "dst")
+    )
+    adj = (
+        strong.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(strong.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w_arg = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(3):
+        votes = (
+            adj.join(
+                labels.select(F.col("node").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    w_sz = Window.partitionBy("lbl")
+    return labels.select(
+        "node",
+        F.col("lbl").alias("community"),
+        F.count("*").over(w_sz).cast("long").alias("community_size"),
+    ).orderBy("node")
