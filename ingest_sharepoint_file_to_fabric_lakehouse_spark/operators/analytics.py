@@ -1560,3 +1560,66 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "events_forecast_snaive",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS x,
+             count(*) AS y
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           count(*) AS n_eval,
+           CAST(SUM(abs(a.y - b.y)) AS BIGINT) AS abs_err_sum,
+           CAST(SUM(abs(a.y - b.y)) * 1000 // count(*) AS BIGINT) AS mae_milli,
+           CAST(SUM(a.y) AS BIGINT) AS actual_sum
+    FROM daily a
+    JOIN daily b ON a.event_type = b.event_type AND b.x = a.x - 7
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+)
+def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST with the seasonal-naive baseline: predict each
+    day's volume as the same weekday's volume one week earlier and
+    score the mean absolute error per series — the sanity floor every
+    real forecasting model must beat, and the cheapest drift monitor
+    (a rising seasonal-naive MAE means the weekly pattern itself is
+    shifting).  Evaluation covers exactly the days whose t-7 partner
+    exists (calendar alignment via the day INDEX, not row offsets, so
+    gaps can't misalign the season).
+
+    Exactness: daily counts are integers, the error sum is an integer,
+    and the MAE ships in exact integral milli-units via `div` — no
+    float anywhere (the events_trend_ols discipline).
+
+    Scale shape: one partial-aggregated rollup to calendar-sized
+    daily counts, then a self-join on (event_type, day-7) — both
+    sides of the join carry the SAME (type, day)-derived key and are
+    calendar-sized, so at 100 TB of raw events the join is
+    control-plane work after the one corpus-volume exchange.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("event_type").alias("bt"), (F.col("x") + 7).alias("bx"), F.col("y").alias("by")
+    )
+    j = a.join(b, (F.col("a.event_type") == F.col("bt")) & (F.col("a.x") == F.col("bx")))
+    return (
+        j.groupBy("a.event_type")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(F.abs(F.col("a.y") - F.col("by"))).alias("abs_err_sum"),
+            F.expr("(sum(abs(a.y - by)) * 1000) div count(*)").alias("mae_milli"),
+            F.sum("a.y").alias("actual_sum"),
+        )
+        .orderBy("event_type")
+    )

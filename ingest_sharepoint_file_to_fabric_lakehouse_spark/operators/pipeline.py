@@ -539,3 +539,62 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
         (F.col("n_dup_spans") * 2 <= F.col("n_spans")).alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_quality_weighted_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             least(900, greatest(100, n_chars * 5)) AS rate_permille
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source, rate_permille,
+             (((doc_id + 555) * {_KNUTH}) % {_M32}) % 1000 < rate_permille
+               AS keep
+      FROM w
+    )
+    SELECT source,
+           count(*) AS n_candidates,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_checksum,
+           CAST(SUM(rate_permille) AS BIGINT) AS expected_permille_mass
+    FROM kept
+    GROUP BY source ORDER BY source
+    """,
+)
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE sampling for data mixing: each document's keep
+    probability scales with a quality proxy (here document length,
+    clamped to [10%, 90%] — any integer score column slots in), and
+    membership is decided by the same deterministic hash-threshold
+    trick as corpus_sample_stratified — ``mix32(doc_id) % 1000 <
+    rate``.  This is the quality-weighted upsampling/downsampling step
+    of modern data recipes (keep more of what scores well) with NO RNG
+    state: re-runs, re-partitioning, and replays all keep the same
+    documents, and the kept-id checksum makes the oracle verify exact
+    membership, not just counts.  ``expected_permille_mass`` is the
+    Horvitz-Thompson normalizer a weighted-loss trainer would use.
+
+    Scale shape: the rate and the hash are both pure map-side
+    projections of the row; the only exchange is the #sources-row
+    summary.  At 100 TB this is a streaming scan — no sort, no state.
+    """
+    d = t(spark, sf_dir, "documents")
+    rate = F.least(F.lit(900), F.greatest(F.lit(100), F.col("n_chars") * 5))
+    keep = (_mix32(F.col("doc_id"), salt=555) % 1000) < rate
+    return (
+        d.select("doc_id", "source", rate.alias("rate_permille"), keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("doc_id")).otherwise(0)).alias(
+                "kept_id_checksum"
+            ),
+            F.sum("rate_permille").alias("expected_permille_mass"),
+        )
+        .orderBy("source")
+    )

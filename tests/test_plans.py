@@ -539,3 +539,28 @@ def test_q15_max_revenue_is_scalar_subquery(spark, sf_dir):
     plan = plan_of(df)
     assert "Subquery" in plan or "scalar-subquery" in plan
     assert "partial_sum" in plan
+
+
+def test_pareto_abc_prefix_sum_is_range_partitioned(spark, sf_dir):
+    """The revenue-ordered running sum must ride a range exchange (the
+    distributed two-phase prefix sum), never a single-partition global
+    window: no empty-partition-spec Window in the executed plan."""
+    df = engine.QUERIES["orders_pareto_abc"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "rangepartitioning(cents" in plan.replace(" ", "").lower() or (
+        "Exchange rangepartitioning" in plan
+    )
+    assert "Exchange SinglePartition" not in plan.split("HashAggregate")[0]
+
+
+def test_ngram_entropy_single_corpus_exchange(spark, sf_dir):
+    """Token occurrences must collapse map-side into (doc, token)
+    counts — one corpus-volume exchange — and the per-doc rollup must
+    reuse the doc_id hashing (no second corpus-sized shuffle)."""
+    df = engine.QUERIES["text_ngram_entropy"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the explode feeds a partial aggregate below the first exchange
+    gen_idx = plan.find("Generate explode")
+    agg_idx = plan.find("HashAggregate")
+    assert gen_idx != -1 and agg_idx != -1
