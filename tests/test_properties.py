@@ -276,3 +276,57 @@ def test_sweepline_interval_count_matches_direct(intervals):
         cum += deltas[d]
         direct = sum(1 for s, ln in intervals if s <= d < s + ln)
         assert cum == direct
+
+
+@given(
+    st.lists(st.integers(0, 10**9), min_size=1, max_size=200),
+    st.integers(2, 8),
+)
+@settings(max_examples=20, deadline=None)
+def test_two_phase_prefix_sum_matches_sequential(cents, n_parts):
+    """The distributed two-phase prefix sum (orders_pareto_abc /
+    text_pack_sequences): carving an ordered sequence into contiguous
+    partitions, locally prefix-summing, and offsetting by the
+    prefix-sum of partition totals must equal the sequential running
+    sum — for ANY partitioning."""
+    ordered = sorted(cents, reverse=True)
+    # sequential truth
+    truth, run = [], 0
+    for v in ordered:
+        run += v
+        truth.append(run)
+    # two-phase replay: split into n_parts contiguous chunks
+    k = max(1, len(ordered) // n_parts)
+    chunks = [ordered[i : i + k] for i in range(0, len(ordered), k)]
+    out, offset = [], 0
+    for ch in chunks:
+        local = 0
+        for v in ch:
+            local += v
+            out.append(offset + local)
+        offset += sum(ch)
+    assert out == truth
+
+
+@given(
+    st.integers(5, 40),   # days before the shift
+    st.integers(5, 40),   # days after
+    st.integers(1, 50),   # base level
+    st.integers(5, 60),   # shift size
+)
+@settings(max_examples=25, deadline=None)
+def test_cusum_argmax_locates_a_clean_level_shift(n1, n2, base, shift):
+    """events_changepoint_cusum's statistic: on a clean step series
+    (constant level, then constant level + shift) the |n·prefix_k −
+    k·total| argmax lands exactly on the last pre-shift day."""
+    ys = [base] * n1 + [base + shift] * n2
+    n = len(ys)
+    total = sum(ys)
+    best_k, best_v = None, -1
+    prefix = 0
+    for k, y in enumerate(ys, start=1):
+        prefix += y
+        v = abs(n * prefix - k * total)
+        if v > best_v:  # ties keep the earliest day — the Spark tiebreak
+            best_v, best_k = v, k
+    assert best_k == n1
