@@ -118,7 +118,7 @@ _WINDOW_50 = [
     # events_changepoint_cusum / sim_ivf_recall_eval /
     # corpus_dedup_keep_best / orders_pareto_abc / text_ngram_entropy /
     # graph_label_propagation / corpus_quality_weighted_sample /
-    # events_forecast_snaive.  They sort directly after the window via
+    # events_forecast_snaive / events_session_stats.  They sort directly after the window via
     # _ordered_keys (unverified strong), i.e. they are FIRST IN LINE
     # for the round-8 window; COVERAGE.md's provenance table records
     # them as local-sweep-only until then.

@@ -1623,3 +1623,101 @@ def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_session_stats",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
+                                            ORDER BY sec, event_id)
+                       > 1800 THEN 1
+                  WHEN lag(sec) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id) IS NULL THEN 1
+                  ELSE 0 END AS is_start
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, sec,
+             CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_no,
+             count(*) AS n_events,
+             CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(duration_sec) AS BIGINT) AS total_duration_sec,
+           CAST(SUM(duration_sec) * 1000 // count(*) AS BIGINT)
+             AS mean_duration_milli,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce
+    FROM per_session
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch SESSIONIZATION: the 30-minute-inactivity-gap session
+    assignment (lag-gap flag → running sum of starts = session id)
+    and the corpus-level session summary — session count, bounce
+    count, exact mean duration — the foundation of every web/product
+    analytics stack, and the batch twin of stream_session's
+    session_window (same 30-min gap semantics, so the two surfaces
+    are mutually checkable).
+
+    Exactness: timestamps reduce to epoch seconds by PER-EVENT
+    flooring on both engines (Spark's unix_timestamp floors; the
+    oracle floors epoch()'s fractional seconds explicitly — truncating
+    only the final durations would bind the sub-second parts
+    differently), durations and the mean are integer arithmetic
+    (`div` in milli-units), and the session ordering tiebreaks on
+    event_id so equal-second events sessionize deterministically.
+
+    Scale shape: ONE user_id exchange carries the lag window, the
+    running-sum window, and the per-session groupBy (all partition on
+    user_id); the final summary is a single partial-aggregated row.
+    This is the canonical stacked-windows-on-one-exchange plan shared
+    with win_gaps_islands and win_cumulative_distinct.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "is_start",
+        F.when(F.col("sec") - F.lag("sec").over(w) > 1800, 1)
+        .when(F.lag("sec").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("duration_sec"),
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("duration_sec").alias("total_duration_sec"),
+        F.expr("(sum(duration_sec) * 1000) div count(*)").alias("mean_duration_milli"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounce"),
+    )
