@@ -1202,3 +1202,28 @@ def test_open_backlog_sweep_equals_direct_count(spark, sf_dir):
     for r in rows[:: max(1, len(rows) // 5)]:
         direct = iv.filter((F.col("s") <= F.lit(r.day)) & (F.col("e") > F.lit(r.day))).count()
         assert direct == r.n_open, (r.day, direct, r.n_open)
+
+
+def test_batch_sessionization_matches_native_session_window(spark, sf_dir):
+    """Cross-surface consistency: the lag-gap + running-sum
+    sessionization (events_session_stats) must produce the same
+    session count as Spark's native session_window over the same
+    floored-second timeline.  The key starts a new session when
+    diff > 1800s (i.e. merges diff <= 1800), which is session_window
+    semantics with an 1801-second gap."""
+    row = engine.QUERIES["events_session_stats"](spark, sf_dir).collect()[0]
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            F.timestamp_seconds(
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+            ).alias("fts"),
+        )
+    )
+    native = (
+        ev.groupBy(F.session_window("fts", "1801 seconds"), "user_id")
+        .count()
+        .count()
+    )
+    assert row["n_sessions"] == native
