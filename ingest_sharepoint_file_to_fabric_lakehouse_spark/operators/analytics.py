@@ -589,9 +589,17 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent construction.
     """
     li = t(spark, sf_dir, "lineitem")
-    basket = li.select(
-        F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # The distinct (basket, item) relation feeds THREE consumers (the
+    # basket-count scalar, per-item support, and the per-basket item
+    # arrays); without materialization the scan+distinct subtree
+    # replays per consumer (7 lineitem scans observed in one plan,
+    # only 1 ReusedExchange) — the eager checkpoint pins it to one
+    # corpus pass, same discipline as dedup_minhash_portable.
+    basket = (
+        li.select(F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_baskets = basket.select(F.countDistinct("bid").alias("n_baskets"))
     supp = basket.groupBy("item").agg(F.count("*").alias("n_item"))
     items = (
