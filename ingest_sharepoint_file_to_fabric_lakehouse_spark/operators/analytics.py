@@ -907,6 +907,13 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("freq"),
         F.sum(dec("o_totalprice")).alias("monetary"),
     )
+    # per_cust feeds both the reference-means aggregate and the scoring
+    # pass; unmaterialized, each consumer replays the orders
+    # scan+rollup (3 fact scans observed).  Pinning the
+    # customer-cardinality rollup costs one checkpoint write and makes
+    # the fact scan happen once — at 100 TB the rollup is ~1.5% of the
+    # fact and re-deriving it twice is the expensive alternative.
+    per_cust = per_cust.localCheckpoint(eager=True)
     now_all = o.agg(F.max("o_orderdate").alias("now_ts"))
     ref = per_cust.crossJoin(F.broadcast(now_all)).agg(
         F.max("now_ts").alias("now_ts"),

@@ -95,9 +95,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is sf-independent.
     """
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    # The distinct shingle relation feeds FOUR consumers (both
+    # self-join sides + both size lookups); unmaterialized, each
+    # replays the scan+explode+distinct (4 documents scans observed in
+    # one plan).  The eager checkpoint pins it to one pass.
     sh = (
         d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -1114,7 +1119,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     above a cutoff), the same guard the jaccard/prefix family uses.
     """
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle")).distinct()
+    # four consumers of the shingle relation — pin it to one scan
+    # (same fix as dedup_ngram_jaccard; 4 documents scans observed)
+    sh = (
+        d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (

@@ -111,6 +111,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
         F.count("*").alias("n_rows"),
     )
+    # The 1-row aggregate is referenced six times by the report union;
+    # without materialization each reference replays the full orders
+    # scan+aggregate (7 scans observed in one plan).  Eagerly pinning
+    # the single row makes the row-local rules cost exactly one pass.
+    rowlocal = rowlocal.localCheckpoint(eager=True)
     orphans = o.join(
         F.broadcast(c.select("c_custkey")),
         F.col("o_custkey") == F.col("c_custkey"),
