@@ -60,7 +60,10 @@ _DRIVER_VERIFIED = {
     "scan_manifest",
     "sink_parquet", "sink_partitioned", "sink_delta_merge",
     "sink_merge_partitioned", "ingest_pipeline",
-    "dedup_exact_hash", "dedup_ngram_jaccard", "dedup_minhash_portable",
+    # dedup_ngram_jaccard: removed late r7 — its shingle relation
+    # gained an eager checkpoint (value-neutral, but changed keys
+    # re-earn verdicts), so it re-enters the r8 queue
+    "dedup_exact_hash", "dedup_minhash_portable",
     "dedup_embedding_cosine", "sim_topk_bruteforce", "sim_grouped_centroid",
     "text_stats", "text_lang_filter", "text_quality_score",
     "text_token_count", "text_langid_ngram", "text_fingerprint",
