@@ -1,0 +1,115 @@
+"""Plan-shape budget — a lockfile for physical-plan regressions.
+
+Correctness gates catch wrong ANSWERS; the bench catches wall-clock
+only at fixture scale, where an extra exchange over tiny data is
+invisible.  This tool records, per key, the plan-shape numbers that
+DO matter at 100 TB — exchange count and per-table FileScan count in
+the executed plan — into ``tools/plan_budget.json``, and in check
+mode fails any key that EXCEEDS its recorded budget (fewer is fine
+and auto-tightens on the next --record).
+
+Workflow:
+    python tools/plan_budget.py --record   # refresh the lockfile
+    python tools/plan_budget.py            # check current vs lockfile
+
+A key over budget means a change added an exchange or a table rescan
+the author didn't notice — exactly the regression class the round-7
+scan audit found by hand (7 hidden lineitem scans in one plan).
+New keys (absent from the lockfile) are reported and recorded, never
+failed.  Plans are built at sf0.001: exchange/scan counts are
+sf-independent by construction (AQE coalesces partition counts, not
+exchange nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from collections import Counter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+BUDGET_PATH = os.path.join(REPO, "tools", "plan_budget.json")
+
+
+def shape_of(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = Counter(re.findall(r"(\w+)\.parquet", plan))
+    return {
+        "exchanges": plan.count("Exchange "),
+        "scans": dict(sorted(scans.items())),
+    }
+
+
+def main() -> None:
+    record = "--record" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .appName("plan_budget")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine
+
+    engine.load_all()
+
+    budget = {}
+    if os.path.exists(BUDGET_PATH):
+        with open(BUDGET_PATH) as f:
+            budget = json.load(f)
+
+    current, over, new_keys, errors = {}, [], [], []
+    for key, fn in engine.QUERIES.items():
+        if only and key not in only:
+            continue
+        try:
+            current[key] = shape_of(fn(spark, sf_dir))
+        except Exception as exc:
+            errors.append(key)
+            print(f"ERR  {key}: {str(exc)[:100]}")
+            continue
+        if key not in budget:
+            new_keys.append(key)
+            continue
+        b, c = budget[key], current[key]
+        overruns = []
+        if c["exchanges"] > b["exchanges"]:
+            overruns.append(f"exchanges {b['exchanges']} -> {c['exchanges']}")
+        for tbl, n in c["scans"].items():
+            if n > b["scans"].get(tbl, 0):
+                overruns.append(f"{tbl} scans {b['scans'].get(tbl, 0)} -> {n}")
+        if overruns:
+            over.append(key)
+            print(f"OVER {key}: {'; '.join(overruns)}")
+
+    if record or new_keys:
+        merged = dict(budget)
+        merged.update(current)
+        with open(BUDGET_PATH, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        if new_keys:
+            print(f"recorded {len(new_keys)} new keys")
+        if record:
+            print(f"lockfile refreshed: {len(merged)} keys")
+    print(
+        f"\n== {len(current) - len(over)} ok, {len(over)} over budget, "
+        f"{len(new_keys)} new, {len(errors)} errors =="
+    )
+    if over and not record:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
