@@ -270,3 +270,32 @@ def dec(col: str | Column, precision: int = 18, scale: int = 4) -> Column:
 def money(sum_col: Column, ndigits: int = 2) -> Column:
     """round(sum(decimal), n) → double; bit-stable across engines."""
     return F.round(sum_col, ndigits).cast("double")
+
+
+def source_bytes(sf_dir: str, *tables: str) -> int:
+    """Total on-disk bytes of the named source tables — the cheap
+    cardinality proxy for cost-based materialize-vs-recompute choices
+    (cf. streaming's state-width derivation).  Metadata-only: no scan."""
+    total = 0
+    for tbl in tables:
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def checkpoint_if_large(df, sf_dir: str, *tables: str, threshold: int = 256 << 20):
+    """Cost-based materialization for a relation consumed by several
+    subtrees: above ``threshold`` source bytes the eager checkpoint
+    pins the fan-out to ONE corpus pass (N rescans of a 100 TB input
+    is the failure mode tools/audit_scans.py exists to catch); below
+    it the replayed scans ride the OS page cache and beat the
+    checkpoint's block writes (measured: fixture-scale checkpoints
+    cost 0.3-1.0 s/key in-bench while rescans are free).  The same
+    statistics-driven call a cluster engine's CBO makes."""
+    if source_bytes(sf_dir, *tables) > threshold:
+        return df.localCheckpoint(eager=True)
+    return df

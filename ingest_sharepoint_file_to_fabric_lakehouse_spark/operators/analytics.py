@@ -593,12 +593,20 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basket-count scalar, per-item support, and the per-basket item
     # arrays); without materialization the scan+distinct subtree
     # replays per consumer (7 lineitem scans observed in one plan,
-    # only 1 ReusedExchange) — the eager checkpoint pins it to one
-    # corpus pass, same discipline as dedup_minhash_portable.
-    basket = (
-        li.select(F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # only 1 ReusedExchange fires).  Materialize-vs-recompute is
+    # COST-BASED: below ~256 MB of source the rescans ride the page
+    # cache and beat the checkpoint's block writes (measured in-bench
+    # 2.05 s rescan vs ~3.0 s checkpointed at sf0.1); above it, N
+    # corpus passes dwarf one materialization — exactly the call a
+    # cluster engine makes with table statistics.
+    from ..core import checkpoint_if_large
+
+    basket = checkpoint_if_large(
+        li.select(
+            F.col("l_orderkey").alias("bid"), F.col("l_partkey").alias("item")
+        ).distinct(),
+        sf_dir,
+        "lineitem",
     )
     n_baskets = basket.select(F.countDistinct("bid").alias("n_baskets"))
     supp = basket.groupBy("item").agg(F.count("*").alias("n_item"))
@@ -909,11 +917,12 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # per_cust feeds both the reference-means aggregate and the scoring
     # pass; unmaterialized, each consumer replays the orders
-    # scan+rollup (3 fact scans observed).  Pinning the
-    # customer-cardinality rollup costs one checkpoint write and makes
-    # the fact scan happen once — at 100 TB the rollup is ~1.5% of the
-    # fact and re-deriving it twice is the expensive alternative.
-    per_cust = per_cust.localCheckpoint(eager=True)
+    # scan+rollup (3 fact scans observed).  Cost-based: above the size
+    # gate the customer-cardinality rollup (~1.5% of the fact) pins to
+    # one pass; at fixture scale the rescans are page-cache-free.
+    from ..core import checkpoint_if_large
+
+    per_cust = checkpoint_if_large(per_cust, sf_dir, "orders")
     now_all = o.agg(F.max("o_orderdate").alias("now_ts"))
     ref = per_cust.crossJoin(F.broadcast(now_all)).agg(
         F.max("now_ts").alias("now_ts"),

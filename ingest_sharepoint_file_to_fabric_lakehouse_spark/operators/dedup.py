@@ -98,11 +98,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The distinct shingle relation feeds FOUR consumers (both
     # self-join sides + both size lookups); unmaterialized, each
     # replays the scan+explode+distinct (4 documents scans observed in
-    # one plan).  The eager checkpoint pins it to one pass.
-    sh = (
-        d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # one plan).  Cost-based: checkpoint only above the size gate.
+    from ..core import checkpoint_if_large
+
+    sh = checkpoint_if_large(
+        d.select(
+            "doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle")
+        ).distinct(),
+        sf_dir,
+        "documents",
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -1119,12 +1123,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     above a cutoff), the same guard the jaccard/prefix family uses.
     """
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    # four consumers of the shingle relation — pin it to one scan
-    # (same fix as dedup_ngram_jaccard; 4 documents scans observed)
-    sh = (
-        d.select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # four consumers of the shingle relation — cost-gated pin to one
+    # scan (same fix as dedup_ngram_jaccard; 4 documents scans observed)
+    from ..core import checkpoint_if_large
+
+    sh = checkpoint_if_large(
+        d.select(
+            "doc_id", F.explode(shingles(F.col("text"), 2)).alias("shingle")
+        ).distinct(),
+        sf_dir,
+        "documents",
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

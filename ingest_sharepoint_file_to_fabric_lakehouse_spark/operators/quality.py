@@ -113,9 +113,12 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The 1-row aggregate is referenced six times by the report union;
     # without materialization each reference replays the full orders
-    # scan+aggregate (7 scans observed in one plan).  Eagerly pinning
-    # the single row makes the row-local rules cost exactly one pass.
-    rowlocal = rowlocal.localCheckpoint(eager=True)
+    # scan+aggregate (7 scans observed in one plan).  Cost-based gate:
+    # above it, pinning the single row makes the rules cost one pass;
+    # at fixture scale the six rescans ride the page cache for free.
+    from ..core import checkpoint_if_large
+
+    rowlocal = checkpoint_if_large(rowlocal, sf_dir, "orders")
     orphans = o.join(
         F.broadcast(c.select("c_custkey")),
         F.col("o_custkey") == F.col("c_custkey"),

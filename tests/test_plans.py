@@ -564,3 +564,30 @@ def test_ngram_entropy_single_corpus_exchange(spark, sf_dir):
     gen_idx = plan.find("Generate explode")
     agg_idx = plan.find("HashAggregate")
     assert gen_idx != -1 and agg_idx != -1
+
+
+def test_plan_budget_spotcheck(spark, sf_dir):
+    """Fast lockfile gate: a representative slice of keys must not
+    exceed their recorded exchange/scan budgets (full sweep:
+    `python tools/plan_budget.py`).  Catches the hidden-rescan /
+    extra-exchange regression class in CI without the 233-key cost."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_budget import BUDGET_PATH, shape_of
+
+    with open(BUDGET_PATH) as f:
+        budget = json.load(f)
+    keys = [
+        "flagship_q3_topk", "events_cooccurrence_lift", "dq_expectations",
+        "dedup_ngram_jaccard", "orders_rfm_segments", "sql_api_q21",
+        "orders_pareto_abc", "corpus_quality_weighted_sample",
+    ]
+    for key in keys:
+        cur = shape_of(engine.QUERIES[key](spark, sf_dir))
+        b = budget[key]
+        assert cur["exchanges"] <= b["exchanges"], (key, cur, b)
+        for tbl, n in cur["scans"].items():
+            assert n <= b["scans"].get(tbl, 0), (key, tbl, cur, b)

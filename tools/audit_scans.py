@@ -43,6 +43,16 @@ ALLOWED = {
     "events_forecast_snaive": "t-7 self-join over daily counts",
     "join_bucketed": "bucketed self-side scans are exchange-free",
     "dedup_subset_keyed": "keyed subset anti-join over the same table",
+    # cost-gated fan-outs: core.checkpoint_if_large pins these to ONE
+    # pass above 256 MB of source; below the gate the replayed scans
+    # ride the page cache and beat the checkpoint's block writes
+    # (measured 0.3-1.0 s/key in-bench), so the fixture-scale plan
+    # this audit sees deliberately fans out
+    "events_cooccurrence_lift": "cost-gated checkpoint (checkpoint_if_large)",
+    "dq_expectations": "cost-gated checkpoint (checkpoint_if_large)",
+    "orders_rfm_segments": "cost-gated checkpoint (checkpoint_if_large)",
+    "dedup_ngram_jaccard": "cost-gated checkpoint (checkpoint_if_large)",
+    "dedup_containment": "cost-gated checkpoint (checkpoint_if_large)",
     # dim-sized or deliberately-composed multi-scans
     "sql_api_q22": "two scalar aggregate subqueries + anti-join over the "
     "CUSTOMER DIM (not the fact) — identical-ANSI-text parity forbids "
