@@ -61,7 +61,7 @@ _DRIVER_VERIFIED = {
     "sink_parquet", "sink_partitioned", "sink_delta_merge",
     "sink_merge_partitioned", "ingest_pipeline",
     # dedup_ngram_jaccard: removed late r7 — its shingle relation
-    # gained an eager checkpoint (value-neutral, but changed keys
+    # gained a cost-gated checkpoint (value-neutral, but changed keys
     # re-earn verdicts), so it re-enters the r8 queue
     "dedup_exact_hash", "dedup_minhash_portable",
     "dedup_embedding_cosine", "sim_topk_bruteforce", "sim_grouped_centroid",
@@ -121,7 +121,8 @@ _WINDOW_50 = [
     # events_changepoint_cusum / sim_ivf_recall_eval /
     # corpus_dedup_keep_best / orders_pareto_abc / text_ngram_entropy /
     # graph_label_propagation / corpus_quality_weighted_sample /
-    # events_forecast_snaive / events_session_stats.  They sort directly after the window via
+    # events_forecast_snaive / events_session_stats / join_asof_nearest /
+    # orders_benford_digits.  They sort directly after the window via
     # _ordered_keys (unverified strong), i.e. they are FIRST IN LINE
     # for the round-8 window; COVERAGE.md's provenance table records
     # them as local-sweep-only until then.

@@ -897,3 +897,93 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "join_asof_nearest",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, max(value) AS value
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id, ts),
+    b AS (SELECT p.event_id, c.ts AS b_ts, c.value AS b_value
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts),
+    f AS (SELECT p.event_id, c.ts AS f_ts, c.value AS f_value
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.ts <= c.ts)
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN f.f_ts IS NULL THEN b.b_ts
+                WHEN b.b_ts IS NULL THEN f.f_ts
+                WHEN epoch_us(p.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(p.ts)
+                THEN b.b_ts ELSE f.f_ts END AS nearest_ts,
+           CASE WHEN f.f_ts IS NULL THEN b.b_value
+                WHEN b.b_ts IS NULL THEN f.f_value
+                WHEN epoch_us(p.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(p.ts)
+                THEN b.b_value ELSE f.f_value END AS nearest_value
+    FROM p JOIN b ON b.event_id = p.event_id
+           JOIN f ON f.event_id = p.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time as-of join — the third as-of direction next to
+    backward (join_asof_latest) and forward (join_asof_next_within):
+    each purchase takes whichever same-user click is closest in time,
+    in either direction, ties to the earlier click.  This is pandas'
+    ``merge_asof(direction='nearest')`` and the standard sensor-fusion
+    alignment when readings may lag OR lead the anchor.
+
+    Composition: the backward and forward candidates come from the two
+    existing union+window as-of plans (one user_id shuffle each — at
+    100 TB both reuse the same key's partitioning), and the nearest
+    pick is a map-side CASE over exact integer microsecond distances
+    (unix_micros / epoch_us agree bit-for-bit; a same-instant click
+    has distance 0 on the backward side and always wins, so the
+    backward/forward overlap at equality is consistent by
+    construction).  The oracle replays both directions with DuckDB's
+    native ASOF JOIN and the identical tie rule.
+    """
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    b = asof_join_latest(p, c, "user_id", "ts", "ts", ["ts", "value"]).select(
+        "event_id",
+        F.col("asof_ts").alias("b_ts"),
+        F.col("asof_value").alias("b_value"),
+    )
+    f = asof_join_next(p, c, "user_id", "ts", "ts", ["ts", "value"]).select(
+        "event_id",
+        F.col("asof_ts").alias("f_ts"),
+        F.col("asof_value").alias("f_value"),
+    )
+    # unix_micros needs TIMESTAMP; the ntz cast is identity under the
+    # session's pinned UTC (core.prep), so the micros are exact
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    back_wins = us("ts") - us("b_ts") <= us("f_ts") - us("ts")
+    return (
+        p.join(b, "event_id")
+        .join(f, "event_id")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.when(F.col("f_ts").isNull(), F.col("b_ts"))
+            .when(F.col("b_ts").isNull(), F.col("f_ts"))
+            .when(back_wins, F.col("b_ts"))
+            .otherwise(F.col("f_ts"))
+            .alias("nearest_ts"),
+            F.when(F.col("f_ts").isNull(), F.col("b_value"))
+            .when(F.col("b_ts").isNull(), F.col("f_value"))
+            .when(back_wins, F.col("b_value"))
+            .otherwise(F.col("f_value"))
+            .alias("nearest_value"),
+        )
+    )

@@ -147,3 +147,73 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report.withColumn("passed", F.col("n_violations") == 0).orderBy("rule")
+
+
+@query(
+    "orders_benford_digits",
+    """
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    n AS (SELECT count(*) AS total FROM d)
+    SELECT digit,
+           count(*) AS n_observed,
+           CAST(count(*) * 1000000 // (SELECT total FROM n) AS BIGINT)
+             AS observed_ppm,
+           CAST(ROUND(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000, 0) AS BIGINT)
+             AS benford_ppm
+    FROM d
+    GROUP BY digit
+    ORDER BY digit
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    forensic data-quality test (fabricated or systematically generated
+    monetary data flunks the logarithmic first-digit distribution;
+    auditors run exactly this over ledgers).  Emits per digit the
+    observed count, observed share, and the Benford expectation, ready
+    for the curator to eyeball or a chi-square gate to consume.
+
+    Exactness: the first digit comes from the INTEGER-cents string
+    (integer→string is identical on both engines, and ×100 never
+    changes a leading digit — no log10/power float edge at decade
+    boundaries); observed shares are exact integral ppm; the Benford
+    constants are ln-ratio doubles whose 0-dp rounding sits far from
+    any .5 boundary, so both engines fold them to identical integers.
+
+    Scale shape: a map-side digit projection + one 9-group aggregate —
+    at 100 TB this is scan bandwidth and a control-plane rollup, the
+    same shape as every moment-sketch key.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    n = d.agg(F.count("*").alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n_observed"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_observed",
+            F.expr("(n_observed * 1000000) div total").alias("observed_ppm"),
+            F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)) * 1000000, 0)
+            .cast("long")
+            .alias("benford_ppm"),
+        )
+        .orderBy("digit")
+    )
