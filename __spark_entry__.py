@@ -122,7 +122,7 @@ _WINDOW_50 = [
     # corpus_dedup_keep_best / orders_pareto_abc / text_ngram_entropy /
     # graph_label_propagation / corpus_quality_weighted_sample /
     # events_forecast_snaive / events_session_stats / join_asof_nearest /
-    # orders_benford_digits.  They sort directly after the window via
+    # orders_benford_digits / join_lateral_topn / sql_api_parameterized.  They sort directly after the window via
     # _ordered_keys (unverified strong), i.e. they are FIRST IN LINE
     # for the round-8 window; COVERAGE.md's provenance table records
     # them as local-sweep-only until then.

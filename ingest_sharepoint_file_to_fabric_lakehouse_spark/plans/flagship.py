@@ -757,3 +757,78 @@ def sql_api_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("lineitem", "supplier"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_Q15_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+       CAST(ROUND(CAST(t.o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+         AS o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t ON true
+WHERE c.c_custkey < 200
+ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("join_lateral_topn", _LATERAL_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL surface: each
+    customer's top-2 orders by value via ``JOIN LATERAL (... ORDER BY
+    ... LIMIT 2)`` — the SQL-standard spelling of top-N-per-group
+    that application queries use when they can't (or won't) write
+    window functions.  Catalyst decorrelates the LATERAL into the
+    SAME physical shape as topk_per_group — a per-key ranked window
+    over the co-partitioned join, never a per-customer re-execution
+    of the inner query — which is the entire scale story: the naive
+    reading is O(customers) subquery runs, the plan is one exchange.
+    Identical ANSI text on both engines (``ON true`` is the spelling
+    both parsers accept); decimal-exact price, deterministic
+    (value, orderkey) ordering.
+    """
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_SQL)
+
+
+_PARAM_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+WHERE o_totalprice > :min_price AND o_orderdate >= :min_date
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "sql_api_parameterized",
+    _PARAM_SQL.replace(":min_price", "250000")
+    .replace(":min_date", "TIMESTAMP '1997-01-01'"),
+)
+def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL through the Spark 4 API: the query text
+    carries named ``:param`` markers and the values arrive via
+    ``spark.sql(text, args={...})`` — the injection-safe pattern every
+    application layer needs (the engine receives values as typed
+    literals, never string-spliced SQL), and the parameter markers
+    keep the parse/plan cache keyed on ONE text across changing
+    values.  The oracle runs the same text with the parameters bound
+    to literals — by definition the semantics parameterization must
+    preserve.  Exact-cents aggregate, all-integer output.
+    """
+    for name in ("orders",):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        _PARAM_SQL,
+        args={
+            "min_price": 250000,
+            "min_date": "1997-01-01 00:00:00",
+        },
+    )

@@ -591,3 +591,13 @@ def test_plan_budget_spotcheck(spark, sf_dir):
         assert cur["exchanges"] <= b["exchanges"], (key, cur, b)
         for tbl, n in cur["scans"].items():
             assert n <= b["scans"].get(tbl, 0), (key, tbl, cur, b)
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
+    """The correlated LATERAL (ORDER BY ... LIMIT 2) must plan as a
+    ranked window over one co-partitioned join — not per-customer
+    re-execution (no Subquery node survives)."""
+    df = engine.QUERIES["join_lateral_topn"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Window" in plan or "TakeOrdered" in plan
+    assert "Subquery" not in plan
