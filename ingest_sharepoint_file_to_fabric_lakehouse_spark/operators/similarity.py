@@ -1434,42 +1434,41 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: relevance scoring is the corpus-proportional part and
     is the same broadcast map-side pass as sim_topk_bruteforce; the
-    greedy rounds run on the CANDIDATE relation (queries x 20 rows —
-    control-plane-sized by construction, independent of corpus size),
-    unrolled k-1 times as declarative joins + windows exactly like
-    sim_kmeans_build unrolls Lloyd iterations.  Determinism: every
-    relevance and pairwise similarity is rounded to 6 dp before any
-    comparison, scores recompute with the same IEEE double expression
-    on both engines, and all argmaxes tiebreak on vec_id — so the
-    greedy trajectory is bit-identical in DuckDB's unrolled replay.
+    greedy re-rank runs on the CANDIDATE relation (queries x 20 rows —
+    control-plane-sized by construction, independent of corpus size)
+    as ONE cogrouped Arrow kernel per query: candidates and their
+    pairwise similarities cogroup on q_id and the k-round greedy loop
+    executes in-memory over the 20-row shortlist.  One exchange total —
+    the earlier unrolled-join formulation spent ~4 driver-scheduled
+    stages per round, pure scheduler latency at any scale since every
+    relation past the shortlist cut is tiny.  Per-query greedy is
+    embarrassingly parallel, so the kernel shape holds at any query
+    count.  Determinism: relevance and pairwise similarity are computed
+    JVM-side with the same expressions as sim_topk_bruteforce and
+    rounded to 6 dp BEFORE entering the kernel; the kernel's score
+    round emulates Spark's HALF_UP-on-shortest-repr exactly
+    (Decimal(repr(x)), the Python twin of BigDecimal.valueOf), and all
+    argmaxes tiebreak on vec_id — so the greedy trajectory is
+    bit-identical in DuckDB's unrolled replay.
     """
-    # lam/one_minus_lam are BOTH explicit literals (never 1.0 - lam:
-    # IEEE 1.0 - 0.7 = 0.30000000000000004, not the 0.3 the oracle
-    # parses — a one-ulp coefficient skew that flips rounded scores)
     k = 5
     n_queries = 3
-    lam = F.lit(0.7).cast("double")
-    one_minus_lam = F.lit(0.3).cast("double")
     # Every shuffle in this key hashes on q_id (the top-20 window, the
-    # greedy rounds' joins/groupBys/argmax windows), so useful reducer
+    # pairwise-sim self-join, the greedy cogroup), so useful reducer
     # count is bounded by the query count — a TUNING parameter derived
-    # from it, not the session's corpus-sized default (32 reducers over
-    # 3 keys = 29 empty tasks per stage x ~20 stages of unrolled
-    # greedy; measured 2.61 -> 2.06 s at sf0.1).  The corpus-
+    # from it, not the session's corpus-sized default.  The corpus-
     # proportional relevance pass is map-side (broadcast cross join)
     # and unaffected by shuffle width.
     width = max(2, min(spark.sparkContext.defaultParallelism, n_queries))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
-        return _mmr_body(spark, sf_dir, k, lam, one_minus_lam)
+        return _mmr_body(spark, sf_dir, k)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _mmr_body(
-    spark: SparkSession, sf_dir: str, k: int, lam: Column, one_minus_lam: Column
-) -> DataFrame:
+def _mmr_body(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
@@ -1488,58 +1487,76 @@ def _mmr_body(
     )
     cv = cand.join(e, "vec_id").select("q_id", "vec_id", "v")
     a, b = cv.alias("a"), cv.alias("b")
-    sims = (
-        a.join(
-            b,
-            (F.col("a.q_id") == F.col("b.q_id"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.q_id").alias("q_id"),
-            F.col("a.vec_id").alias("ca"),
-            F.col("b.vec_id").alias("cb"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
-        )
-        .localCheckpoint(eager=True)
+    sims = a.join(
+        b,
+        (F.col("a.q_id") == F.col("b.q_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.q_id").alias("q_id"),
+        F.col("a.vec_id").alias("ca"),
+        F.col("b.vec_id").alias("cb"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
     )
-    sel = (
-        cand.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
-        .select("q_id", "vec_id", F.lit(1).alias("mmr_rank"), F.col("rel").alias("score"))
+    out = (
+        cand.groupBy("q_id")
+        .cogroup(sims.groupBy("q_id"))
+        .applyInPandas(
+            _mmr_greedy_kernel(k),
+            "q_id bigint, vec_id bigint, mmr_rank int, score double",
+        )
     )
-    acc = sel
-    for r in range(2, k + 1):
-        mx = (
-            sims.join(
-                acc.select("q_id", F.col("vec_id").alias("cb")), ["q_id", "cb"]
-            )
-            .groupBy("q_id", F.col("ca").alias("vec_id"))
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        scored = (
-            cand.join(acc.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti")
-            .join(mx, ["q_id", "vec_id"])
-            .select(
-                "q_id",
-                "vec_id",
-                F.round(
-                    lam * F.col("rel") - one_minus_lam * F.col("maxsim"), 6
-                ).alias("score"),
-            )
-        )
-        ws = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
-        pick = (
-            scored.withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select("q_id", "vec_id", F.lit(r).alias("mmr_rank"), "score")
-        )
-        # per-round lineage truncation (cf. graph_bfs_reachability):
-        # acc is referenced twice per round (anti-join + max-sim), so
-        # an unmaterialized accumulator doubles the plan every round —
-        # 2^k subplan copies by round k (measured 19 s; 2 s with the
-        # control-plane-sized checkpoint).
-        acc = acc.unionByName(pick).localCheckpoint(eager=True)
-    return acc.orderBy("q_id", "mmr_rank")
+    return out.orderBy("q_id", "mmr_rank")
+
+
+def _mmr_greedy_kernel(k: int, lam: float = 0.7, one_minus_lam: float = 0.3):
+    """Greedy MMR over one query's shortlist (≤20 rows, Arrow batch).
+
+    All floats entering the kernel are already rounded to 6 dp by the
+    JVM expressions; the only arithmetic here is
+    ``round6(lam*rel - (1-lam)*maxsim)``, where round6 reproduces
+    Spark's Round(double, 6) bit-for-bit: BigDecimal.valueOf uses the
+    shortest round-trip decimal repr (== Python ``repr(float)``), then
+    setScale(6, HALF_UP) (== Decimal.quantize ROUND_HALF_UP).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    q6 = Decimal("0.000001")
+
+    def round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    def greedy(cand_pdf: pd.DataFrame, sims_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["q_id", "vec_id", "mmr_rank", "score"]
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        qid = int(cand_pdf["q_id"].iloc[0])
+        rel = dict(zip(cand_pdf["vec_id"].astype(int), cand_pdf["rel"].astype(float)))
+        sim = {
+            (int(ca), int(cb)): float(s)
+            for ca, cb, s in zip(sims_pdf["ca"], sims_pdf["cb"], sims_pdf["sim"])
+        }
+        remaining = set(rel)
+        first = min(remaining, key=lambda v: (-rel[v], v))
+        picked = [first]
+        remaining.discard(first)
+        rows = [(qid, first, 1, rel[first])]
+        for r in range(2, k + 1):
+            if not remaining:
+                break
+            best, best_score = None, None
+            for v in sorted(remaining):
+                maxsim = max(sim[(v, p)] for p in picked)
+                score = round6(lam * rel[v] - one_minus_lam * maxsim)
+                if best is None or score > best_score:
+                    best, best_score = v, score
+            picked.append(best)
+            remaining.discard(best)
+            rows.append((qid, best, r, best_score))
+        return pd.DataFrame(rows, columns=cols)
+
+    return greedy
 
 
 _IVF_RECALL_ORACLE = """

@@ -330,3 +330,64 @@ def test_cusum_argmax_locates_a_clean_level_shift(n1, n2, base, shift):
         if v > best_v:  # ties keep the earliest day — the Spark tiebreak
             best_v, best_k = v, k
     assert best_k == n1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.floats(0, 1, allow_nan=False)),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.randoms(),
+)
+@settings(max_examples=40, deadline=None)
+def test_mmr_greedy_matches_bruteforce_replay(cands, rnd):
+    """The cogrouped MMR kernel's greedy trajectory equals a naive
+    replay: round 1 takes (rel desc, id) argmax; round r takes the
+    (round6(0.7*rel - 0.3*maxsim) desc, id) argmax over unpicked."""
+    import pandas as pd
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.similarity import (
+        _mmr_greedy_kernel,
+    )
+
+    k = 5
+    ids = [i for i, _ in cands]
+    rel = {i: round(r, 6) for i, r in cands}
+    sim = {}
+    for a in ids:
+        for b in ids:
+            if a != b and (b, a) not in sim:
+                s = round(rnd.random(), 6)
+                sim[(a, b)] = s
+                sim[(b, a)] = s
+    cand_pdf = pd.DataFrame(
+        {"q_id": 7, "vec_id": list(rel), "rel": [rel[i] for i in rel]}
+    )
+    sims_pdf = pd.DataFrame(
+        [(7, a, b, s) for (a, b), s in sim.items()],
+        columns=["q_id", "ca", "cb", "sim"],
+    )
+    out = _mmr_greedy_kernel(k)(cand_pdf, sims_pdf)
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    picked = [min(ids, key=lambda v: (-rel[v], v))]
+    expect = [(7, picked[0], 1, rel[picked[0]])]
+    for r in range(2, k + 1):
+        remaining = [v for v in ids if v not in picked]
+        if not remaining:
+            break
+        scored = {
+            v: round6(0.7 * rel[v] - 0.3 * max(sim[(v, p)] for p in picked))
+            for v in remaining
+        }
+        best = min(remaining, key=lambda v: (-scored[v], v))
+        picked.append(best)
+        expect.append((7, best, r, scored[best]))
+    got = [tuple(t) for t in out.itertuples(index=False)]
+    assert got == expect
