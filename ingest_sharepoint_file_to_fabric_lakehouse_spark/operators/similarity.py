@@ -1485,7 +1485,18 @@ def _mmr_body(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         .drop("rn")
         .localCheckpoint(eager=True)
     )
-    cv = cand.join(e, "vec_id").select("q_id", "vec_id", "v")
+    # Vector fetch for the shortlist: broadcast the 60-row cand against
+    # the corpus scan (map-side, no corpus shuffle — carrying v through
+    # the top-20 window instead would widen the corpus-sized rel
+    # shuffle by the vector payload).  Materialized because the
+    # self-join below consumes it twice: unmaterialized, each alias
+    # re-runs the corpus scan (2 embeddings scans in the executed
+    # plan); checkpointed, the corpus is read once per key.
+    cv = (
+        cand.join(e, "vec_id")
+        .select("q_id", "vec_id", "v")
+        .localCheckpoint(eager=True)
+    )
     a, b = cv.alias("a"), cv.alias("b")
     sims = a.join(
         b,
