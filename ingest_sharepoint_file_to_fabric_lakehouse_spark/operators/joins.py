@@ -936,54 +936,89 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``merge_asof(direction='nearest')`` and the standard sensor-fusion
     alignment when readings may lag OR lead the anchor.
 
-    Composition: the backward and forward candidates come from the two
-    existing union+window as-of plans (one user_id shuffle each — at
-    100 TB both reuse the same key's partitioning), and the nearest
-    pick is a map-side CASE over exact integer microsecond distances
-    (unix_micros / epoch_us agree bit-for-bit; a same-instant click
-    has distance 0 on the backward side and always wins, so the
-    backward/forward overlap at equality is consistent by
-    construction).  The oracle replays both directions with DuckDB's
-    native ASOF JOIN and the identical tie rule.
+    Single-pass plan: ONE events scan (`event_type IN (purchase,
+    click)`, pushed) tagged anchor/candidate, then ONE user_id
+    exchange carrying BOTH directions as window frames over the same
+    partitioning — the backward match is `last(candidate,
+    ignorenulls)` over the preceding frame (candidates sorted before
+    anchors at equal ts, value ASC, so the carried row is the
+    max-value candidate at the latest ts <= anchor — the same
+    per-(key, ts) dedup the oracle's `max(value)` pre-aggregate
+    does), and the forward match is `first(candidate, ignorenulls)`
+    over the following frame with the opposite intra-ts ordering
+    (anchors first, value DESC).  The earlier composition of two
+    independent as-of subplans + an event_id re-join cost 5 events
+    scans and 4 exchanges; this is 1 scan + 1 exchange + 2 sorts —
+    the shape a 100 TB sensor-fusion alignment actually wants.  The
+    nearest pick is a map-side CASE over exact integer microsecond
+    distances (unix_micros / epoch_us agree bit-for-bit; a
+    same-instant click has distance 0 on the backward side and always
+    wins, so the backward/forward overlap at equality is consistent
+    by construction).  The oracle replays both directions with
+    DuckDB's native ASOF JOIN and the identical tie rule.
     """
     e = t(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    c = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
-    b = asof_join_latest(p, c, "user_id", "ts", "ts", ["ts", "value"]).select(
+    u = e.filter(F.col("event_type").isin("purchase", "click")).select(
         "event_id",
-        F.col("asof_ts").alias("b_ts"),
-        F.col("asof_value").alias("b_value"),
+        "user_id",
+        "ts",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("_side"),
+        # candidate payload as ONE nullable struct so the window carry
+        # is atomic — independent last(_c_ts)/last(_c_value) could pair
+        # a ts with another row's value if a click value were NULL
+        F.when(
+            F.col("event_type") == "click", F.struct("ts", "value")
+        ).alias("_cand"),
     )
-    f = asof_join_next(p, c, "user_id", "ts", "ts", ["ts", "value"]).select(
-        "event_id",
-        F.col("asof_ts").alias("f_ts"),
-        F.col("asof_value").alias("f_value"),
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("_side"), F.col("_cand.value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("_side").desc(), F.col("_cand.value").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = (
+        u.select(
+            "*",
+            F.last("_cand", ignorenulls=True).over(wb).alias("_b"),
+            F.first("_cand", ignorenulls=True).over(wf).alias("_f"),
+        )
+        .filter(F.col("_side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.col("_b.ts").alias("b_ts"),
+            F.col("_b.value").alias("b_value"),
+            F.col("_f.ts").alias("f_ts"),
+            F.col("_f.value").alias("f_value"),
+        )
+    )
+
     # unix_micros needs TIMESTAMP; the ntz cast is identity under the
     # session's pinned UTC (core.prep), so the micros are exact
     def us(c):
         return F.unix_micros(F.col(c).cast("timestamp"))
 
     back_wins = us("ts") - us("b_ts") <= us("f_ts") - us("ts")
-    return (
-        p.join(b, "event_id")
-        .join(f, "event_id")
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            "value",
-            F.when(F.col("f_ts").isNull(), F.col("b_ts"))
-            .when(F.col("b_ts").isNull(), F.col("f_ts"))
-            .when(back_wins, F.col("b_ts"))
-            .otherwise(F.col("f_ts"))
-            .alias("nearest_ts"),
-            F.when(F.col("f_ts").isNull(), F.col("b_value"))
-            .when(F.col("b_ts").isNull(), F.col("f_value"))
-            .when(back_wins, F.col("b_value"))
-            .otherwise(F.col("f_value"))
-            .alias("nearest_value"),
-        )
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("f_ts").isNull(), F.col("b_ts"))
+        .when(F.col("b_ts").isNull(), F.col("f_ts"))
+        .when(back_wins, F.col("b_ts"))
+        .otherwise(F.col("f_ts"))
+        .alias("nearest_ts"),
+        F.when(F.col("f_ts").isNull(), F.col("b_value"))
+        .when(F.col("b_ts").isNull(), F.col("f_value"))
+        .when(back_wins, F.col("b_value"))
+        .otherwise(F.col("f_value"))
+        .alias("nearest_value"),
     )
