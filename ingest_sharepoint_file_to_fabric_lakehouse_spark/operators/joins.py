@@ -483,6 +483,103 @@ def asof_join_next(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Nearest as-of: for each left row, the right row closest in time
+    in EITHER direction sharing the ``on`` key — pandas
+    ``merge_asof(direction='nearest')``; ties go to the
+    at-or-before match.
+
+    Both directions ride ONE union and ONE shuffle on the key: the
+    backward match is ``last(candidate, ignorenulls)`` over the
+    preceding frame and the forward match is ``first(candidate,
+    ignorenulls)`` over the following frame with the opposite side
+    ordering at equal timestamps (so a same-instant right row is
+    visible to both).  The candidate payload is carried as one
+    nullable STRUCT so the matched (ts, values) tuple is atomic.
+    Right is reduced to one row per (key, ts) exactly as in the
+    directional forms, so duplicate right timestamps can never make
+    the match engine- or partitioning-dependent.  Distances compare
+    as exact integer microseconds for timestamps (doubles otherwise).
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    _extra = [c for c in right_cols if c not in (on, right_ts)]
+    if _extra:
+        right = (
+            right.groupBy(on, right_ts)
+            .agg(F.max(F.struct(*[F.col(c) for c in _extra])).alias("_s"))
+            .select(on, right_ts, *[F.col(f"_s.{c}").alias(c) for c in _extra])
+        )
+    else:
+        right = right.select(on, right_ts).distinct()
+    lcols = left.columns
+    cand_fields = [F.col("_ts").alias("_cts")] + [
+        F.col(f"_r_{c}").alias(f"_r_{c}") for c in right_cols
+    ]
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged).withColumn(
+        "_cand", F.when(F.col("_side") == 0, F.struct(*cand_fields))
+    )
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("_cand", ignorenulls=True).over(wb).alias("_b"),
+        F.first("_cand", ignorenulls=True).over(wf).alias("_f"),
+    ).filter(F.col("_side") == 1)
+
+    ts_type = left.schema[left_ts].dataType
+
+    def num(col: Column) -> Column:
+        if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+            return F.unix_micros(col.cast("timestamp"))
+        return col.cast("double")
+
+    back_wins = (
+        F.col("_f").isNull()
+        | (
+            F.col("_b").isNotNull()
+            & (num(F.col("_ts")) - num(F.col("_b._cts"))
+               <= num(F.col("_f._cts")) - num(F.col("_ts")))
+        )
+    )
+    winner = F.when(back_wins, F.col("_b")).otherwise(F.col("_f"))
+    return carried.select(
+        *lcols, *[winner[f"_r_{c}"].alias(f"asof_{c}") for c in right_cols]
+    )
+
+
 @query(
     "join_asof_next_within",
     """

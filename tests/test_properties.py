@@ -391,3 +391,56 @@ def test_mmr_greedy_matches_bruteforce_replay(cands, rnd):
         expect.append((7, best, r, scored[best]))
     got = [tuple(t) for t in out.itertuples(index=False)]
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.floats(0, 9)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_asof_nearest_matches_naive(left_rows, right_rows):
+    """asof_join_nearest == per-row argmin |right_ts - left_ts|, ties
+    to the at-or-before match, max-value dedup at equal right ts."""
+    spark = _spark()
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.joins import (
+        asof_join_nearest,
+    )
+
+    base = datetime(2024, 1, 1)
+    left = [
+        (i, k, base + timedelta(seconds=s)) for i, (k, s) in enumerate(left_rows)
+    ]
+    right = [(k, base + timedelta(seconds=s), v) for (k, s, v) in right_rows]
+    ldf = spark.createDataFrame(left, "id long, k long, ts timestamp")
+    rdf = spark.createDataFrame(
+        right or [(99, base, 0.0)], "k long, ts timestamp, v double"
+    ).filter(F.lit(bool(right)))
+    got = {
+        r.id: (r.asof_ts, r.asof_v)
+        for r in asof_join_nearest(ldf, rdf, "k", "ts", "ts", ["ts", "v"]).collect()
+    }
+    # naive reference: dedup right to max v per (k, ts), then argmin
+    # distance with backward winning ties
+    dedup = {}
+    for rk, rts, v in right:
+        dedup[(rk, rts)] = max(dedup.get((rk, rts), v), v)
+    for i, k, ts in left:
+        cands = [(rts, v) for (rk, rts), v in dedup.items() if rk == k]
+        if not cands:
+            assert got[i] == (None, None), (i, got[i])
+            continue
+        back = [c for c in cands if c[0] <= ts]
+        fwd = [c for c in cands if c[0] >= ts]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if f is None or (b is not None and ts - b[0] <= f[0] - ts):
+            want = b
+        else:
+            want = f
+        assert got[i] == want, (i, k, ts, got[i], want, b, f)
