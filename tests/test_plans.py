@@ -601,3 +601,64 @@ def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
     plan = plan_of(df)
     assert "Window" in plan or "TakeOrdered" in plan
     assert "Subquery" not in plan
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """SCALE.md's global posture claims AQE skew-join splitting is the
+    engine's safety net for hot keys that reach a shuffled join.  Pin
+    that to evidence: a join where one key holds ~100x the rows of any
+    other, with AQE skew thresholds scaled to the fixture, must show
+    `skew=true` on the SortMergeJoin in the FINAL adaptive plan."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # fixture-scale thresholds: the defaults (256 MB) would need GBs
+        # of skew to trigger; the RATIO test (factor 2) is what matters
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        # force a shuffled join: broadcast would hide the skew path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        pad = F.lpad(F.lit("x"), 64, "x")
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            pad.alias("payload"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), pad.alias("dpay")
+        )
+        # NOTE: no groupBy("k") downstream — an operator requiring the
+        # join's hash partitioning makes AQE legally skip the split
+        # (split partitions violate the required distribution), which
+        # is itself part of the documented behavior: route aggregations
+        # BEFORE a skewed join, or accept the unsplit plan.
+        joined = fact.join(dim, "k").select(F.length("payload").alias("n"))
+        joined.collect()  # AQE re-plans at runtime; must execute first
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "skew=true" in plan, plan[:4000]
+        assert "isFinalPlan=true" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
