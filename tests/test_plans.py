@@ -662,3 +662,38 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_topk_per_group_pushes_window_group_limit(spark, sf_dir):
+    """Top-N-per-group must not sort whole partitions: Spark's
+    WindowGroupLimit pushes the rank<=N cut below the window sort, so
+    each map task keeps N rows per group before the exchange — the
+    difference between shuffling N*groups rows and shuffling the
+    corpus at 100 TB."""
+    import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine
+
+    df = engine.QUERIES["topk_per_group"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_text_hot_path_is_single_codegen_span(spark, sf_dir):
+    """The per-doc text kernels must stay inside whole-stage codegen
+    (the 'JVM-side, no Python in the hot path' posture): token counting
+    compiles to ONE codegen span directly over the parquet scan — no
+    exchange, no BatchEvalPython, no row-at-a-time UDF node."""
+    import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine
+
+    df = engine.QUERIES["text_token_count"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+    spans = {
+        line.split(")")[0].strip("*( ")
+        for line in plan.splitlines()
+        if line.strip().startswith("*(")
+    }
+    assert len(spans) == 1, plan
