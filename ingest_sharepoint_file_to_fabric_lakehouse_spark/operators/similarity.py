@@ -317,14 +317,51 @@ def _ivf_best_cells(spark: SparkSession, sf_dir: str):
     return best_cells
 
 
+def _staged_ivf_cells(spark: SparkSession, sf_dir: str, best_cells) -> DataFrame:
+    """The inverted file on disk: (vec_id, v, cell_id) written
+    ``partitionBy(cell_id)`` once, fingerprint-gated on the source
+    embeddings table (same staging contract as the PQ code index).
+    Cold run pays one assignment pass + write; every warm run — and
+    every key that probes cells — reads only the probed directories.
+    """
+    import os
+
+    path = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/ivf_cells"
+    token = source_fingerprint(sf_dir, "embeddings")
+    if not staging_current(path, token):
+        e = t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+        (
+            e.select(
+                "vec_id",
+                "v",
+                F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(path)
+        )
+        stamp_staging(path, token)
+    return read_staged(spark, path)
+
+
 @query("sim_ivf_probe", _IVF_ORACLE)
 def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign vectors to nearest of the label centroids
     (the inverted file), probe the 2 nearest centroids per query,
     exact-rank within the probed cells only.
 
-    This is the scale path for 100 TB: the corpus is written
-    ``partitionBy(cell_id)``; a query touches 2/k of the data.
+    This is the scale path for 100 TB: the corpus lives as a staged
+    ``partitionBy(cell_id)`` layout (shared with
+    :func:`sim_ivf_partition_pruned`, fingerprint-gated), and the
+    probe joins it on the PARTITION column with a broadcast probe set
+    — Spark's dynamic partition pruning turns the broadcast side into
+    a runtime partition filter, so a query touches 2/k of the data
+    without the driver ever enumerating cells.  Steady-state probe
+    cost tracks the probed cells, not the corpus (the round-7 form
+    recomputed assignment over the full relation every run: 5.45×
+    warm time at 10× data for a fixed 30-row output).
 
     STRONG oracle: every stage is deterministic — centroids are
     decimal-exact label means (bit-identical to the oracle's
@@ -336,11 +373,9 @@ def sim_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
     best_cells = _ivf_best_cells(spark, sf_dir)
-    # assign: nearest centroid per vector — zero shuffle
-    assigned = e.select(
-        "vec_id", "v", F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id")
-    )
-    # queries probe their 2 nearest cells — likewise map-side
+    assigned = _staged_ivf_cells(spark, sf_dir, best_cells)
+    # queries probe their 2 nearest cells — map-side against the
+    # constant-folded centroid literal, no scan of the inverted file
     q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
     probes = q.select(
         "q_id", "q_vec", F.explode(best_cells(F.col("q_vec"), 2)).alias("cell_id")
@@ -370,29 +405,15 @@ def sim_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition filter, exactly like a production vector store resolves
     probe lists before issuing the pruned scan.
     """
-    import os
-
     best_cells = _ivf_best_cells(spark, sf_dir)
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    path = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/ivf_cells"
     # layout reuse is keyed on the SOURCE data fingerprint, not just
     # _SUCCESS: a regenerated fixture at the same sf path would
-    # otherwise be silently served a stale inverted file
-    token = source_fingerprint(sf_dir, "embeddings")
-    if not staging_current(path, token):
-        (
-            e.select(
-                "vec_id",
-                "v",
-                F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id"),
-            )
-            .write.mode("overwrite")
-            .partitionBy("cell_id")
-            .parquet(path)
-        )
-        stamp_staging(path, token)
+    # otherwise be silently served a stale inverted file (staging
+    # shared with sim_ivf_probe — built once per fixture)
+    staged = _staged_ivf_cells(spark, sf_dir, best_cells)
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
     )
@@ -402,7 +423,7 @@ def sim_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = sorted(
         r["cell_id"] for r in probes.select("cell_id").distinct().collect()
     )
-    back = read_staged(spark, path).filter(F.col("cell_id").isin(probe_cells))
+    back = staged.filter(F.col("cell_id").isin(probe_cells))
     cand = back.join(F.broadcast(probes), "cell_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
