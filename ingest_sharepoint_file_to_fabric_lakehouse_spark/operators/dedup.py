@@ -463,6 +463,84 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy("doc_a", "doc_b")
 
 
+_SIMHASH_STATS_ORACLE = """
+WITH ts AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS toks
+  FROM documents
+),
+g AS (SELECT toks, COUNT(*) AS n FROM ts GROUP BY toks)
+SELECT (SELECT COUNT(*) FROM ts) AS n_docs,
+       CAST(COALESCE(SUM((n*(n-1))//2), 0) AS BIGINT) AS tokenset_dup_pairs,
+       CAST(COALESCE(SUM((n*(n-1))//2), 0) AS BIGINT) AS dup_pairs_recalled,
+       true AS recall_complete,
+       true AS hamming_bound_ok
+FROM g
+"""
+
+
+@query("dedup_simhash_stats", _SIMHASH_STATS_ORACLE)
+def dedup_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked witness for the PRODUCTION xxhash64 SimHash path
+    (:func:`dedup_simhash`), via hash-independent invariants — the
+    ``agg_approx_distinct`` error-bound pattern.
+
+    The 64-bit signature is a pure function of a document's DISTINCT
+    token set (per-token hash, bit votes, sign), so two documents with
+    identical token sets MUST collide in every band with Hamming
+    distance 0 — regardless of which hash function produced the
+    signature.  DuckDB can enumerate token-set-identical pairs exactly
+    (group by the sorted distinct-token list), so the oracle pins:
+
+    * ``n_docs`` and ``tokenset_dup_pairs`` — exact corpus facts;
+    * ``dup_pairs_recalled`` — the engine-side count of those pairs
+      surfaced by the xxhash64 banded candidate join at Hamming 0,
+      which the invariant forces to EQUAL ``tokenset_dup_pairs``
+      (a vote, band-extraction, or bucket-join bug breaks this);
+    * ``hamming_bound_ok`` — no emitted candidate exceeds the
+      advertised Hamming <= 3 band guarantee.
+
+    This upgrades dedup_simhash from rows-only to value-witnessed on
+    its real hot path (the md5 ``dedup_simhash_portable`` twin checks
+    the construction; this checks the production hash's output).
+    """
+    cand = dedup_simhash(spark, sf_dir)  # staged banded signatures
+    d = docs(spark, sf_dir)
+    tokenset_key = F.sha2(
+        F.concat_ws("\x1f", F.array_sort(F.array_distinct(F.split("text", " ")))),
+        256,
+    )
+    ts = d.select("doc_id", tokenset_key.alias("k"))
+    pairs = (
+        ts.alias("a")
+        .join(
+            ts.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    zero = cand.filter(F.col("hamming") == 0).select("doc_a", "doc_b")
+    recalled = pairs.join(zero, ["doc_a", "doc_b"], "left_semi")
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    n_pairs = pairs.agg(F.count("*").alias("tokenset_dup_pairs"))
+    n_rec = recalled.agg(F.count("*").alias("dup_pairs_recalled"))
+    hmax = cand.agg(F.coalesce(F.max("hamming"), F.lit(0)).alias("hmax"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_rec))
+        .crossJoin(F.broadcast(hmax))
+        .select(
+            "n_docs",
+            "tokenset_dup_pairs",
+            "dup_pairs_recalled",
+            (F.col("dup_pairs_recalled") == F.col("tokenset_dup_pairs")).alias(
+                "recall_complete"
+            ),
+            (F.col("hmax") <= 3).alias("hamming_bound_ok"),
+        )
+    )
+
+
 def cosine_block_kernel(threshold: float, block_rows: int = 2048):
     """Build the per-bucket near-dup kernel for ``applyInPandas``.
 

@@ -147,16 +147,26 @@ def sim_grouped_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_topk_lsh")
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets (weak check).
+    """Approximate top-k via BANDED random-hyperplane LSH (weak check).
 
-    Signature: sign bits of the dot product with H pseudo-random
-    hyperplanes, derived deterministically from xxhash64(dim, plane) —
-    no stored model, reproducible on any cluster.  Queries probe only
-    their own bucket; the bucket column is exactly what you'd
-    ``partitionBy`` in the 100-TB layout so probes become
-    partition-pruned scans.
+    16 sign bits of pseudo-random hyperplane dot products (planes
+    derived deterministically from xxhash64(dim, plane) — no stored
+    model, reproducible on any cluster), split into 4 bands of 4 bits:
+    a corpus row is a candidate if it matches the query's bucket in
+    ANY band (the classic OR-of-ANDs amplification — one hash table
+    per band).  A single monolithic table (the round-7 form, 8 bits =
+    256 buckets) shatters a corpus into buckets so small that recall
+    collapses to ~0 at fixture scale and to chance at any scale; the
+    banded form trades a bounded candidate-volume increase (~L·N/2^b
+    rows) for recall that amplifies with L.  Each (band, bucket) pair
+    is exactly what you'd ``partitionBy`` in the 100-TB layout —
+    queries probe L directories, candidate generation is a broadcast
+    join, and scoring touches candidates only.
+
+    Recall of this construction is measured with a value-checked
+    oracle by :func:`sim_lsh_recall_eval` (frozen-plane twin).
     """
-    n_planes = 8
+    n_planes, band_bits = 16, 4
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
 
     def plane_dot(vec, plane: int) -> Column:
@@ -169,24 +179,51 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(vec, signs, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
         )
 
-    sig = sum(
-        [
-            F.when(plane_dot(F.col("v"), p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            for p in range(n_planes)
-        ],
-        F.lit(0),
+    def band_bucket(band: int) -> Column:
+        return sum(
+            [
+                F.when(
+                    plane_dot(F.col("v"), band * band_bits + b) >= 0,
+                    F.lit(1 << b),
+                ).otherwise(F.lit(0))
+                for b in range(band_bits)
+            ],
+            F.lit(0),
+        ).cast("int")
+
+    n_bands = n_planes // band_bits
+    banded = e.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"), band_bucket(band).alias("bucket")
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "v", "bb.band", "bb.bucket")
+    q = banded.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_vec"),
+        F.col("band").alias("q_band"),
+        F.col("bucket").alias("q_bucket"),
     )
-    bucketed = e.withColumn("bucket", sig)
-    q = bucketed.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"), F.col("bucket").alias("q_bucket")
-    )
-    cand = bucketed.join(
+    cand = banded.join(
         F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        (F.col("band") == F.col("q_band"))
+        & (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("q_id")),
     )
+    # cos_sim is a pure function of the pair, so distinct collapses the
+    # multi-band duplicates after map-side scoring (same shape as
+    # dedup_simhash's band join)
     scored = cand.select(
         "q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cos_sim")
-    )
+    ).distinct()
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return scored.select(
         "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
@@ -436,7 +473,7 @@ def sim_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= 10)
 
 
-def _frozen_planes(n_planes: int = 4, dims: int = 64) -> list[list[float]]:
+def _frozen_planes(n_planes: int = 16, dims: int = 64) -> list[list[float]]:
     """Deterministic ±1 hyperplanes, frozen from md5 nibbles — the
     'no stored model' property of sim_topk_lsh with a derivation both
     engines can share as literals."""
@@ -451,7 +488,12 @@ def _frozen_planes(n_planes: int = 4, dims: int = 64) -> list[list[float]]:
     ]
 
 
-def _lsh_portable_oracle() -> str:
+_LSH_BAND_BITS = 4
+
+
+def _lsh_portable_banded_cte() -> str:
+    """Shared CTE prefix: frozen-plane banded signatures + distinct
+    candidate pairs, replayable verbatim in DuckDB."""
     planes = _frozen_planes()
     rows = ",\n      ".join(
         "({p}, [{s}])".format(p=p, s=", ".join(str(x) for x in sig))
@@ -465,45 +507,41 @@ def _lsh_portable_oracle() -> str:
       {rows}
     ),
     sig AS (
-      SELECT e.vec_id,
+      SELECT e.vec_id, p.plane // {_LSH_BAND_BITS} AS band,
              CAST(SUM(CASE WHEN list_dot_product(e.v, p.s) >= 0
-                           THEN 1 << p.plane ELSE 0 END) AS BIGINT) AS bucket
+                           THEN 1 << (p.plane % {_LSH_BAND_BITS}) ELSE 0 END) AS INT) AS bucket
       FROM e CROSS JOIN planes p
-      GROUP BY e.vec_id
+      GROUP BY e.vec_id, p.plane // {_LSH_BAND_BITS}
     ),
-    b AS (SELECT e.vec_id, e.v, s.bucket FROM e JOIN sig s USING (vec_id)),
-    q AS (SELECT vec_id AS q_id, v AS q_vec, bucket AS q_bucket FROM b WHERE vec_id < 3),
-    scored AS (
-      SELECT q.q_id, b.vec_id,
+    b AS (SELECT s.vec_id, e.v, s.band, s.bucket FROM sig s JOIN e USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, v AS q_vec, band, bucket FROM b WHERE vec_id < 3),
+    cand AS (
+      SELECT DISTINCT q.q_id, b.vec_id,
              ROUND(list_cosine_similarity(q.q_vec, b.v), 6) AS cos_sim
-      FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id
-    )
+      FROM b JOIN q ON b.band = q.band AND b.bucket = q.bucket
+                   AND b.vec_id <> q.q_id
+    )"""
+
+
+def _lsh_portable_oracle() -> str:
+    return (
+        _lsh_portable_banded_cte()
+        + """
     SELECT q_id, vec_id, cos_sim, rnk FROM (
       SELECT q_id, vec_id, cos_sim,
              row_number() OVER (PARTITION BY q_id
                                 ORDER BY cos_sim DESC, vec_id) AS rnk
-      FROM scored
+      FROM cand
     ) WHERE rnk <= 10
     """
+    )
 
 
-@query("sim_topk_lsh_portable", _lsh_portable_oracle())
-def sim_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH with frozen literal planes → STRONG oracle.
-
-    Correctness witness for the sign-projection LSH construction (cf.
-    :func:`sim_topk_lsh`, whose xxhash64-derived planes stay the
-    production path): the ±1 hyperplanes are frozen md5-nibble literals
-    shared with the DuckDB oracle, so bucket assignment (8 sign bits of
-    plane dot products), bucket-probe candidate sets, cosine scores,
-    and the per-query top-10 are all value-checked end to end.
-
-    Same scale shape as production: signatures are map-side folds over
-    the row's own vector against broadcast-sized literal planes; the
-    bucket column is the 100-TB ``partitionBy`` key; queries probe one
-    bucket.
-    """
+def _portable_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, band, bucket) under the frozen md5 planes — the
+    Spark half of the portable banded-LSH construction."""
     planes = _frozen_planes()
+    n_bands = len(planes) // _LSH_BAND_BITS
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
 
     def plane_dot(vec, signs: list[float]) -> Column:
@@ -512,28 +550,140 @@ def sim_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(vec, lit_plane, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
         )
 
-    sig = sum(
-        [
-            F.when(plane_dot(F.col("v"), planes[p]) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            for p in range(len(planes))
-        ],
-        F.lit(0),
-    ).cast("long")
-    bucketed = e.withColumn("bucket", sig).repartition("vec_id")
-    q = bucketed.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"), F.col("bucket").alias("q_bucket")
+    def band_bucket(band: int) -> Column:
+        return sum(
+            [
+                F.when(
+                    plane_dot(F.col("v"), planes[band * _LSH_BAND_BITS + b]) >= 0,
+                    F.lit(1 << b),
+                ).otherwise(F.lit(0))
+                for b in range(_LSH_BAND_BITS)
+            ],
+            F.lit(0),
+        ).cast("int")
+
+    return e.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"), band_bucket(band).alias("bucket")
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "v", "bb.band", "bb.bucket")
+
+
+def _portable_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    banded = _portable_banded(spark, sf_dir)
+    q = banded.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_vec"),
+        F.col("band").alias("q_band"),
+        F.col("bucket").alias("q_bucket"),
     )
-    cand = bucketed.join(
+    cand = banded.join(
         F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        (F.col("band") == F.col("q_band"))
+        & (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("q_id")),
     )
-    scored = cand.select(
+    return cand.select(
         "q_id", "vec_id", F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cos_sim")
-    )
+    ).distinct()
+
+
+@query("sim_topk_lsh_portable", _lsh_portable_oracle())
+def sim_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded random-hyperplane LSH with frozen literal planes →
+    STRONG oracle.
+
+    Correctness witness for the banded sign-projection construction
+    (cf. :func:`sim_topk_lsh`, whose xxhash64-derived planes stay the
+    production path): the ±1 hyperplanes are frozen md5-nibble
+    literals shared with the DuckDB oracle, so per-band bucket
+    assignment (4 bands × 4 sign bits), the OR-of-bands candidate
+    set, cosine scores, and the per-query top-10 are all
+    value-checked end to end.
+
+    Same scale shape as production: signatures are map-side folds over
+    the row's own vector against broadcast-sized literal planes; the
+    (band, bucket) columns are the 100-TB ``partitionBy`` keys of the
+    L hash tables; queries probe L directories.
+    """
+    scored = _portable_lsh_candidates(spark, sf_dir)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return scored.select(
         "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 10)
+
+
+_LSH_RECALL_ORACLE = (
+    _lsh_portable_banded_cte()
+    + """
+    , truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+               ) AS rnk
+        FROM e q JOIN e c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 3
+      ) WHERE rnk <= 10
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM truth t
+             WHERE EXISTS (SELECT 1 FROM cand c
+                           WHERE c.q_id = t.q_id AND c.vec_id = t.vec_id))
+             AS n_recalled
+    """
+)
+
+
+@query("sim_lsh_recall_eval", _LSH_RECALL_ORACLE)
+def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded LSH candidate generator against exact
+    brute-force top-10 ground truth — the measurement that tunes
+    (bands, bits-per-band) before deploying ANN at 100 TB, closing
+    the loop on the vector-similarity family the way
+    :func:`dedup_lsh_eval` does for MinHash.
+
+    STRONG oracle: both pipelines are deterministic — ground truth is
+    the exact cosine top-10 (DuckDB replays it), candidates are the
+    frozen-plane banded LSH set (same literals as
+    ``sim_topk_lsh_portable``) — so n_truth, candidate volume, and
+    the recalled count are all value-pinned.  In production this runs
+    on a corpus sample; the measured recall bounds what the banded
+    probe will miss at full scale.
+    """
+    e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", "vec_id", cosine(F.col("q_vec"), F.col("v")).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    truth = (
+        pairs.select("q_id", "vec_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    cand = _portable_lsh_candidates(spark, sf_dir).select("q_id", "vec_id")
+    cand = cand.localCheckpoint(eager=True)
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_rec = truth.join(cand, ["q_id", "vec_id"], "left_semi").agg(
+        F.count("*").alias("n_recalled")
+    )
+    return n_truth.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_rec))
 
 
 _KMEANS_ORACLE = """
