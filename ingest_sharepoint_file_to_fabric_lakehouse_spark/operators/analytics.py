@@ -526,6 +526,17 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact integral lift in parts-per-million.  The casts widen BOTH
+# products to decimal(38,0) BEFORE the multiplies: int64 would wrap
+# silently in non-ANSI Spark once n_pair*N*1e6 crosses 2^63 (DuckDB's
+# HUGEINT mirror is the oracle side).  Module-level so the overflow
+# property test pins THIS expression, not a re-typed copy.
+LIFT_PPM_EXPR = (
+    "(cast(n_pair as decimal(38,0)) * n_baskets * 1000000)"
+    " div (cast(n_a as decimal(38,0)) * n_b)"
+)
+
+
 @query(
     "events_cooccurrence_lift",
     """
@@ -643,13 +654,7 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (DuckDB's HUGEINT mirror is the oracle side), so the
         # widening is what keeps the engines in lockstep at corpus
         # scale rather than diverging without an error.
-        .withColumn(
-            "lift_ppm",
-            F.expr(
-                "(cast(n_pair as decimal(38,0)) * n_baskets * 1000000)"
-                " div (cast(n_a as decimal(38,0)) * n_b)"
-            ),
-        )
+        .withColumn("lift_ppm", F.expr(LIFT_PPM_EXPR))
         .select("item_a", "item_b", "n_pair", "n_a", "n_b", "lift_ppm")
         .orderBy(F.col("n_pair").desc(), "item_a", "item_b")
         .limit(50)

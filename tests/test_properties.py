@@ -444,3 +444,29 @@ def test_asof_nearest_matches_naive(left_rows, right_rows):
         else:
             want = f
         assert got[i] == want, (i, k, ts, got[i], want, b, f)
+
+
+@given(
+    st.integers(2, 10**7),          # n_pair
+    st.integers(1, 10**8),          # n_a  (>= n_pair in real data; not required by the expression)
+    st.integers(1, 10**8),          # n_b
+    st.integers(10**6, 10**9),      # n_baskets — large N forces n_pair*N*1e6 past 2^63
+)
+@settings(max_examples=25, deadline=None)
+def test_lift_ppm_expression_survives_int64_overflow(n_pair, n_a, n_b, n_baskets):
+    """events_cooccurrence_lift's guard, pinned by test: the
+    decimal(38,0) widening in LIFT_PPM_EXPR must produce the exact
+    integer quotient even when the numerator n_pair*N*1e6 exceeds
+    2^63 (where a bigint product wraps silently in non-ANSI Spark).
+    Hypothesis ranges guarantee overflow cases: n_pair >= 2 and
+    N >= 1e6 gives a numerator >= 4e12*1e6 = 4e18 at the top of the
+    range, well past 2^63 ~ 9.2e18 for much of the space."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.analytics import LIFT_PPM_EXPR
+
+    spark = _spark()
+    row = spark.createDataFrame(
+        [(n_pair, n_a, n_b, n_baskets)], "n_pair long, n_a long, n_b long, n_baskets long"
+    )
+    got = row.select(F.expr(LIFT_PPM_EXPR).alias("lift_ppm")).collect()[0]["lift_ppm"]
+    want = (n_pair * n_baskets * 1_000_000) // (n_a * n_b)
+    assert int(got) == want, (n_pair, n_a, n_b, n_baskets, got, want)
