@@ -4,10 +4,12 @@
 Media are opaque ``binary`` columns + typed metadata, flowing through
 the same Spark plans as any other column.  Decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` kernels —
-the real Spark-side plumbing (schema, partitioning, batch shape) is
-implemented and tested; the pixel/sample math itself is stubbed behind
-``DECODERS`` because no media libraries exist in this container
-(swap in PIL/torchaudio/pyav entries to go live).
+the Spark-side plumbing (schema, partitioning, batch shape) is real
+and tested throughout.  The resize kernel is a real pure-numpy
+nearest-neighbor gather over raw pixel buffers; only the COMPRESSED
+format decoders are stand-ins behind ``DECODERS`` because no media
+libraries exist in this container (swap in PIL/torchaudio/pyav
+entries to go live).
 
 Reference parity: files as opaque blobs (A-2/A-3,
 sharepoint_to_bronze_delta.py:163-176) — the engine types them and
@@ -80,16 +82,39 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize plumbing: batch UDF signature + output schema are real;
-    kernel raises until a real image library is wired in."""
+    """Nearest-neighbor image resize as an Arrow-batched mapInPandas
+    kernel — pure numpy, no image library required: the input rows
+    carry raw interleaved pixel buffers plus (width, height,
+    n_channels) metadata, and the kernel gathers with the exact floor
+    index mapping ``sy = (ty*src_h) div target_h``, ``sx = (tx*src_w)
+    div target_w`` over the (h, w, c) uint8 view.  Integer-exact and
+    engine-replicable (no float sampling grid), so a SQL oracle can
+    reconstruct the output bytes — see multimodal_resize_meta.  A
+    PIL/opencv decoder for compressed formats slots in front of this
+    kernel (decode → raw buffer → same gather); the Spark contract
+    (schema, Arrow batching, executor-side bytes) is unchanged."""
+    import numpy as np
 
     def kernel(batches):
         for pdf in batches:
-            raise NotImplementedError(
-                "image resize requires PIL/opencv — not available in this container; "
-                "wire a real kernel into DECODERS['image'] and replace this body"
+            out = []
+            for content, w, h, c in zip(
+                pdf.content, pdf.width, pdf.height, pdf.n_channels
+            ):
+                img = np.frombuffer(content, dtype=np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                iy = (np.arange(target_h) * int(h)) // target_h
+                ix = (np.arange(target_w) * int(w)) // target_w
+                out.append(img[iy][:, ix, :].tobytes())
+            yield pd.DataFrame(
+                {
+                    "path": pdf.path,
+                    "content": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
             )
-            yield pdf  # pragma: no cover
 
     return df.mapInPandas(kernel, "path string, content binary, width int, height int")
 
@@ -377,4 +402,92 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("file_name", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 3)
         .orderBy("file_name", "rnk")
+    )
+
+
+_RESIZE_ORACLE = """
+WITH imgs AS (
+  SELECT i, 16 + 4*i AS sw, 12 + 3*i AS sh FROM range(0, 4) t(i)
+),
+px AS (
+  SELECT i, sw, sh, ty, tx, ch,
+         chr((((((tx * sw) // 8) * 7 + ((ty * sh) // 6) * 13 + ch * 31 + i)
+               % 126) + 1)::INT) AS b
+  FROM imgs, range(0, 6) a(ty), range(0, 8) b(tx), range(0, 3) c(ch)
+),
+resized AS (
+  SELECT i, sw, sh,
+         string_agg(b, '' ORDER BY ty, tx, ch) AS s
+  FROM px GROUP BY i, sw, sh
+)
+SELECT 'img_' || i || '_' || sw || 'x' || sh || '.raw' AS file_name,
+       sw AS src_w, sh AS src_h,
+       8 AS width, 6 AS height,
+       strlen(s) AS n_bytes,
+       sha256(s) AS sha256
+FROM resized
+ORDER BY file_name
+"""
+
+
+@query("multimodal_resize_meta", _RESIZE_ORACLE)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of staged raw RGB buffers → nearest-neighbor
+    resize through the numpy mapInPandas kernel → typed output
+    metadata.  STRONG oracle: source pixels follow the closed-form
+    ``(x*7 + y*13 + ch*31 + i) % 126 + 1`` (ASCII-safe, so DuckDB can
+    materialize bytes with chr/string_agg), and the kernel's floor
+    index mapping is integer-exact — the oracle reconstructs every
+    RESIZED byte from the formula alone and must match the engine's
+    sha256 of the kernel output bit for bit.  Dimensions ride in the
+    file name and are parsed into the metadata columns the kernel
+    consumes — the decode-by-metadata contract of a real image
+    pipeline (a compressed format would carry them in the header).
+    """
+    stage = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/media_raw"
+    os.makedirs(stage, exist_ok=True)
+    for i in range(4):
+        w, h = 16 + 4 * i, 12 + 3 * i
+        p = f"{stage}/img_{i}_{w}x{h}.raw"
+        if not os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(
+                    bytes(
+                        (x * 7 + y * 13 + ch * 31 + i) % 126 + 1
+                        for y in range(h)
+                        for x in range(w)
+                        for ch in range(3)
+                    )
+                )
+    scan = (
+        spark.read.format("binaryFile")
+        .load(stage)
+        .select(
+            "path",
+            "content",
+            F.regexp_extract("path", r"_(\d+)x(\d+)\.raw$", 1)
+            .cast("int")
+            .alias("width"),
+            F.regexp_extract("path", r"_(\d+)x(\d+)\.raw$", 2)
+            .cast("int")
+            .alias("height"),
+            F.lit(3).alias("n_channels"),
+        )
+    )
+    src_dims = scan.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("width").alias("src_w"),
+        F.col("height").alias("src_h"),
+    )
+    resized = resize_images(scan, target_w=8, target_h=6).select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        "width",
+        "height",
+        F.octet_length("content").alias("n_bytes"),
+        F.sha2("content", 256).alias("sha256"),
+    )
+    return (
+        src_dims.join(resized, "file_name")
+        .select("file_name", "src_w", "src_h", "width", "height", "n_bytes", "sha256")
+        .orderBy("file_name")
     )
