@@ -78,6 +78,10 @@ DEFAULT_KEYS = [
     "text_lm_quality",
     "text_token_count",
     "events_sequence_pattern",
+    # live streaming: state size + micro-batch volume must grow
+    # ~linearly in events (the staged batch files split the Nx events
+    # table, so each micro-batch carries Nx rows)
+    "stream_tumbling_live",
 ]
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
@@ -177,6 +181,14 @@ def main() -> None:
     scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     dst = os.path.join(scratch_root, f"sgscale_x{args.mult}")
     shutil.rmtree(dst, ignore_errors=True)
+    # stale derived state for the synthesized basename must go too:
+    # batch staged indexes are fingerprint-gated, but the streaming
+    # batch-file staging keys on directory existence only — a prior
+    # run's files would silently serve old data.
+    for root in {scratch_root, "/tmp"}:
+        shutil.rmtree(
+            os.path.join(root, "sgdata", os.path.basename(dst)), ignore_errors=True
+        )
     t0 = time.time()
     synthesize(args.sf, dst, args.mult)
     print(f"# synthesized {args.mult}x facts at {dst} in {time.time() - t0:.1f}s",
@@ -219,11 +231,61 @@ def main() -> None:
             best = min(best, dt)
         return first, best, rows
 
+    def time_ingest(n_files: int) -> tuple[float, float]:
+        """Transfer-path growth probe: a fresh source tree with
+        ``n_files`` blobs through run_ingest (cold = full ingest,
+        warm = incremental no-op re-run over the same tree — the
+        steady state is the anti-join against the log, which must
+        stay ~flat in already-ingested volume)."""
+        from ingest_sharepoint_file_to_fabric_lakehouse_spark.sources.ingest import run_ingest
+
+        base = os.path.join(scratch_root, f"sg_ingest_smoke_{n_files}")
+        shutil.rmtree(base, ignore_errors=True)
+        src, bronze = f"{base}/source", f"{base}/bronze"
+        # 'assets' keeps originals (no archive/delete), so the no-op
+        # re-run anti-joins the full already-ingested listing
+        os.makedirs(f"{src}/assets", exist_ok=True)
+        for i in range(n_files):
+            with open(f"{src}/assets/file_{i:05d}.txt", "wb") as f:
+                f.write((f"payload {i} " * 50).encode())
+        t1 = time.time()
+        run_ingest(spark, src, bronze)
+        cold = time.time() - t1
+        t2 = time.time()
+        run_ingest(spark, src, bronze)  # incremental no-op
+        noop = time.time() - t2
+        shutil.rmtree(base, ignore_errors=True)
+        return cold, noop
+
     results = {}
     print(
         f"{'key':28s} {'1x warm':>8s} {args.mult}x cold  {args.mult}x warm"
         f"  ratio  rows 1x -> {args.mult}x"
     )
+    if "ingest_pipeline" in keys:
+        # the registered key ingests a FIXED 10-file mock (its oracle
+        # is a literal table), so growth is probed with a scaled file
+        # count instead of scaled table data
+        keys = [k for k in keys if k != "ingest_pipeline"]
+        time_ingest(8)  # discard: absorbs session/Arrow/worker warm-up
+        base_cold, base_noop = time_ingest(64)
+        big_cold, big_noop = time_ingest(64 * args.mult)
+        results["ingest_run_files"] = {
+            "base_files": 64,
+            "scaled_files": 64 * args.mult,
+            "base_cold_sec": round(base_cold, 3),
+            "scaled_cold_sec": round(big_cold, 3),
+            "cold_ratio": round(big_cold / base_cold, 2) if base_cold else None,
+            "base_noop_sec": round(base_noop, 3),
+            "scaled_noop_sec": round(big_noop, 3),
+            "noop_ratio": round(big_noop / base_noop, 2) if base_noop else None,
+        }
+        print(
+            f"{'ingest_run_files':28s} cold {base_cold:5.2f}s -> {big_cold:5.2f}s"
+            f" ({results['ingest_run_files']['cold_ratio']}x),"
+            f" no-op {base_noop:5.2f}s -> {big_noop:5.2f}s"
+            f" ({results['ingest_run_files']['noop_ratio']}x)"
+        )
     for key in keys:
         if key not in engine.QUERIES:
             print(f"{key:28s} SKIP (unknown key)")
