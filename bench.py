@@ -211,40 +211,49 @@ def main() -> None:
             timings[key] = -1.0
             print(f"# {key}: ERROR {type(ex).__name__}: {ex}", file=sys.stderr)
 
-    # Variance guard: long sessions degrade non-deterministically (GC /
-    # code-cache / cleaner state) and the host itself stalls in
-    # multi-second episodes (hypervisor CPU steal: an r6 pair on one
-    # boot measured 145.6 s vs 231.8 s on identical code+data, with a
-    # 0.2 s key first-measured at 21.8 s).  Episodes hit whichever key
-    # is running, so a top-16 rerun cap is too narrow — re-measure
-    # EVERY key whose first pass exceeded 0.8 s once on a GC-nudged
-    # JVM and keep the per-key MINIMUM: a stable regression reproduces
-    # on the re-run, a stall episode does not.  The reported total is
-    # the sum of per-key minima.
-    reruns: dict[str, float] = {}
+    # Variance guard, protocol v7: long sessions degrade
+    # non-deterministically (GC / code-cache / cleaner state) and the
+    # host itself stalls in multi-second episodes (hypervisor CPU
+    # steal: an r6 pair on one boot measured 145.6 s vs 231.8 s on
+    # identical code+data, with a 0.2 s key first-measured at 21.8 s).
+    # Episodes hit whichever key is running, so every key whose first
+    # pass exceeded 0.8 s is measured TWO more times on a GC-nudged
+    # JVM and the reported per-key figure is the MEDIAN of the three —
+    # robust to a single stall episode in either direction, unlike the
+    # v6 min (optimistic: kept lucky passes) or the raw first pass
+    # (pessimistic: kept stalls).  All three samples land in
+    # BENCH_FULL.json so round-over-round deltas are attributable;
+    # with calib_sec recorded alongside, total/calib is the
+    # machine-independent comparison figure.
+    samples: dict[str, list[float]] = {}
     suspects = [
         k for k, v in sorted(timings.items(), key=lambda kv: -kv[1]) if v > 0.8
     ]
     for key in suspects:
-        _gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        try:
-            spark.catalog.clearCache()
-        except Exception:
-            pass
-        t0 = time.time()
-        try:
-            qs[key](spark, sf_dir).count()
-            dt = time.time() - t0
-            reruns[key] = round(dt, 3)
-            print(
-                f"# rerun {key}: {dt:.2f}s (first {timings[key]:.2f}s)",
-                file=sys.stderr,
-            )
-            if dt < timings[key]:
-                timings[key] = round(dt, 3)
-        except Exception as ex:
-            print(f"# rerun {key}: ERROR {type(ex).__name__}: {ex}", file=sys.stderr)
+        samples[key] = [timings[key]]
+        for _ in range(2):
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            t0 = time.time()
+            try:
+                qs[key](spark, sf_dir).count()
+                samples[key].append(round(time.time() - t0, 3))
+            except Exception as ex:
+                print(
+                    f"# rerun {key}: ERROR {type(ex).__name__}: {ex}",
+                    file=sys.stderr,
+                )
+                break
+        if len(samples[key]) == 3:
+            timings[key] = sorted(samples[key])[1]
+        print(
+            f"# median {key}: {timings[key]:.2f}s from {samples[key]}",
+            file=sys.stderr,
+        )
     total = sum(v for v in timings.values() if v > 0)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -262,9 +271,9 @@ def main() -> None:
     # runs measured the same way (ADVICE r5: the r5 order change made
     # per-key rows incomparable to earlier rounds without saying so).
     protocol = {
-        "version": 6,
+        "version": 7,
         "order": "reversed-registration",
-        "variance_guard": "rerun-all-over-0.8s-keep-min",
+        "variance_guard": "median-of-3-for-keys-over-0.8s",
     }
     line = json.dumps(
         {
@@ -275,6 +284,10 @@ def main() -> None:
             "n_queries": len(timings),
             "protocol_version": protocol["version"],
             "calib_sec": calib_sec,
+            # "queries" is a tail-truncated excerpt (driver captures
+            # ~2 kB of stdout); BENCH_FULL.json holds the canonical
+            # full per-key map + raw samples
+            "queries_note": "10 slowest only; full map in BENCH_FULL.json",
             "queries": slowest,
         }
     )
@@ -286,7 +299,7 @@ def main() -> None:
         "protocol": protocol,
         "calib_sec": calib_sec,
         "queries": timings,
-        "reruns": reruns,
+        "samples": samples,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),

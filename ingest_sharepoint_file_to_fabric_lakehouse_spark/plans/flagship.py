@@ -832,3 +832,228 @@ def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_date": "1997-01-01 00:00:00",
         },
     )
+
+
+# Q2/Q9/Q11/Q16/Q20 need the part-supplier relation; the fixture has
+# no partsupp table, so the suite derives it from lineitem history —
+# (partkey, suppkey) pairs with cost/volume rollups.  The shape each
+# query exists to exercise (the correlated-min, the scalar-threshold
+# HAVING, the NOT IN, the nested IN + correlated agg) is unchanged.
+_SUPPLY_CTE = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT))
+           AS ps_supplycost_cents,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_value_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+"""
+
+_Q2_SQL = _SUPPLY_CTE + """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       ps_supplycost_cents
+FROM part, supply, supplier, nation, region
+WHERE p_partkey = ps_partkey
+  AND s_suppkey = ps_suppkey
+  AND p_size = 15
+  AND p_type = 'SMALL'
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost_cents = (
+    SELECT MIN(ps_supplycost_cents)
+    FROM supply, supplier, nation, region
+    WHERE p_partkey = ps_partkey
+      AND s_suppkey = ps_suppkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("sql_api_q2", _Q2_SQL)
+def sql_api_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    European supplier(s) offering it at the region-wide minimum cost —
+    the correlated-MIN pattern (a scalar subquery correlated on the
+    OUTER part key, over the same join tree the outer query walks).
+    Catalyst decorrelates it into a per-part min() aggregate joined
+    back on (partkey, cost) — the inner tree runs ONCE, not once per
+    part.  At 100 TB both trees hash-shuffle on partkey and the dims
+    (supplier/nation/region) broadcast through both sides; the cost
+    rollup is supply-cardinality-sized.  The supply relation derives
+    from lineitem (no partsupp in the fixture): min unit price in
+    exact integer cents, so the min-equality join — where a float
+    would break — compares exact integers on both engines.  Identical
+    ANSI text; ordering pinned through (acctbal DESC, n_name, s_name,
+    p_partkey).
+    """
+    for name in ("part", "lineitem", "supplier", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q2_SQL)
+
+
+_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST(1 - l_discount AS DECIMAL(18,4))
+           - CAST(p_retailprice AS DECIMAL(18,4))
+           * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey
+    AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey
+    AND p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("sql_api_q9", _Q9_SQL)
+def sql_api_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit by supplier nation and
+    order year over a 5-way star — the widest join tree in the suite
+    (two facts + three dims on three different keys).  The scale
+    story is join ORDER: the p_name filter cuts part to a sliver that
+    broadcasts into lineitem FIRST (killing most fact rows before any
+    shuffle), orders co-shuffles with the surviving lines on
+    orderkey, and supplier→nation broadcast through the supplier key
+    — one fact exchange total, which is what Catalyst picks with the
+    selective filter pushed into the part scan.  Profit uses
+    p_retailprice as the cost leg (no ps_supplycost in the fixture):
+    exact decimal products, ROUND(...,2) before the double cast, so
+    the engines agree bit-for-bit.  Identical ANSI text.
+    """
+    for name in ("part", "supplier", "lineitem", "orders", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q9_SQL)
+
+
+_Q11_SQL = _SUPPLY_CTE + """
+SELECT ps_partkey, CAST(SUM(ps_value_cents) AS BIGINT) AS part_value_cents
+FROM supply, supplier, nation
+WHERE ps_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY ps_partkey
+HAVING CAST(SUM(ps_value_cents) AS DECIMAL(38,0)) * 500 > (
+  SELECT CAST(SUM(ps_value_cents) AS DECIMAL(38,0))
+  FROM supply, supplier, nation
+  WHERE ps_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_7')
+ORDER BY part_value_cents DESC, ps_partkey
+"""
+
+
+@query("sql_api_q11", _Q11_SQL)
+def sql_api_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose supply value within
+    one nation exceeds a fixed fraction (1/500) of that nation's
+    total — the scalar-threshold HAVING pattern.  The uncorrelated
+    scalar subquery evaluates once and broadcasts into the HAVING
+    filter; both sides aggregate the same supply⋈supplier⋈nation
+    slice, so at 100 TB the rollup is computed per (partkey) with
+    map-side partials and the global total is the same exchange
+    re-reduced — no second corpus pass is forced by semantics (the
+    materialize-once call is agg_incremental_merge's pattern).
+    Value arithmetic is exact integer cents·quantity widened to
+    decimal(38,0) BEFORE the x500 threshold multiply (sum(bigint) is
+    HUGEINT in DuckDB, wraps in non-ANSI Spark — the same trap
+    sink_snapshot_diff hit in r6).  Identical ANSI text.
+    """
+    for name in ("lineitem", "supplier", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q11_SQL)
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#5'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 100
+"""
+
+
+@query("sql_api_q16", _Q16_SQL)
+def sql_api_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (part/supplier relationship): distinct supplier
+    counts per (brand, type, size) bucket, EXCLUDING a denylisted
+    supplier set — the NOT IN pattern.  s_suppkey is non-null, so
+    Catalyst plans the NOT IN as a null-unaware LEFT ANTI against a
+    broadcast of the (tiny) exclusion list — the cheap path; a
+    nullable column would force the null-aware single-partition
+    variant, which is why production schemas declare key columns NOT
+    NULL.  count(DISTINCT) expands per group before the final
+    reduce; the part filters broadcast into the fact scan.  The
+    exclusion predicate adapts the spec's comment-pattern complaint
+    filter to the fixture (negative account balance).  All-integer
+    output, full ORDER BY — deterministic.  Identical ANSI text.
+    """
+    for name in ("lineitem", "part", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey AS sh_suppkey, l_partkey AS sh_partkey,
+         CAST(SUM(l_quantity) AS BIGINT) AS sh_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND n_name IN ('NATION_2', 'NATION_12', 'NATION_22')
+  AND s_suppkey IN (
+    SELECT sh_suppkey FROM shipped
+    WHERE sh_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND sh_qty * 2 > (
+        SELECT CAST(SUM(l_quantity) AS BIGINT) FROM lineitem
+        WHERE l_partkey = sh_partkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'))
+ORDER BY s_name
+"""
+
+
+@query("sql_api_q20", _Q20_SQL)
+def sql_api_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (dominant-supply suppliers): suppliers in a nation
+    set who, for some name-filtered part, shipped more than half that
+    part's total 1996 volume — the NESTED IN + correlated-aggregate
+    pattern (an IN whose subquery contains another IN and a scalar
+    subquery correlated on the middle query's group key).  Catalyst
+    unnests outside-in: the outer IN becomes a LEFT SEMI on suppkey,
+    the part-name IN a semi on partkey, and the correlated SUM
+    decorrelates into a per-part aggregate joined on partkey — three
+    co-keyed shuffles, zero per-row re-execution.  The availqty
+    comparison adapts to shipped volume (no partsupp): quantities are
+    integral doubles, summed and CAST to BIGINT on both engines, so
+    the *2 threshold is exact integer arithmetic.  s_name is unique —
+    ORDER BY s_name is total.  Identical ANSI text.
+    """
+    for name in ("supplier", "nation", "lineitem", "part"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q20_SQL)
