@@ -71,7 +71,43 @@ _DRIVER_VERIFIED = {
     "multimodal_binary_meta",
 }
 
-# Round 7's 50-slot window, pinned explicitly per the round-6 verdict:
+# Round 8's 50-slot window, pinned per the round-7 verdict's item 1:
+# (a) the 22 late-r7 keys that have NEVER had a driver verdict (all
+# re-verified locally this round); (b) the ~6 keys whose green verdict
+# predates a value-neutral late-r7 change (cost-gated checkpoints) —
+# changed keys re-earn; (c) every key changed or added in round 8:
+# the staged IVF probe pair, the banded-LSH rework (production key is
+# weak rows-only; its portable twin and the new recall eval are
+# strong), the new simhash/LSH value witnesses, the numpy resize key,
+# the factored lift expression, and the five TPC-H completions
+# Q2/Q9/Q11/Q16/Q20; (d) the remaining slots re-confirm the OLDEST
+# r01 greens — rotation has never re-checked them.
+_WINDOW_50 = [
+    # (a) never driver-checked (late round 7)
+    "sql_api_q4", "sql_api_q7", "sql_api_q8", "sql_api_q12", "sql_api_q13",
+    "sql_api_q15", "sql_api_q17", "sql_api_q21", "sql_api_q22",
+    "sql_api_parameterized", "join_asof_nearest", "join_lateral_topn",
+    "corpus_dedup_keep_best", "corpus_quality_weighted_sample",
+    "events_changepoint_cusum", "events_forecast_snaive",
+    "events_session_stats", "graph_label_propagation",
+    "orders_benford_digits", "orders_pareto_abc", "sim_ivf_recall_eval",
+    "text_ngram_entropy",
+    # (b) re-earn: value-neutral post-verdict changes late in round 7
+    "dedup_ngram_jaccard", "dedup_containment", "dq_expectations",
+    "dedup_simhash_portable", "graph_pagerank", "events_cooccurrence_lift",
+    # (c) changed/added in round 8
+    "sim_ivf_probe", "sim_ivf_partition_pruned", "sim_topk_lsh_portable",
+    "sim_topk_lsh", "dedup_simhash_stats", "sim_lsh_recall_eval",
+    "multimodal_resize_meta", "sql_api_q2", "sql_api_q9", "sql_api_q11",
+    "sql_api_q16", "sql_api_q20",
+    # (d) rotation: oldest r01 greens, first re-confirmation since r1
+    "flagship_q3_topk", "project_select", "filter_comparison",
+    "join_broadcast_dim", "join_shuffle_large", "agg_group_sum",
+    "win_row_number", "topk_per_group", "sort_multi_nulls",
+    "join_left_semi",
+]
+
+# Round 7's 50-slot window (superseded), pinned per the round-6 verdict:
 # (a) the 24 round-6 second-wave keys that overflowed the r06 window
 # and have NEVER had a driver verdict (all pass the local harness);
 # (b) every key whose implementation changed this round — the
@@ -85,7 +121,7 @@ _DRIVER_VERIFIED = {
 # were dropped — changed keys re-earning verdicts outranks
 # re-confirming stable ones (flagship_q3_topk still smoke-runs every
 # round via entry()).
-_WINDOW_50 = [
+_WINDOW_R7 = [
     # (a) never driver-checked — exactly the 24 listed in VERDICT.md
     # "What's missing" §1; these MUST land in CORRECTNESS_r07
     "sql_api_q18", "win_cumulative_distinct", "events_markov_transitions",
