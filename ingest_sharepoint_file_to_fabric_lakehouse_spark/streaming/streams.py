@@ -729,3 +729,111 @@ def stream_additive_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(state).orderBy("event_type")
+
+
+@query(
+    "stream_stream_outer_join",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    v AS (SELECT event_id AS v_id, ts AS v_ts, user_id AS v_user
+          FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS p_id, ts AS p_ts, user_id AS p_user
+          FROM events WHERE event_type = 'purchase'),
+    lo AS (
+      SELECT v.v_id, p.p_id
+      FROM v LEFT JOIN p
+        ON v.v_user = p.p_user
+       AND p.p_ts >= v.v_ts
+       AND p.p_ts <= v.v_ts + INTERVAL 10 MINUTES
+      WHERE v.v_ts <= (SELECT m - INTERVAL 1 DAY FROM mx)
+    )
+    SELECT kind, n, id_checksum FROM (
+      SELECT CASE WHEN p_id IS NULL THEN 'expired_unmatched'
+                  ELSE 'matched' END AS kind,
+             count(*) AS n,
+             CAST(SUM(v_id + COALESCE(p_id, 0)) AS BIGINT) AS id_checksum
+      FROM lo GROUP BY 1
+    ) ORDER BY kind
+    """,
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: views matched to
+    same-user purchases within 10 minutes, with NULL-padded rows for
+    views whose match window expires under the watermark — the outer
+    semantics the inner join (:func:`stream_stream_join`) never
+    exercises (state eviction must EMIT, not just drop).
+
+    STRONG oracle with an explicit decidability cutoff: a drained
+    AvailableNow run can only certify views whose no-match verdict the
+    watermark finalized before the stream stopped — left state within
+    (delay + range + one batch) of the final event time is still
+    pending at shutdown (measured: everything older than ~66 min below
+    max(ts) had emitted; the tail had not).  That tail is a
+    drain-and-stop artifact, not data loss: the pending state lives in
+    the checkpoint and emits in the next run's batches.  So the
+    reported relation restricts BOTH engines to v_ts <= max(ts) - 1
+    day — a margin an order of magnitude past the measured
+    finalization lag — where streamed output provably equals the
+    batch left-outer join: matched pairs emit immediately and
+    watermark correctness guarantees a null row is emitted exactly
+    once and only when no future match can arrive (in-order staged
+    arrival means nothing is late-dropped).
+
+    Scale shape: identical to the inner join — both sides shuffle
+    once on user_id, state bounded by (delay + range) x per-key rate;
+    the outer emission adds no state, only eviction-time output.
+    """
+    base = _staging(sf_dir, "stream_stream_outer")
+    src = stage_event_files(spark, sf_dir)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def side(evt_type: str, alias: str):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .filter(F.col("event_type") == evt_type)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+                F.col("user_id").alias(f"{alias}_user"),
+            )
+        )
+
+    v, p = side("view", "v"), side("purchase", "p")
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("v_id", "v_ts", "p_id")
+    run_stream_to_parquet(joined, out, ckpt, mode="append", src_dir=src)
+    drained = spark.read.parquet(f"{out}/epoch=*")
+    cutoff = t(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("cutoff")
+    )
+    decided = drained.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("v_ts") <= F.col("cutoff")
+    )
+    return (
+        decided.select(
+            F.when(F.col("p_id").isNull(), "expired_unmatched")
+            .otherwise("matched")
+            .alias("kind"),
+            "v_id",
+            "p_id",
+        )
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v_id") + F.coalesce(F.col("p_id"), F.lit(0)))
+            .cast("long")
+            .alias("id_checksum"),
+        )
+        .orderBy("kind")
+    )
