@@ -124,6 +124,23 @@ def test_ivf_partitioned_scan_prunes_cells(spark, sf_dir):
     assert len(m.group(1).split(",")) <= 6, m.group(1)
 
 
+def test_ivf_probe_uses_dynamic_partition_pruning(spark, sf_dir):
+    """sim_ivf_probe reads the SAME staged cell-partitioned layout as
+    the explicit-prune twin, but prunes at RUNTIME: the broadcast
+    probe set must become a dynamicpruningexpression partition filter
+    on cell_id — no driver-side cell enumeration, probe cost tracks
+    probed cells (the round-7 form recomputed assignment over the
+    full corpus: 5.45x warm at 10x data; staged+DPP measured 0.87x)."""
+    df = engine.QUERIES["sim_ivf_probe"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression" in plan and "cell_id" in plan, plan[:2000]
+
+
 def test_ivfpq_code_index_scan_prunes_cells(spark, sf_dir):
     """The staged IVF-PQ code index is cell-partitioned and the ADC
     scan reads only the probed cells (partition pruning on cell_id) —
