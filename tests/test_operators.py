@@ -1227,3 +1227,64 @@ def test_batch_sessionization_matches_native_session_window(spark, sf_dir):
         .count()
     )
     assert row["n_sessions"] == native
+
+
+def test_resize_kernel_matches_naive_gather(spark):
+    """The numpy nearest-neighbor resize must equal a per-pixel naive
+    loop with the documented floor mapping sy=(ty*h) div th,
+    sx=(tx*w) div tw — pinned here so a vectorization change can't
+    silently shift the sampling grid (the SQL oracle would catch it at
+    fixture dims only; this covers odd shapes incl. upscale)."""
+    import numpy as np
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.functions.multimodal import resize_images
+
+    rng_cases = [(5, 3, 1, 2, 2), (7, 11, 3, 4, 6), (2, 2, 3, 5, 7), (16, 12, 3, 8, 6)]
+    rows = []
+    for i, (w, h, c, tw, th) in enumerate(rng_cases):
+        buf = bytes((x * 7 + y * 13 + ch * 31 + i) % 251 for y in range(h) for x in range(w) for ch in range(c))
+        rows.append((f"img{i}", buf, w, h, c))
+    # all cases share (tw, th) per call — group by target dims
+    for tw, th in {(cs[3], cs[4]) for cs in rng_cases}:
+        sel = [(n, b, w, h, c) for (n, b, w, h, c), cs in zip(rows, rng_cases) if (cs[3], cs[4]) == (tw, th)]
+        df = spark.createDataFrame(
+            sel, "path string, content binary, width int, height int, n_channels int"
+        )
+        got = {r.path: bytes(r.content) for r in resize_images(df, tw, th).collect()}
+        for (name, buf, w, h, c) in sel:
+            img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+            want = bytes(
+                int(img[(ty * h) // th, (tx * w) // tw, ch])
+                for ty in range(th)
+                for tx in range(tw)
+                for ch in range(c)
+            )
+            assert got[name] == want, (name, tw, th)
+
+
+def test_simhash_tokenset_permutation_invariance(spark):
+    """The invariant dedup_simhash_stats' oracle rests on: the SimHash
+    signature is a pure function of the DISTINCT token set, so word
+    permutations and repetitions of the same vocabulary must land in
+    the same bucket at Hamming 0 — regardless of the hash function."""
+    import pandas as pd
+
+    texts = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "epsilon delta gamma beta alpha"),          # permutation
+        (2, "alpha alpha beta beta gamma delta epsilon"),  # repetition
+        (3, "alpha beta gamma delta zeta"),              # different set
+    ]
+    pdf = pd.DataFrame({"doc_id": [t[0] for t in texts], "text": [t[1] for t in texts],
+                        "lang": "en", "source": "t", "n_chars": [len(t[1]) for t in texts]})
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    pdf.to_parquet(f"{d}/documents.parquet", index=False)
+    import ingest_sharepoint_file_to_fabric_lakehouse_spark as eng
+
+    pairs = {(r.doc_a, r.doc_b, r.hamming) for r in eng.QUERIES["dedup_simhash"](spark, d).collect()}
+    assert (0, 1, 0) in pairs and (0, 2, 0) in pairs and (1, 2, 0) in pairs, pairs
+    # doc 3 must NOT be Hamming-0 with the others (one token differs)
+    assert all(hm != 0 for a, b, hm in pairs if 3 in (a, b)), pairs
