@@ -56,7 +56,8 @@ def test_side_effect_queries_are_rerunnable(spark, sf_dir):
                 "sink_delta_merge", "sink_merge_partitioned",
                 "multimodal_frame_sample", "join_bucketed", "sink_scd2_merge",
                 "scan_partition_pruned", "sim_ivf_partition_pruned",
-                "sink_zorder_layout"]:
+                "sink_zorder_layout", "sim_ivf_probe", "sim_lsh_recall_eval",
+                "multimodal_resize_meta", "dedup_simhash_stats"]:
         a = engine.QUERIES[key](spark, sf_dir).count()
         b = engine.QUERIES[key](spark, sf_dir).count()
         assert a == b, key
