@@ -72,6 +72,7 @@ DEFAULT_KEYS = [
     # similarity family (indexed probes must beat brute force's growth)
     "sim_topk_bruteforce",
     "sim_ivf_probe",
+    "sim_topk_lsh",
     "sim_topk_ivfpq",
     # text/search kernels (scan-bandwidth linear)
     "search_bm25",
