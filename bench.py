@@ -155,7 +155,45 @@ def main() -> None:
 
         spark.dataSource.register(_WarmSource)
         spark.read.format("bench_warm_ds").load().count()
-        print("# warmup complete (incl. datasource runner)", file=sys.stderr)
+        # STREAMING Python data source runner is a separate worker path
+        # (~4s spin-up) — drain a 1-row simple stream source so it
+        # doesn't land on stream_datasource_sharepoint
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        class _WarmStreamReader(SimpleDataSourceStreamReader):
+            def initialOffset(self):
+                return {"i": 0}
+
+            def read(self, start):
+                if int(start["i"]) == 0:
+                    return iter([(1,)]), {"i": 1}
+                return iter([]), start
+
+            def readBetweenOffsets(self, start, end):
+                return iter([(1,)] if int(end["i"]) > int(start["i"]) else [])
+
+        class _WarmStreamSource(DataSource):
+            @classmethod
+            def name(cls):
+                return "bench_warm_stream_ds"
+
+            def schema(self):
+                return "a bigint"
+
+            def simpleStreamReader(self, schema):
+                return _WarmStreamReader()
+
+        spark.dataSource.register(_WarmStreamSource)
+        wq3 = (
+            spark.readStream.format("bench_warm_stream_ds")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{wtmp}/ck3")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq3.awaitTermination(60)
+        print("# warmup complete (incl. datasource runners)", file=sys.stderr)
     except Exception as ex:
         print(f"# warmup partial: {type(ex).__name__}: {ex}", file=sys.stderr)
 
