@@ -504,6 +504,48 @@ def test_q13_outer_join_survives_to_physical_plan(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(c_custkey") <= 1
 
 
+def test_q2_correlated_min_decorrelates_to_aggregate_join(spark, sf_dir):
+    """Q2's correlated MIN(ps_supplycost) scalar subquery must plan as
+    a per-partkey min rollup joined back on (partkey, cost) — the
+    inner join tree runs once, no per-row subquery node survives."""
+    df = engine.QUERIES["sql_api_q2"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "partial_min" in plan
+    assert "Subquery" not in plan
+
+
+def test_q9_single_fact_exchange(spark, sf_dir):
+    """Q9's five-way star must scan lineitem ONCE with the selective
+    part filter broadcast into it — the join-order story the docstring
+    claims (a second fact scan or a shuffled dim would double the
+    100 TB cost)."""
+    df = engine.QUERIES["sql_api_q9"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q16_not_in_plans_null_unaware_anti_join(spark, sf_dir):
+    """Q16's NOT IN over the non-null supplier key must take the cheap
+    null-unaware LEFT ANTI path (a nullable key would force the
+    single-partition null-aware variant)."""
+    df = engine.QUERIES["sql_api_q16"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_nested_in_unnests_to_semi_joins(spark, sf_dir):
+    """Q20's nested IN + correlated aggregate must fully unnest: a
+    LEFT SEMI for the outer membership and an aggregate-join for the
+    correlated SUM — zero per-row subquery re-execution."""
+    df = engine.QUERIES["sql_api_q20"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "partial_sum" in plan
+    assert "Subquery" not in plan
+
+
 def test_q17_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
     """The correlated avg(l_quantity) scalar subquery must plan as a
     per-partkey rollup joined back to the fact (an aggregate above a
