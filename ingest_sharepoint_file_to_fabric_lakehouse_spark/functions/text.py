@@ -564,3 +564,80 @@ def text_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     ).orderBy("doc_id")
+
+
+_FEATURE_HASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 200
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 1))::INT % 16 AS INT) AS bucket
+  FROM toks
+),
+m AS (
+  SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY doc_id, bucket
+),
+v AS (
+  SELECT doc_id,
+         list(bucket ORDER BY bucket) AS bks,
+         list(n ORDER BY bucket) AS ns,
+         CAST(SUM(n) AS BIGINT) AS n_tokens
+  FROM m GROUP BY doc_id
+)
+SELECT doc_id,
+       [COALESCE(ns[list_position(bks, i)], 0) FOR i IN range(0, 16)]
+         AS features,
+       n_tokens
+FROM v
+ORDER BY doc_id
+"""
+
+
+@query("text_feature_hashing", _FEATURE_HASH_ORACLE)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09): fixed-width
+    hashed bag-of-words feature vectors — the no-vocabulary
+    featurization a training pipeline uses when the token space is
+    unbounded (16 buckets here; production uses 2^18+, same plan).
+
+    Scale shape: ENTIRELY map-side — the bucket of each token and the
+    per-bucket counts are computed inside the row's own token array
+    with higher-order functions (transform + aggregate over a count
+    accumulator), so feature extraction runs at scan speed with ZERO
+    exchange; contrast vocabulary-based featurization (tfidf_top_terms)
+    whose dictionary needs a corpus rollup.  The output array is the
+    dense feature row a trainer consumes column-wise.
+
+    Portable hash: bucket = first md5 nibble mod 16, identical
+    literals on both engines (the same no-stored-model discipline as
+    the portable LSH planes), so every count is value-checked.
+    """
+    n_buckets = 16
+    d = docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    bucket = lambda t: F.conv(F.substring(F.md5(t), 1, 1), 16, 10).cast("int") % n_buckets  # noqa: E731
+
+    # closure factory, NOT a default-arg lambda: `lambda acc, t, i=i`
+    # parses as Spark's THREE-arg (acc, element, index) merge lambda
+    # and fails analysis (same trap as dedup._minhash)
+    def _count_bucket(i: int):
+        return lambda acc, t: acc + F.when(bucket(t) == F.lit(i), 1).otherwise(
+            0
+        ).cast("bigint")
+
+    counts = F.array(
+        *[
+            F.aggregate(toks, F.lit(0).cast("bigint"), _count_bucket(i))
+            for i in range(n_buckets)
+        ]
+    )
+    return (
+        d.select(
+            "doc_id",
+            counts.alias("features"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
