@@ -1750,3 +1750,86 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(sum(duration_sec) * 1000) div count(*)").alias("mean_duration_milli"),
         F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounce"),
     )
+
+
+@query(
+    "events_user_features",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    f AS (
+      SELECT user_id,
+             COUNT(*) FILTER (event_type = 'view')     AS n_view,
+             COUNT(*) FILTER (event_type = 'click')    AS n_click,
+             COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+             COUNT(*) FILTER (event_type = 'signup')   AS n_signup,
+             COUNT(*) FILTER (event_type = 'error')    AS n_error,
+             CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(value AS DECIMAL(18,4)) END), 2)
+                  AS DOUBLE) AS purchase_value,
+             MAX(ts) AS last_seen
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_view, n_click, n_purchase, n_signup, n_error,
+           COALESCE(purchase_value, 0.0) AS purchase_value,
+           CAST(date_diff('second', last_seen, (SELECT m FROM mx)) AS BIGINT)
+             AS recency_sec,
+           CASE WHEN n_purchase > 0 THEN (n_purchase * 1000000) // n_view
+                ELSE NULL END AS conv_ppm
+    FROM f
+    WHERE n_view > 0
+    ORDER BY user_id
+    """,
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: one row per user with the
+    behavioral features a ranking/propensity trainer consumes —
+    per-type activity counts, exact-decimal purchase value, recency
+    against the corpus watermark, and an integer-ppm view→purchase
+    conversion rate.
+
+    Scale shape: ONE conditional-aggregate pass over events (the
+    per-type counts are FILTER clauses inside a single groupBy, never
+    five scans), map-side partials collapse each user's rows before
+    the one user_id exchange, and the corpus max-ts watermark is a
+    broadcast scalar.  This is the daily feature-refresh job shape: at
+    100 TB it runs per partition-day and MERGEs into the feature table
+    (sink_delta_merge / agg_incremental_merge show that half).
+    Exactness: decimal money, integer-second recency (both engines
+    diff the same timestamps), ppm conversion via integral div.
+    """
+    ev = t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    cnt = lambda typ: F.count(F.when(F.col("event_type") == typ, 1)).alias(f"n_{typ}")  # noqa: E731
+    f = ev.groupBy("user_id").agg(
+        cnt("view"),
+        cnt("click"),
+        cnt("purchase"),
+        cnt("signup"),
+        cnt("error"),
+        money(
+            F.sum(F.when(F.col("event_type") == "purchase", dec("value")))
+        ).alias("purchase_value"),
+        F.max("ts").alias("last_seen"),
+    )
+    return (
+        f.filter(F.col("n_view") > 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "n_view",
+            "n_click",
+            "n_purchase",
+            "n_signup",
+            "n_error",
+            F.coalesce(F.col("purchase_value"), F.lit(0.0)).alias("purchase_value"),
+            (
+                F.unix_timestamp(F.col("m").cast("timestamp"))
+                - F.unix_timestamp(F.col("last_seen").cast("timestamp"))
+            ).alias("recency_sec"),
+            F.when(
+                F.col("n_purchase") > 0,
+                F.expr("(n_purchase * 1000000) div n_view"),
+            ).alias("conv_ppm"),
+        )
+        .orderBy("user_id")
+    )
