@@ -1873,3 +1873,60 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+  FROM embeddings WHERE vec_id < 500
+),
+s AS (
+  SELECT vec_id, v,
+         127.0 / list_max([abs(x) FOR x IN v]) AS scale
+  FROM e
+  WHERE list_max([abs(x) FOR x IN v]) > 0
+)
+SELECT vec_id,
+       CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+       [CAST(floor(x * scale + 0.5) AS INT) FOR x IN v] AS qvec,
+       CAST(list_max([abs(CAST(floor(x * scale + 0.5) AS INT)) FOR x IN v])
+            AS INT) AS q_absmax
+FROM s
+ORDER BY vec_id
+"""
+
+
+@query("sim_vector_quantize_int8", _QUANTIZE_ORACLE)
+def sim_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector quantization — the storage-shrink step a vector
+    store runs before indexing (4x smaller than float32, 8x than
+    float64; ADC-style scoring on the quantized codes is
+    sim_pq_adc_topk's finer-grained cousin): per-vector max-abs
+    scaling to [-127, 127], symmetric round-half-up via the explicit
+    ``floor(x*scale + 0.5)`` identity so BOTH engines run the same
+    IEEE expression (native round() half-even vs half-away semantics
+    differ between engines; the identity sidesteps them bit-for-bit).
+
+    Scale shape: entirely map-side — scale and codes are higher-order
+    transforms over the row's own array, zero exchange, runs at scan
+    speed; the scale ships as integer micro-units next to the codes
+    (the dequantization metadata).  q_absmax <= 127 by construction —
+    emitted so a scaling bug fails the value gate loudly.
+    """
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    absmax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    s = e.withColumn("scale", F.lit(127.0) / absmax).filter(absmax > 0)
+    q = F.transform(
+        F.col("v"), lambda x: F.floor(x * F.col("scale") + 0.5).cast("int")
+    )
+    return (
+        s.select(
+            "vec_id",
+            F.floor(F.col("scale") * 1000000 + 0.5).cast("long").alias("scale_micro"),
+            q.alias("qvec"),
+            F.array_max(F.transform(q, lambda c: F.abs(c))).cast("int").alias("q_absmax"),
+        )
+        .orderBy("vec_id")
+    )
