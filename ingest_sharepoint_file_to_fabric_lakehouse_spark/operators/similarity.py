@@ -145,44 +145,25 @@ def sim_grouped_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= 3)
 
 
-@query("sim_topk_lsh")
-def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via BANDED random-hyperplane LSH (weak check).
+def _xxhash_banded(
+    spark: SparkSession, e: DataFrame, n_planes: int = 16, band_bits: int = 4
+) -> DataFrame:
+    """(vec_id, v, band, bucket) under the production xxhash64 sign
+    planes, for any (vec_id, v) relation.
 
-    16 sign bits of pseudo-random hyperplane dot products (planes
-    derived deterministically from xxhash64(dim, plane) — no stored
-    model, reproducible on any cluster), split into 4 bands of 4 bits:
-    a corpus row is a candidate if it matches the query's bucket in
-    ANY band (the classic OR-of-ANDs amplification — one hash table
-    per band).  A single monolithic table (the round-7 form, 8 bits =
-    256 buckets) shatters a corpus into buckets so small that recall
-    collapses to ~0 at fixture scale and to chance at any scale; the
-    banded form trades a bounded candidate-volume increase (~L·N/2^b
-    rows) for recall that amplifies with L.  Each (band, bucket) pair
-    is exactly what you'd ``partitionBy`` in the 100-TB layout —
-    queries probe L directories, candidate generation is a broadcast
-    join, and scoring touches candidates only.
-
-    Recall of this construction is measured with a value-checked
-    oracle by :func:`sim_lsh_recall_eval` (frozen-plane twin).
+    The ±1 planes are sign(xxhash64(dim_index, plane)) — row-INDEPENDENT,
+    but spelled as a per-row transform they cost 16x64 JVM hash calls
+    per vector (measured ~0.9 s at sf0.1).  Resolve them ONCE via a
+    64-row control-plane job and bind literal arrays, so each plane
+    dot is a constant-folded zip_with like the portable twin.  The
+    INT cast keeps xxhash64's type-sensitive inputs bit-identical to
+    the round-7 sequence()-element form.
     """
-    n_planes, band_bits = 16, 4
-    e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
-    # The ±1 planes are sign(xxhash64(dim_index, plane)) — row-INDEPENDENT,
-    # but spelled as a per-row transform they cost 16x64 JVM hash calls
-    # per vector (measured ~0.9 s of the key at sf0.1).  Resolve them
-    # ONCE via a 64-row control-plane job and bind literal arrays, so
-    # each plane dot is a constant-folded zip_with like the portable
-    # twin.  Same xxhash64 semantics, bit-identical buckets.
     dims = 64
     sign_rows = (
         spark.range(dims)
         .selectExpr(
             *[
-                # CAST to INT: the round-7 form hashed sequence()'s INT
-                # elements; xxhash64 is type-sensitive, so the literal
-                # planes must hash the same INT inputs to stay
-                # bit-identical with prior buckets
                 f"CASE WHEN xxhash64(CAST(id AS INT), {p}) % 2 = 0 THEN 1.0D ELSE -1.0D END AS p{p}"
                 for p in range(n_planes)
             ]
@@ -210,7 +191,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
 
     n_bands = n_planes // band_bits
-    banded = e.select(
+    return e.select(
         "vec_id",
         "v",
         F.explode(
@@ -224,6 +205,31 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("vec_id", "v", "bb.band", "bb.bucket")
+
+
+@query("sim_topk_lsh")
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via BANDED random-hyperplane LSH (weak check).
+
+    16 sign bits of pseudo-random hyperplane dot products (planes
+    derived deterministically from xxhash64(dim, plane) — no stored
+    model, reproducible on any cluster), split into 4 bands of 4 bits:
+    a corpus row is a candidate if it matches the query's bucket in
+    ANY band (the classic OR-of-ANDs amplification — one hash table
+    per band).  A single monolithic table (the round-7 form, 8 bits =
+    256 buckets) shatters a corpus into buckets so small that recall
+    collapses to ~0 at fixture scale and to chance at any scale; the
+    banded form trades a bounded candidate-volume increase (~L·N/2^b
+    rows) for recall that amplifies with L.  Each (band, bucket) pair
+    is exactly what you'd ``partitionBy`` in the 100-TB layout —
+    queries probe L directories, candidate generation is a broadcast
+    join, and scoring touches candidates only.
+
+    Recall of this construction is measured with a value-checked
+    oracle by :func:`sim_lsh_recall_eval` (frozen-plane twin).
+    """
+    e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
+    banded = _xxhash_banded(spark, e)
     q = banded.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_vec"),
@@ -246,6 +252,61 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "q_id", "vec_id", "cos_sim", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 10)
+
+
+@query(
+    "sim_lsh_dup_witness",
+    """
+    SELECT q_id, dup_id, CAST(1.0 AS DOUBLE) AS cos_sim,
+           true AS collided_every_band
+    FROM (SELECT vec_id AS q_id, vec_id + 1000000 AS dup_id
+          FROM embeddings WHERE vec_id < 3)
+    ORDER BY q_id
+    """,
+)
+def sim_lsh_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked witness for the PRODUCTION xxhash64 banded LSH
+    (:func:`sim_topk_lsh`), via a hash-independent invariant — the
+    ``dedup_simhash_stats`` pattern applied to vectors: an exact
+    duplicate of a query vector (planted at vec_id + 1e6) must land
+    in the SAME bucket in EVERY band (identical input → identical
+    plane dots → identical sign bits, whatever the hash), surface as
+    a candidate, and score cosine 1.0.  A band-extraction, plane
+    derivation, or corpus/query-side inconsistency bug breaks the
+    collision count; a scoring bug breaks the 1.0.
+
+    The planted rows are a pure function of the source (no synthetic
+    fixture), so DuckDB replays the expected relation exactly.
+    """
+    n_bands = 4
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    dups = e.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    banded = _xxhash_banded(spark, e.unionByName(dups))
+    q = banded.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_vec"),
+        F.col("band").alias("q_band"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    hits = (
+        banded.filter(F.col("vec_id") >= 1_000_000)
+        .join(
+            F.broadcast(q),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") == F.col("q_id") + 1_000_000),
+        )
+        .groupBy("q_id", F.col("vec_id").alias("dup_id"))
+        .agg(
+            F.round(F.first(cosine(F.col("q_vec"), F.col("v"))), 6).alias("cos_sim"),
+            (F.count("*") == n_bands).alias("collided_every_band"),
+        )
+    )
+    return hits.orderBy("q_id")
 
 
 _IVF_ORACLE = """
