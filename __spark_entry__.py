@@ -47,7 +47,10 @@ _DRIVER_VERIFIED = {
     "corpus_mix_weights", "corpus_quality_pipeline",
     "corpus_sample_stratified", "date_arith", "date_format_tz",
     "date_series_gapfill", "dedup_cluster_cc", "dedup_distinct_rows",
-    "dedup_embedding_cosine", "dedup_exact_hash", "dedup_fuzzy_minhash",
+    "dedup_embedding_cosine", "dedup_exact_hash",
+    # dedup_fuzzy_minhash: signature projection factored into a shared
+    # helper late r8 (value-neutral, rows re-checked locally) — changed
+    # keys re-earn, so it queues for its r9 rows-only re-verdict
     "dedup_simhash",
     "dedup_incremental_minhash", "dedup_jaccard_prefix", "dedup_lsh_eval",
     "dedup_minhash_portable", "dedup_subset_keyed", "events_ab_ttest",

@@ -129,6 +129,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_xxhash_signatures(d: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """(doc_id, sig) under the production xxhash64 MinHash — k
+    map-side mins over each row's own 3-shingle array, zero shuffle.
+
+    NB: seeds must be captured via a closure factory — a default-arg
+    lambda (s, k=k) would be treated as Spark's binary (element,
+    index) lambda and silently bind k to the element index.
+    """
+
+    def _minhash(k: int):
+        return lambda s: F.xxhash64(s, F.lit(k))
+
+    sh = d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    return sh.select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform("sh", _minhash(k))) for k in range(n_hashes)]
+        ).alias("sig"),
+    )
+
+
+@query(
+    "dedup_minhash_dup_witness",
+    """
+    SELECT doc_id AS orig_id, doc_id + 1000000 AS dup_id,
+           CAST(1.0 AS DOUBLE) AS est_jaccard,
+           true AS all_hashes_agree
+    FROM documents WHERE doc_id < 3
+    ORDER BY orig_id
+    """,
+)
+def dedup_minhash_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked witness for the PRODUCTION xxhash64 MinHash path
+    (:func:`dedup_fuzzy_minhash`), via the planted-duplicate
+    invariant: an exact copy of a document (planted at doc_id + 1e6,
+    a pure function of the source) has the identical shingle set,
+    therefore the identical 32-hash signature under ANY hash function
+    — all 32 mins agree (estimated Jaccard exactly 1.0) and the pair
+    collides in every band.  A shingle-construction, seed-binding, or
+    signature-assembly bug fails the value gate; the md5 portable
+    twin checks the construction, this checks the production hash's
+    own output (the vector twin is sim_lsh_dup_witness, the text twin
+    dedup_simhash_stats — all three xxhash hot paths now carry
+    production-path witnesses).
+    """
+    d = docs(spark, sf_dir)
+    base = d.filter(F.col("doc_id") < 3)
+    dups = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        *[c for c in base.columns if c != "doc_id"],
+    )
+    sig = _mh_xxhash_signatures(d.unionByName(dups))
+    a = sig.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("orig_id"), F.col("sig").alias("sig_a")
+    )
+    b = sig.filter(F.col("doc_id") >= 1_000_000).select(
+        F.col("doc_id").alias("dup_id"), F.col("sig").alias("sig_b")
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("dup_id") == F.col("orig_id") + 1_000_000)
+        .select(
+            "orig_id",
+            "dup_id",
+            F.round(agree / F.lit(32.0), 4).cast("double").alias("est_jaccard"),
+            (agree == 32).alias("all_hashes_agree"),
+        )
+        .orderBy("orig_id")
+    )
+
+
 @query("dedup_fuzzy_minhash")
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup candidates (weak check — approximate by design).
@@ -150,13 +225,6 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hashes, bands = 32, 8
     rows_per_band = n_hashes // bands
     d = docs(spark, sf_dir)
-    # materialize the shingle array once per row, then k map-side mins.
-    # NB: seeds must be captured via a closure factory — a default-arg
-    # lambda (s, k=k) would be treated as Spark's binary (element,
-    # index) lambda and silently bind k to the element index.
-    def _minhash(k: int):
-        return lambda s: F.xxhash64(s, F.lit(k))
-
     # Materialize the signature table: three consumers (banding + both
     # sides of the estimate join) hang off `sig`, and without a
     # materialization boundary Spark recomputes the 32-hash projection
@@ -175,17 +243,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     token = source_fingerprint(sf_dir, "documents")
     if not staging_current(sig_path, token):
-        sh = d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
-        (
-            sh.select(
-                "doc_id",
-                F.array(
-                    *[F.array_min(F.transform("sh", _minhash(k))) for k in range(n_hashes)]
-                ).alias("sig"),
-            )
-            .write.mode("overwrite")
-            .parquet(sig_path)
-        )
+        _mh_xxhash_signatures(d, n_hashes).write.mode("overwrite").parquet(sig_path)
         stamp_staging(sig_path, token)
     sig = read_staged(spark, sig_path)
     banded = sig.select(
