@@ -821,7 +821,7 @@ def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id FROM events WHERE user_id < 20
     ),
     gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -831,15 +831,20 @@ def join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid,
              ts
       FROM gaps
     ),
     iv AS (
+      -- floor(), not a raw ::BIGINT cast: DuckDB's double->int cast
+      -- ROUNDS while Spark's unix_seconds FLOORS, and a sub-second
+      -- fraction rounding the other way manufactures or destroys a
+      -- zero-length touching overlap (caught by the sf0.001 sweep:
+      -- one boundary pair diverged; sf0.01 never exposed it)
       SELECT user_id, sid,
-             epoch(min(ts))::BIGINT AS s,
-             epoch(max(ts))::BIGINT AS e
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS e
       FROM sess GROUP BY user_id, sid
     ),
     pairs AS (
