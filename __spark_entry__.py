@@ -42,7 +42,9 @@ _DRIVER_VERIFIED = {
     "agg_grouping_sets", "agg_having", "agg_heavy_hitters_exact",
     "agg_histogram_fixed", "agg_incremental_merge",
     "agg_incremental_rollup", "agg_min_max_by", "agg_mode_top_freq",
-    "agg_percentile", "agg_rollup", "agg_sketch_hll_merge", "agg_stats",
+    # agg_sketch_hll_merge: r8 oracle upgraded to the error-bound shape
+    # (sf0.1 sweep showed exact-equality stops holding at ~10k/group)
+    "agg_percentile", "agg_rollup", "agg_stats",
     "array_ops", "cast_types", "cond_case_when", "corpus_dedup_pipeline",
     "corpus_mix_weights", "corpus_quality_pipeline",
     "corpus_sample_stratified", "date_arith", "date_format_tz",
@@ -73,6 +75,8 @@ _DRIVER_VERIFIED = {
     "join_skew_salted", "join_theta_range", "limit_n", "map_json_ops",
     "math_expr", "multimodal_binary_meta", "multimodal_chunk_binary",
     "multimodal_embed_ann", "multimodal_frame_sample", "orders_cohort_ltv",
+    # orders_pareto_abc / text_pack_sequences: two-phase prefix-sum
+    # layout-freeze fix late r8 (sf0.1 sweep) — both re-earn in r9
     "orders_open_backlog", "orders_rfm_segments", "pivot_wide",
     "project_rename_drop", "scalar_subquery", "scan_binaryfile",
     "scan_csv_malformed", "scan_csv_schema", "scan_datasource_sharepoint",
@@ -95,7 +99,7 @@ _DRIVER_VERIFIED = {
     "string_agg_ordered", "text_boilerplate_ratio", "text_bpe_tokenize",
     "text_chunk_overlap", "text_dataset_split", "text_decontaminate",
     "text_duplicate_spans", "text_fingerprint", "text_lang_filter",
-    "text_langid_ngram", "text_lm_quality", "text_pack_sequences",
+    "text_langid_ngram", "text_lm_quality",
     "text_pii_scrub", "text_quality_score", "text_repetition_filter",
     "text_stats", "text_token_count", "tfidf_top_terms",
     "udaf_pandas_grouped", "udf_cogrouped_asof", "udf_pandas_cosine",

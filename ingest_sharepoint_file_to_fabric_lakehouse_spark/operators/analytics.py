@@ -1551,7 +1551,15 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cents").desc(), F.col("o_custkey"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranked.withColumn("local_cum", F.sum("cents").over(local_w))
+    # EAGER materialization is load-bearing (same defect class the
+    # sf0.1 sweep caught in text_pack_sequences): repartitionByRange
+    # samples boundaries per execution, and `local` feeds both the
+    # totals collect and the classification join — without a frozen
+    # layout the offsets from one sampling get joined onto another's
+    # partitions and borderline customers change class.
+    local = ranked.withColumn(
+        "local_cum", F.sum("cents").over(local_w)
+    ).localCheckpoint(eager=True)
     totals = (
         local.groupBy("_part")
         .agg(F.sum("cents").alias("part_total"))

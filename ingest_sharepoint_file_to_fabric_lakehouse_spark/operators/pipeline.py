@@ -293,7 +293,19 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_w = Window.partitionBy("_part").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    local = d.withColumn("local_prefix", F.coalesce(F.sum("n_tokens").over(local_w), F.lit(0)))
+    # EAGER materialization is load-bearing, not a cache hint:
+    # repartitionByRange SAMPLES its range boundaries per execution,
+    # and `local` feeds two actions (the phase-2 totals collect and
+    # the final join).  Without a materialization boundary the two
+    # executions can sample DIFFERENT boundaries, so the offsets
+    # computed from one partition layout get joined onto another —
+    # global prefixes silently lose/gain whole partitions' tokens
+    # (caught by the sf0.1 cross-fixture sweep: 2,098 tokens missing
+    # by doc 1000; sf0.01's samples happened to agree).  The
+    # checkpoint freezes one layout for both consumers.
+    local = d.withColumn(
+        "local_prefix", F.coalesce(F.sum("n_tokens").over(local_w), F.lit(0))
+    ).localCheckpoint(eager=True)
     # phase 2: tiny per-partition totals -> driver prefix sum -> broadcast.
     totals = (
         local.groupBy("_part").agg(F.sum("n_tokens").alias("part_total")).orderBy("_part").collect()
