@@ -367,27 +367,43 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_min_max_by",
     """
+    WITH o AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               * 10000000000 + o_orderkey AS ord
+      FROM orders
+    )
     SELECT o_orderstatus,
-           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, ord) AS cheapest_order,
+           arg_max(o_orderkey, ord) AS priciest_order,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price
-    FROM orders
+    FROM o
     GROUP BY o_orderstatus
     """,
 )
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (arg-extrema) — latest-file-per-folder pattern.
 
-    Deterministic because o_totalprice values are distinct per group in
-    practice; ties would be engine-arbitrary.
+    The ordering value is the exact composite ``price_cents * 1e10 +
+    orderkey`` (one bigint, strictly monotone in (price, key)), so
+    PRICE TIES break deterministically to the lower/higher orderkey on
+    both engines — min_by/max_by over the raw price alone is
+    engine-arbitrary under ties, which the synthesized-4x oracle sweep
+    manufactured and caught (real corpora at 100 TB hit genuine ties
+    constantly; an arg-extremum without a total order is a latent
+    nondeterminism bug, same discipline as events_resample_ohlc's
+    composite open/close key).
     """
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    ord_ = cents * F.lit(10_000_000_000).cast("long") + F.col("o_orderkey")
     return (
         t(spark, sf_dir, "orders")
+        .withColumn("ord", ord_)
         .groupBy("o_orderstatus")
         .agg(
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", "ord").alias("cheapest_order"),
+            F.max_by("o_orderkey", "ord").alias("priciest_order"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
         )
