@@ -249,29 +249,42 @@ def main() -> None:
             timings[key] = -1.0
             print(f"# {key}: ERROR {type(ex).__name__}: {ex}", file=sys.stderr)
 
-    # Variance guard, protocol v7: long sessions degrade
+    # Variance guard, protocol v8: long sessions degrade
     # non-deterministically (GC / code-cache / cleaner state) and the
     # host itself stalls in multi-second episodes (hypervisor CPU
     # steal: an r6 pair on one boot measured 145.6 s vs 231.8 s on
     # identical code+data, with a 0.2 s key first-measured at 21.8 s).
-    # Episodes hit whichever key is running, so every key whose first
-    # pass exceeded 0.8 s is measured TWO more times on a GC-nudged
-    # JVM and the reported per-key figure is the MEDIAN of the three —
-    # robust to a single stall episode in either direction, unlike the
-    # v6 min (optimistic: kept lucky passes) or the raw first pass
-    # (pessimistic: kept stalls).  All three samples land in
-    # BENCH_FULL.json so round-over-round deltas are attributable;
-    # with calib_sec recorded alongside, total/calib is the
-    # machine-independent comparison figure.
+    # Episodes hit whichever key is running, so EVERY key is measured
+    # TWO more times on a GC-nudged JVM and the reported per-key
+    # figure is the MEDIAN of the three — robust to a single stall
+    # episode in either direction, unlike the v6 min (optimistic:
+    # kept lucky passes) or the raw first pass (pessimistic: kept
+    # stalls).  v7 medianed only keys over 0.8 s, which left every
+    # sub-second key single-sampled and produced phantom 1.3-1.9x
+    # round-over-round "regressions" on noise (the r8 verdict's
+    # text_chunk_overlap / scan_json_lines list).  If a rerun errors,
+    # the recorded figure is the median/min of the samples actually
+    # collected and the key lands in "partial" — a first-pass stall
+    # is never silently promoted to the official number while still
+    # printing as a median.  All samples land in BENCH_FULL.json so
+    # round-over-round deltas are attributable; with calib_sec
+    # recorded alongside, total/calib is the machine-independent
+    # comparison figure.
     samples: dict[str, list[float]] = {}
-    suspects = [
-        k for k, v in sorted(timings.items(), key=lambda kv: -kv[1]) if v > 0.8
+    partial: dict[str, int] = {}
+    # GC nudge per rerun is ~0.3 s x 2 x 252 keys of pure overhead if
+    # done for every key; sub-second keys get a nudge every 20 reruns
+    # (same cadence as the first pass), slow keys get one each rerun.
+    rerun_order = [
+        k for k, v in sorted(timings.items(), key=lambda kv: -kv[1]) if v > 0
     ]
-    for key in suspects:
+    for ri, key in enumerate(rerun_order):
         samples[key] = [timings[key]]
+        heavy = timings[key] > 0.8
         for _ in range(2):
-            _gc.collect()
-            spark.sparkContext._jvm.System.gc()
+            if heavy or (ri and ri % 20 == 0):
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
             try:
                 spark.catalog.clearCache()
             except Exception:
@@ -286,10 +299,19 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 break
-        if len(samples[key]) == 3:
-            timings[key] = sorted(samples[key])[1]
+        got = sorted(samples[key])
+        if len(got) == 3:
+            timings[key] = got[1]
+            tag = "median"
+        else:
+            # fewer than 3 samples: the min is the stall-robust choice
+            # (a stall only ever inflates), and the key is flagged so
+            # BENCH deltas stay attributable
+            timings[key] = got[0]
+            partial[key] = len(got)
+            tag = f"partial({len(got)} samples, min)"
         print(
-            f"# median {key}: {timings[key]:.2f}s from {samples[key]}",
+            f"# {tag} {key}: {timings[key]:.2f}s from {samples[key]}",
             file=sys.stderr,
         )
     total = sum(v for v in timings.values() if v > 0)
@@ -309,9 +331,9 @@ def main() -> None:
     # runs measured the same way (ADVICE r5: the r5 order change made
     # per-key rows incomparable to earlier rounds without saying so).
     protocol = {
-        "version": 7,
+        "version": 8,
         "order": "reversed-registration",
-        "variance_guard": "median-of-3-for-keys-over-0.8s",
+        "variance_guard": "median-of-3-all-keys;partial-marked-min",
     }
     line = json.dumps(
         {
@@ -338,6 +360,7 @@ def main() -> None:
         "calib_sec": calib_sec,
         "queries": timings,
         "samples": samples,
+        "partial": partial,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),

@@ -369,8 +369,8 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
       SELECT o_orderstatus, o_orderkey, o_totalprice,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               * 10000000000 + o_orderkey AS ord
+             CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS HUGEINT) * 10000000000000000000 + o_orderkey AS ord
       FROM orders
     )
     SELECT o_orderstatus,
@@ -385,18 +385,29 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (arg-extrema) — latest-file-per-folder pattern.
 
-    The ordering value is the exact composite ``price_cents * 1e10 +
-    orderkey`` (one bigint, strictly monotone in (price, key)), so
-    PRICE TIES break deterministically to the lower/higher orderkey on
-    both engines — min_by/max_by over the raw price alone is
-    engine-arbitrary under ties, which the synthesized-4x oracle sweep
-    manufactured and caught (real corpora at 100 TB hit genuine ties
-    constantly; an arg-extremum without a total order is a latent
-    nondeterminism bug, same discipline as events_resample_ohlc's
-    composite open/close key).
+    The ordering value is the exact composite ``price_cents * 1e19 +
+    orderkey`` — decimal(38,0) Spark-side, HUGEINT oracle-side —
+    strictly monotone in (price, key), so PRICE TIES break
+    deterministically to the lower/higher orderkey on both engines —
+    min_by/max_by over the raw price alone is engine-arbitrary under
+    ties, which the synthesized-4x oracle sweep manufactured and
+    caught (real corpora at 100 TB hit genuine ties constantly; an
+    arg-extremum without a total order is a latent nondeterminism
+    bug, same discipline as events_resample_ohlc's composite
+    open/close key).  The 10^19 multiplier exceeds the bigint range,
+    so NO bigint orderkey can alias into the price digits, and the
+    product stays inside decimal(38,0) for any bigint cents
+    (9.2e18 * 1e19 = 9.2e37 < 1e38) — a packed bigint (the r8 form,
+    cents*1e10+key) silently aliased once orderkey >= 1e10 and
+    wrapped past ~$92M prices, contradicting the 100-TB determinism
+    claim.
     """
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-    ord_ = cents * F.lit(10_000_000_000).cast("long") + F.col("o_orderkey")
+    ord_ = (
+        cents.cast("decimal(38,0)")
+        * F.lit("10000000000000000000").cast("decimal(20,0)")
+        + F.col("o_orderkey")
+    )
     return (
         t(spark, sf_dir, "orders")
         .withColumn("ord", ord_)

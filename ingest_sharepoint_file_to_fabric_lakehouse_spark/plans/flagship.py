@@ -940,14 +940,16 @@ def sql_api_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q11_SQL = _SUPPLY_CTE + """
-SELECT ps_partkey, CAST(SUM(ps_value_cents) AS BIGINT) AS part_value_cents
+SELECT ps_partkey,
+       CAST(SUM(CAST(ps_value_cents AS DECIMAL(38,0))) AS BIGINT)
+         AS part_value_cents
 FROM supply, supplier, nation
 WHERE ps_suppkey = s_suppkey
   AND s_nationkey = n_nationkey
   AND n_name = 'NATION_7'
 GROUP BY ps_partkey
-HAVING CAST(SUM(ps_value_cents) AS DECIMAL(38,0)) * 500 > (
-  SELECT CAST(SUM(ps_value_cents) AS DECIMAL(38,0))
+HAVING SUM(CAST(ps_value_cents AS DECIMAL(38,0))) * 500 > (
+  SELECT SUM(CAST(ps_value_cents AS DECIMAL(38,0)))
   FROM supply, supplier, nation
   WHERE ps_suppkey = s_suppkey
     AND s_nationkey = n_nationkey
@@ -968,9 +970,16 @@ def sql_api_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-reduced — no second corpus pass is forced by semantics (the
     materialize-once call is agg_incremental_merge's pattern).
     Value arithmetic is exact integer cents·quantity widened to
-    decimal(38,0) BEFORE the x500 threshold multiply (sum(bigint) is
-    HUGEINT in DuckDB, wraps in non-ANSI Spark — the same trap
-    sink_snapshot_diff hit in r6).  Identical ANSI text.
+    decimal(38,0) BEFORE the SUM itself (``SUM(CAST(ps_value_cents
+    AS DECIMAL(38,0)))``) in the HAVING, the scalar subquery, AND the
+    projected per-part total: DuckDB sums bigint in HUGEINT while
+    non-ANSI Spark's sum(bigint) accumulates in bigint and wraps
+    silently — widening only after the SUM would guard the x500
+    multiply but not the accumulation (the same trap
+    sink_snapshot_diff hit in r6).  The projected total's final
+    BIGINT cast is safe: a single part's supply value is bounded by
+    suppliers-per-part (a dimension constant), not corpus scale.
+    Identical ANSI text.
     """
     for name in ("lineitem", "supplier", "nation"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)

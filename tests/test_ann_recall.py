@@ -38,17 +38,19 @@ def test_lsh_candidates_are_bucket_consistent(spark, sf_dir):
 
 
 def test_banded_lsh_recall_vs_bruteforce(spark, sf_dir):
-    """The banded (4 tables × 4 bits) production LSH must hold a real
-    recall floor against exact top-10 — the round-7 single-table form
-    measured ~0 recall (256 buckets shattered the fixture corpus),
-    which this pins against regression.  Measured: 0.57 at sf0.001,
-    0.77 at sf0.01, 0.33 at sf0.1."""
+    """The multi-probe banded (6 tables × 6 bits, radius-1 probes)
+    production LSH must hold recall ≥ 0.6 against exact top-10 — the
+    round-7 single-table form measured ~0 recall (shattered buckets),
+    the round-8 exact-probe 4×4 form 0.33-0.47; multi-probe measures
+    0.73-0.77 at every fixture.  The construction is deterministic
+    (frozen planes, fixed data), so the floor is a regression pin,
+    not a flaky statistical bound."""
     exact = _topk_sets(engine.QUERIES["sim_topk_bruteforce"](spark, sf_dir))
     approx = _topk_sets(engine.QUERIES["sim_topk_lsh"](spark, sf_dir))
     recalls = [
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
-    assert sum(recalls) / len(recalls) >= 0.2, recalls
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
 def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
