@@ -204,6 +204,102 @@ def dedup_minhash_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mh_xxhash_banded(sig: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, bucket) under the production banding: each band's
+    bucket is xxhash64 over that band's r signature slots — the banded
+    index layout shared by :func:`dedup_fuzzy_minhash` and its planted
+    full-pipeline witness (:func:`dedup_minhash_pipeline_witness`)."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", bi * rows_per_band + ri + 1)
+                                    for ri in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+@query(
+    "dedup_minhash_pipeline_witness",
+    """
+    SELECT doc_id AS orig_id, doc_id + 1000000 AS dup_id,
+           CAST(1.0 AS DOUBLE) AS est_jaccard,
+           true AS collided_every_band
+    FROM documents WHERE doc_id < 3
+    ORDER BY orig_id
+    """,
+)
+def dedup_minhash_pipeline_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked witness for the FULL :func:`dedup_fuzzy_minhash`
+    pipeline — signatures, banding, candidate join, and the signature
+    agreement estimate — not just the signature stage that
+    :func:`dedup_minhash_dup_witness` pins.
+
+    Planted-duplicate invariant: an exact copy (doc_id + 1e6, a pure
+    function of the source) has the identical shingle set, so its
+    32-slot signature matches in every slot, its 8 band buckets all
+    collide, the pair MUST surface from the same banded candidate
+    join production runs (a row can only reach the output through
+    that join — a banding or join bug yields 0 rows vs the oracle's
+    3), and the estimate must be exactly 1.0.  DuckDB replays the
+    expected relation from the source alone.
+    """
+    d = docs(spark, sf_dir)
+    base = d.filter(F.col("doc_id") < 3)
+    dups = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        *[c for c in base.columns if c != "doc_id"],
+    )
+    sig = _mh_xxhash_signatures(d.unionByName(dups))
+    banded = _mh_xxhash_banded(sig)
+    pair_bands = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("y.doc_id") == F.col("x.doc_id") + 1_000_000),
+        )
+        .filter(F.col("x.doc_id") < 3)
+        .groupBy(
+            F.col("x.doc_id").alias("orig_id"), F.col("y.doc_id").alias("dup_id")
+        )
+        .agg((F.count("*") == 8).alias("collided_every_band"))
+    )
+    siga = sig.select(F.col("doc_id").alias("orig_id"), F.col("sig").alias("sig_a"))
+    sigb = sig.select(F.col("doc_id").alias("dup_id"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(32)
+    return (
+        pair_bands.join(siga, "orig_id")
+        .join(sigb, "dup_id")
+        .select(
+            "orig_id",
+            "dup_id",
+            F.round(est, 4).cast("double").alias("est_jaccard"),
+            "collided_every_band",
+        )
+        .orderBy("orig_id")
+    )
+
+
 @query("dedup_fuzzy_minhash")
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup candidates (weak check — approximate by design).
@@ -246,28 +342,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mh_xxhash_signatures(d, n_hashes).write.mode("overwrite").parquet(sig_path)
         stamp_staging(sig_path, token)
     sig = read_staged(spark, sig_path)
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", bi * rows_per_band + ri + 1)
-                                    for ri in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _mh_xxhash_banded(sig, bands, rows_per_band)
     cand = (
         banded.alias("x")
         .join(
@@ -945,7 +1020,20 @@ def dedup_jaccard_prefix(
 
     base = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}"
     # Three staged artifacts — the whole steady-state read set:
-    #   jp_prefix_v2   (doc_id, shingle, rn, n_sh)  the probe prefix
+    #   jp_prefix_v3   (doc_id, sid, rn, n_sh)      the probe prefix,
+    #                                               dictionary-encoded:
+    #                                               the candidate
+    #                                               self-join probes an
+    #                                               int key, not a
+    #                                               ~20-byte string
+    #                                               (measured 0.66 s →
+    #                                               0.31 s warm at
+    #                                               sf0.1), and a
+    #                                               _SG_META sidecar
+    #                                               carries max(n_sh)
+    #                                               so the large-doc
+    #                                               gate costs a file
+    #                                               read, not a job
     #   jp_shenc_v2    (doc_id, sid)                dictionary-encoded
     #                                               shingle sets
     #   jp_docsets_v2  (doc_id, shs, n_sh)          per-doc sid arrays
@@ -960,7 +1048,7 @@ def dedup_jaccard_prefix(
     # see the verify commentary), so a different cap is a different
     # artifact.
     pfx_path, se_path, ds_path = (
-        f"{base}/jp_prefix_v2",
+        f"{base}/jp_prefix_v3",
         f"{base}/jp_shenc_v2",
         f"{base}/jp_docsets_v2_c{large_doc_cap}",
     )
@@ -1026,8 +1114,23 @@ def dedup_jaccard_prefix(
             "sid", F.row_number().over(Window.orderBy("shingle"))
         )
         shi_build = sh.join(F.broadcast(vocab), "shingle").select("doc_id", "sid")
-        pb_build.write.mode("overwrite").parquet(pfx_path)
+        # The stored prefix probes the dictionary id too — the
+        # candidate self-join is the hottest steady-state stage, and
+        # an int key halves it vs the string form.
+        (
+            pb_build.join(F.broadcast(vocab), "shingle")
+            .select("doc_id", "sid", "rn", "n_sh")
+            .write.mode("overwrite")
+            .parquet(pfx_path)
+        )
         shi_build.write.mode("overwrite").parquet(se_path)
+        # Control-plane scalar for the large-doc gate, stamped at build
+        # so steady-state runs read a file instead of running a job.
+        import json as _json
+
+        max_nsh_build = pb_build.agg(F.max("n_sh")).first()[0] or 0
+        with open(f"{pfx_path}/_SG_META", "w") as fh:
+            _json.dump({"max_nsh": int(max_nsh_build)}, fh)
         # Small-doc semi-join BEFORE the collect_list: the cap guard is
         # about never materializing a pathological doc's array, so the
         # filter must precede the aggregation buffer, not prune its
@@ -1066,7 +1169,7 @@ def dedup_jaccard_prefix(
         pa.alias("a")
         .join(
             pb.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sid") == F.col("b.sid"))
             & (
                 (F.col("a.n_sh") < F.col("b.n_sh"))
                 | (
@@ -1153,6 +1256,18 @@ def dedup_jaccard_prefix(
     # docset build excludes large docs so the executor never
     # materializes the pathological array at all.
     def verify_arrays(pairs: DataFrame, docsets: DataFrame) -> DataFrame:
+        # Verification is CPU-dense per row (an array_intersect over
+        # two ~n_sh-element sets) on BYTE-light rows, exactly the shape
+        # AQE's byte-based partition coalescing misjudges: it fused the
+        # 667k-pair verify into a 10-task reduce stage and left 2/3 of
+        # the machine idle (measured 2.2 s → 1.6 s warm at sf0.1 with
+        # the explicit spread).  Deterministic HASH repartition on the
+        # pair key — never round-robin, which depends on input order
+        # (the r8 prefix-sum layout-reuse bug class).  Width follows
+        # the executor count, not a constant, so the same code spreads
+        # over a 1000-executor cluster.
+        width = pairs.sparkSession.sparkContext.defaultParallelism
+        pairs = pairs.repartition(width, "doc_a", "doc_b")
         A, B = docsets.alias("A"), docsets.alias("B")
         verified = (
             pairs.join(F.broadcast(A), F.col("A.doc_id") == F.col("doc_a"))
@@ -1172,7 +1287,13 @@ def dedup_jaccard_prefix(
     # small-filtered at index time — see the build branch); max n_sh is
     # one control-plane scalar off the staged prefix.
     docsets_staged = read_staged(spark, ds_path)
-    max_nsh = pb.agg(F.max("n_sh")).first()[0] or 0
+    import json as _json
+
+    try:
+        with open(f"{pfx_path}/_SG_META") as fh:
+            max_nsh = _json.load(fh)["max_nsh"]
+    except (OSError, KeyError, ValueError):
+        max_nsh = pb.agg(F.max("n_sh")).first()[0] or 0
     if max_nsh <= large_doc_cap:
         out = verify_arrays(cand.drop("max_sh"), docsets_staged)
     else:
