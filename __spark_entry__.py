@@ -58,7 +58,7 @@ _DRIVER_VERIFIED = {
     "flagship_q3_topk", "funnel_conversion", "geo_grid_nearest",
     "graph_bfs_reachability", "graph_label_propagation",
     "graph_link_prediction", "graph_pagerank", "graph_triangle_count",
-    "hash_funcs", "ingest_pipeline", "join_asof_latest",
+    "hash_funcs", "join_asof_latest", "pivot_wide",
     "join_asof_nearest", "join_asof_next_within", "join_broadcast_dim",
     "join_bucketed", "join_dynamic_partition_pruned",
     "join_interval_banded", "join_lateral_topn", "join_left_semi",
@@ -144,13 +144,18 @@ _WINDOW_50 = [
     "stream_stateful_custom", "stream_watermark_late", "stream_foreach_sink",
     "stream_static_join", "stream_session_live", "stream_stream_join",
     "stream_additive_state_merge",
-    # (d) rotation: oldest r01 greens (22 of 61; remainder queue for r10)
+    # (c') changed after the window was first pinned: the ingest
+    # lifecycle steady-state gate — swapped in for the last rotation
+    # slot (pivot_wide returns to the verified pool; changed keys
+    # re-earning outranks re-confirming a stable green)
+    "ingest_pipeline",
+    # (d) rotation: oldest r01 greens (21 of 61; remainder queue for r10)
     "agg_count_distinct", "agg_cube", "agg_empty_check", "agg_grouping_sets",
     "agg_having", "agg_percentile", "agg_rollup", "agg_stats",
     "dedup_distinct_rows", "dedup_subset_keyed", "explode_lateral",
     "filter_between_date", "filter_in_set", "filter_like", "filter_null",
     "join_cross", "join_left_anti", "join_multikey_chain", "join_outer_full",
-    "join_outer_left", "limit_n", "pivot_wide",
+    "join_outer_left", "limit_n",
 ]
 
 
