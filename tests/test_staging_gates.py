@@ -1,0 +1,109 @@
+"""Round-9 machinery pins: the multi-probe expansion, the
+single-SQL-string banding projection, and the streaming/ingest
+steady-state drain gates.
+
+These are the pieces whose failure modes are silent: a wrong probe
+mask loses recall without an error, a banding-projection regression
+changes buckets everywhere at once, and a broken drain gate either
+serves stale epochs (correctness) or silently re-drains every run
+(the 25 s streaming bill coming back).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine  # noqa: F401
+
+
+def test_multiprobe_expands_to_exact_bucket_plus_one_bit_flips(spark):
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.similarity import (
+        _LSH_BAND_BITS,
+        _multiprobe,
+    )
+
+    q = spark.createDataFrame(
+        [(1, 0, 0b101010), (1, 1, 0)],
+        "q_id long, q_band int, q_bucket int",
+    )
+    got = {
+        (r.q_band, r.q_bucket)
+        for r in _multiprobe(q.withColumn("q_vec", F.lit(0.0))).collect()
+    }
+    want = set()
+    for band, bucket in [(0, 0b101010), (1, 0)]:
+        want.add((band, bucket))
+        for b in range(_LSH_BAND_BITS):
+            want.add((band, bucket ^ (1 << b)))
+    assert got == want
+
+
+def test_banded_select_matches_python_sign_reference(spark):
+    """The SQL-string projection must compute exactly the per-band
+    sign-bit buckets a pure-Python reference does — pinned over planes
+    with mixed signs and vectors including zeros (the >= 0 boundary:
+    a zero dot product counts as sign 1 on both sides)."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.similarity import (
+        _banded_select,
+        _frozen_planes,
+    )
+
+    planes = _frozen_planes(12, 4)  # 4 bands x 3 bits over 4 dims
+    vecs = [
+        (0, [1.0, -2.0, 3.0, -4.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # all dots 0.0 -> every bit set
+        (2, [-1.5, -1.5, 2.25, 0.5]),
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    got = {
+        (r.vec_id, r.band): r.bucket
+        for r in _banded_select(e, planes, 3).collect()
+    }
+    for vid, v in vecs:
+        for band in range(4):
+            bucket = 0
+            for b in range(3):
+                d = sum(x * s for x, s in zip(v, planes[band * 3 + b]))
+                if d >= 0:
+                    bucket |= 1 << b
+            assert got[(vid, band)] == bucket, (vid, band, got[(vid, band)], bucket)
+
+
+def test_drain_gate_resumes_and_rebuilds_on_token_change(spark, sf_dir):
+    """A drained streaming key must NOT re-drain while its feed
+    fingerprint is unchanged (the steady state reads materialized
+    epochs), and a stale/corrupt stamp must force a full rebuild with
+    identical values."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.streaming import streams as S
+
+    fn = engine.QUERIES["stream_tumbling_live"]
+    first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    out = f"{S._staging(sf_dir, 'stream_tumbling')}/out"
+    stamp = os.path.join(out, "_SG_DRAINED")
+    mtime = os.stat(stamp).st_mtime_ns
+    again = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert again == first
+    assert os.stat(stamp).st_mtime_ns == mtime, "resume path re-drained"
+    # corrupt the stamp -> must rebuild from scratch, same values
+    with open(stamp, "w") as fh:
+        fh.write("stale-token")
+    rebuilt = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert rebuilt == first
+    assert os.stat(stamp).st_mtime_ns != mtime, "gate did not rebuild"
+
+
+def test_ingest_gate_rebuilds_cold_and_resumes_warm(spark, sf_dir):
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.sources import ingest as I
+
+    base = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/ingest"
+    shutil.rmtree(base, ignore_errors=True)
+    fn = engine.QUERIES["ingest_pipeline"]
+    first = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    stamp = os.path.join(base, "_SG_DRAINED")
+    assert os.path.isfile(stamp)
+    mtime = os.stat(stamp).st_mtime_ns
+    again = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert again == first and os.stat(stamp).st_mtime_ns == mtime
