@@ -36,7 +36,8 @@ engine.load_all()
 # sort directly after the window.
 _DRIVER_VERIFIED = {
     "agg_approx_distinct", "agg_approx_quantile", "agg_bitmap_distinct",
-    "agg_bool", "agg_cms_portable", "agg_collect", "agg_corr_moments",
+    "agg_bool", "agg_cms_portable", "agg_collect", "agg_corr_moments", "agg_count_distinct", "agg_cube",
+    "agg_empty_check",
     "agg_exact_median_twopass", "agg_exact_quantile_grouped",
     "agg_group_sum", "agg_heavy_hitters_exact", "agg_histogram_fixed",
     "agg_incremental_merge", "agg_incremental_rollup", "agg_mode_top_freq",
@@ -47,8 +48,7 @@ _DRIVER_VERIFIED = {
     "date_series_gapfill", "dedup_cluster_cc", "dedup_containment",
     "dedup_embedding_cosine", "dedup_exact_hash",
     "dedup_incremental_minhash", "dedup_lsh_eval", "dedup_minhash_portable",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_portable",
-    "dedup_simhash_stats", "dq_expectations", "events_ab_ttest",
+    "dedup_ngram_jaccard", "dq_expectations", "events_ab_ttest",
     "events_anomaly_zscore", "events_attribution_lasttouch",
     "events_changepoint_cusum", "events_dau_wau_mau", "events_ewma",
     "events_forecast_snaive", "events_markov_transitions",
@@ -144,13 +144,17 @@ _WINDOW_50 = [
     "stream_stateful_custom", "stream_watermark_late", "stream_foreach_sink",
     "stream_static_join", "stream_session_live", "stream_stream_join",
     "stream_additive_state_merge",
-    # (c') changed after the window was first pinned: the ingest
-    # lifecycle steady-state gate — swapped in for the last rotation
-    # slot (pivot_wide returns to the verified pool; changed keys
-    # re-earning outranks re-confirming a stable green)
-    "ingest_pipeline",
-    # (d) rotation: oldest r01 greens (21 of 61; remainder queue for r10)
-    "agg_count_distinct", "agg_cube", "agg_empty_check", "agg_grouping_sets",
+    # (c') changed after the window was first pinned — swapped in for
+    # rotation slots (changed keys re-earning outranks re-confirming
+    # stable greens; the displaced r01 keys return to the verified
+    # pool and queue for r10): the ingest lifecycle steady-state gate,
+    # and the SimHash family's SQL-string expression rewrite (the
+    # py4j plan-construction fix applied to both hash paths; stats
+    # consumes the production path, so it re-earns with it)
+    "ingest_pipeline", "dedup_simhash", "dedup_simhash_portable",
+    "dedup_simhash_stats",
+    # (d) rotation: oldest r01 greens (18 of 61; remainder queue for r10)
+    "agg_grouping_sets",
     "agg_having", "agg_percentile", "agg_rollup", "agg_stats",
     "dedup_distinct_rows", "dedup_subset_keyed", "explode_lateral",
     "filter_between_date", "filter_in_set", "filter_like", "filter_null",

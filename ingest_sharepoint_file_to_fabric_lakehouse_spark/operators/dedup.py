@@ -535,44 +535,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
         )
         h = toks.withColumn("h", F.xxhash64("tok"))
+        # SQL-string expressions for the same reason as the portable
+        # twin: 64 column-API vote aggregates + the 64-term signature
+        # sum cost seconds of driver py4j time per cold build.
         votes = h.groupBy("doc_id").agg(
             *[
-                F.sum(
-                    F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                ).alias(f"b{b}")
+                F.expr(
+                    f"SUM(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+                    f" THEN 1 ELSE -1 END) AS b{b}"
+                )
                 for b in range(64)
             ]
         )
-        sig = votes.select(
-            "doc_id",
-            sum(
-                [
-                    F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                        F.lit(0).cast("long")
-                    )
-                    for b in range(64)
-                ],
-                F.lit(0).cast("long"),
-            ).alias("simhash"),
+        sig_expr = " + ".join(
+            f"(CASE WHEN b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b})"
+            " ELSE 0L END)"
+            for b in range(64)
+        )
+        sig = votes.selectExpr("doc_id", f"({sig_expr}) AS simhash")
+        bands = ", ".join(
+            f"named_struct('band', {i}, 'bucket',"
+            f" shiftrightunsigned(simhash, {i * 16}) & {0xFFFF})"
+            for i in range(4)
         )
         (
-            sig.select(
-                "doc_id",
-                "simhash",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(i).alias("band"),
-                                F.shiftrightunsigned("simhash", i * 16)
-                                .bitwiseAND(F.lit(0xFFFF))
-                                .alias("bucket"),
-                            )
-                            for i in range(4)
-                        ]
-                    )
-                ).alias("bb"),
-            )
+            sig.selectExpr("doc_id", "simhash", f"explode(array({bands})) AS bb")
             .select("doc_id", "simhash", "bb.band", "bb.bucket")
             .write.mode("overwrite")
             .parquet(sig_path)
@@ -830,43 +817,38 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
     h = toks.withColumn("h", F.md5("tok"))
+    # Expressions are generated as SQL STRINGS, not column-API trees:
+    # the 32 bit-vote aggregates + 32-term signature sum built through
+    # F.when/F.substring/.isin cost ~1.7 s of DRIVER py4j round-trips
+    # per invocation before any execution (the same plan-construction
+    # tax _banded_select eliminated for the LSH planes); the strings
+    # parse to identical expressions JVM-side and mirror the oracle's
+    # text one-for-one.
+    hex_hi = ", ".join(f"'{c}'" for c in _HEX_HI)
     votes = h.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.substring("h", b + 1, 1).isin(*_HEX_HI), 1).otherwise(-1)
-            ).alias(f"v{b}")
+            F.expr(
+                f"SUM(CASE WHEN substr(h, {b + 1}, 1) IN ({hex_hi})"
+                f" THEN 1 ELSE -1 END) AS v{b}"
+            )
             for b in range(32)
         ]
     )
-    sig = votes.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for b in range(32)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0L END)"
+        for b in range(32)
     )
-    banded = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", i * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("bucket"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket").localCheckpoint(eager=True)
+    sig = votes.selectExpr("doc_id", f"({sig_expr}) AS simhash")
+    bands = ", ".join(
+        f"named_struct('band', {i}, 'bucket',"
+        f" CAST(shiftrightunsigned(simhash, {i * 8}) & 255 AS INT))"
+        for i in range(4)
+    )
+    banded = (
+        sig.selectExpr("doc_id", "simhash", f"explode(array({bands})) AS bb")
+        .select("doc_id", "simhash", "bb.band", "bb.bucket")
+        .localCheckpoint(eager=True)
+    )
     # eager checkpoint: both self-join sides read the banded
     # signatures; re-measured after the tmpfs spark.local.dir move —
     # the checkpoint now wins (1.31 s vs 1.80 s recompute at sf0.1;
