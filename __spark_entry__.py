@@ -37,14 +37,14 @@ engine.load_all()
 _DRIVER_VERIFIED = {
     "agg_approx_distinct", "agg_approx_quantile", "agg_bitmap_distinct",
     "agg_bool", "agg_cms_portable", "agg_collect", "agg_corr_moments", "agg_count_distinct", "agg_cube",
-    "agg_empty_check",
+    "agg_empty_check", "agg_grouping_sets", "agg_having", "agg_percentile",
+    "agg_rollup",
     "agg_exact_median_twopass", "agg_exact_quantile_grouped",
     "agg_group_sum", "agg_heavy_hitters_exact", "agg_histogram_fixed",
     "agg_incremental_merge", "agg_incremental_rollup", "agg_mode_top_freq",
     "array_ops", "cast_types", "cond_case_when", "corpus_dedup_keep_best",
     "corpus_dedup_pipeline", "corpus_mix_weights",
-    "corpus_quality_pipeline", "corpus_quality_weighted_sample",
-    "corpus_sample_stratified", "date_arith", "date_format_tz",
+    "corpus_quality_pipeline", "date_arith", "date_format_tz",
     "date_series_gapfill", "dedup_cluster_cc", "dedup_containment",
     "dedup_embedding_cosine", "dedup_exact_hash",
     "dedup_incremental_minhash", "dedup_lsh_eval", "dedup_minhash_portable",
@@ -91,9 +91,9 @@ _DRIVER_VERIFIED = {
     "sql_api_q8", "sql_api_q9", "str_basic", "str_regex", "stream_session",
     "stream_sliding", "stream_tumbling", "string_agg_ordered",
     "text_boilerplate_ratio", "text_bpe_tokenize", "text_chunk_overlap",
-    "text_dataset_split", "text_decontaminate", "text_duplicate_spans",
+    "text_decontaminate", "text_duplicate_spans",
     "text_fingerprint", "text_lang_filter", "text_langid_ngram",
-    "text_lm_quality", "text_ngram_entropy", "text_pii_scrub",
+    "text_lm_quality", "text_ngram_entropy",
     "text_quality_score", "text_repetition_filter", "text_stats",
     "text_token_count", "tfidf_top_terms", "topk_per_group",
     "udaf_pandas_grouped", "udf_cogrouped_asof", "udf_pandas_cosine",
@@ -153,9 +153,15 @@ _WINDOW_50 = [
     # consumes the production path, so it re-earns with it)
     "ingest_pipeline", "dedup_simhash", "dedup_simhash_portable",
     "dedup_simhash_stats",
-    # (d) rotation: oldest r01 greens (18 of 61; remainder queue for r10)
-    "agg_grouping_sets",
-    "agg_having", "agg_percentile", "agg_rollup", "agg_stats",
+    # (c'') the synthesized-10x sweep's long-overflow find: the _mix32
+    # sampling hash and the pii id-multiply wrapped past id ~3.5e9 /
+    # ~1.2e15 — decimal(38,0) widening on both engines; all four
+    # re-earn (values identical at fixture ids, verified at sf0.001/
+    # sf0.01/sf0.1 and the synthesized 10x set)
+    "corpus_sample_stratified", "text_dataset_split",
+    "corpus_quality_weighted_sample", "text_pii_scrub",
+    # (d) rotation: oldest r01 greens (14 of 61; remainder queue for r10)
+    "agg_stats",
     "dedup_distinct_rows", "dedup_subset_keyed", "explode_lateral",
     "filter_between_date", "filter_in_set", "filter_like", "filter_null",
     "join_cross", "join_left_anti", "join_multikey_chain", "join_outer_full",

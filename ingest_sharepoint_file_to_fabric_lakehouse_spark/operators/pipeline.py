@@ -25,8 +25,18 @@ _M32 = 4294967296
 
 
 def _mix32(col, salt: int = 0):
-    """Portable deterministic 32-bit mix of a BIGINT column."""
-    return ((col + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(_M32)
+    """Portable deterministic 32-bit mix of a BIGINT column.
+
+    The multiply runs in decimal(38,0): ``(id+salt)*K`` overflows
+    bigint once id exceeds ~3.5e9 — ANSI Spark raises, DuckDB errors,
+    and non-ANSI Spark would wrap silently while a 128-bit engine
+    stays exact — found by the synthesized 10x sweep, whose replica
+    ids sit at +9e9 (real corpus ids at 100 TB live well past 2^32).
+    decimal(38,0) holds 2^63 * K ~ 2.4e28 exactly on both engines; the
+    mod-2^32 result is cast back to BIGINT (always < 2^32).  The cast
+    precedes the salt add so the add can't overflow either."""
+    widened = (col.cast("decimal(38,0)") + F.lit(salt)) * F.lit(_KNUTH)
+    return (widened % F.lit(_M32)).cast("long")
 
 
 @query(
@@ -34,7 +44,7 @@ def _mix32(col, salt: int = 0):
     f"""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE ((doc_id * {_KNUTH}) % {_M32}) % 1000 <
+    WHERE ((CAST(doc_id AS DECIMAL(38,0)) * {_KNUTH}) % {_M32}) % 1000 <
           CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 ELSE 500 END
     ORDER BY doc_id
     """,
@@ -61,7 +71,8 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_dataset_split",
     f"""
     WITH b AS (
-      SELECT *, ((doc_id + 9176) * {_KNUTH}) % {_M32} % 100 AS bucket
+      SELECT *, ((CAST(doc_id AS DECIMAL(38,0)) + 9176) * {_KNUTH}) % {_M32} % 100
+                  AS bucket
       FROM documents
     )
     SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -101,7 +112,7 @@ def text_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR)
                   || '@mail.example.com or call 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
-                  || ' id ' || CAST(doc_id * 7919 AS VARCHAR) AS t
+                  || ' id ' || CAST(CAST(doc_id AS DECIMAL(38,0)) * 7919 AS VARCHAR) AS t
       FROM documents
     )
     SELECT doc_id,
@@ -134,7 +145,10 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@mail.example.com or call 555-01"),
             (F.col("doc_id") % 90 + 10).cast("string"),
             F.lit(" id "),
-            (F.col("doc_id") * 7919).cast("string"),
+            # decimal(38,0) multiply: bigint would wrap past id ~1.2e15
+            # (the _mix32 overflow class); scale-0 decimals render
+            # digits-only as strings on both engines
+            (F.col("doc_id").cast("decimal(38,0)") * 7919).cast("string"),
         ).alias("t"),
     )
     email_pat = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
@@ -563,8 +577,8 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     kept AS (
       SELECT doc_id, source, rate_permille,
-             (((doc_id + 555) * {_KNUTH}) % {_M32}) % 1000 < rate_permille
-               AS keep
+             (((CAST(doc_id AS DECIMAL(38,0)) + 555) * {_KNUTH}) % {_M32})
+               % 1000 < rate_permille AS keep
       FROM w
     )
     SELECT source,
