@@ -470,3 +470,25 @@ def test_lift_ppm_expression_survives_int64_overflow(n_pair, n_a, n_b, n_baskets
     got = row.select(F.expr(LIFT_PPM_EXPR).alias("lift_ppm")).collect()[0]["lift_ppm"]
     want = (n_pair * n_baskets * 1_000_000) // (n_a * n_b)
     assert int(got) == want, (n_pair, n_a, n_b, n_baskets, got, want)
+
+
+@given(
+    st.integers(0, 2**63 - 1),     # doc_id — full bigint id domain
+    st.sampled_from([0, 555, 9176]),  # the salts production keys use
+)
+@settings(max_examples=20, deadline=None)
+def test_mix32_sampling_hash_survives_bigint_ids(doc_id, salt):
+    """The deterministic sampling hash (corpus_sample_stratified /
+    text_dataset_split / corpus_quality_weighted_sample) must compute
+    ((id+salt)*K) mod 2^32 EXACTLY for any bigint id: the bigint form
+    wrapped once id crossed ~3.5e9 (ANSI Spark raises, DuckDB errors,
+    non-ANSI Spark silently diverges from 128-bit engines) — found by
+    the synthesized 10x sweep whose replica ids sit at +9e9; real
+    corpus ids at 100 TB live well past 2^32."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.pipeline import _mix32
+
+    spark = _spark()
+    row = spark.createDataFrame([(doc_id,)], "doc_id long")
+    got = row.select(_mix32(F.col("doc_id"), salt=salt).alias("m")).collect()[0]["m"]
+    want = ((doc_id + salt) * 2654435761) % 4294967296
+    assert got == want, (doc_id, salt, got, want)
