@@ -160,12 +160,16 @@ _WINDOW_50 = [
     # sf0.01/sf0.1 and the synthesized 10x set)
     "corpus_sample_stratified", "text_dataset_split",
     "corpus_quality_weighted_sample", "text_pii_scrub",
-    # (d) rotation: oldest r01 greens (14 of 61; remainder queue for r10)
+    # (c''') added in round 9: Ed-Join blocked edit-distance linkage —
+    # brand new, needs its FIRST verdict (new keys outrank rotation;
+    # the displaced r01 green queues for r10)
+    "dedup_edit_distance_blocked",
+    # (d) rotation: oldest r01 greens (13 of 61; remainder queue for r10)
     "agg_stats",
     "dedup_distinct_rows", "dedup_subset_keyed", "explode_lateral",
     "filter_between_date", "filter_in_set", "filter_like", "filter_null",
     "join_cross", "join_left_anti", "join_multikey_chain", "join_outer_full",
-    "join_outer_left", "limit_n",
+    "join_outer_left",
 ]
 
 

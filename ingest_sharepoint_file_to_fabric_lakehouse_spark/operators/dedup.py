@@ -129,6 +129,125 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_edit_distance_blocked",
+    """
+    WITH t AS (
+      SELECT doc_id, lower(substring(text, 1, 40)) AS title
+      FROM documents WHERE doc_id % 7 < 3 AND doc_id < 2000
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS edit_dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 2
+    """,
+)
+def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage: Ed-Join-style q-gram
+    prefix filter (Xiao et al., VLDB'08) + banded Levenshtein verify.
+
+    The missing member of the dedup family: MinHash/Jaccard treat
+    documents as token SETS, SimHash as weighted bit votes — none
+    catches small in-place EDITS on short keys (titles, names, URLs),
+    the classic record-linkage regime.  Pipeline:
+
+    1. key   = lower(substring(text, 1, 40)) (a title surrogate).
+    2. grams = DISTINCT character q-grams (q=2) per key.
+    3. prefix = each doc's q*d_max+1 = 5 rarest grams in the global
+       (df, gram) order.  COMPLETENESS: one edit changes at most q
+       distinct grams of the set, so ed(a,b) <= d  ==>  |A\\B| <= q*d
+       and |B\\A| <= q*d; the smallest shared gram in the global
+       order therefore sits within the first q*d+1 grams of BOTH
+       sides, i.e. the prefix self-join loses no true pair — except
+       when A∩B = ∅, which forces BOTH sides to have <= q*d distinct
+       grams; those degenerate keys are routed to a tiny all-pairs
+       bucket instead.
+    4. verify with Spark's threshold Levenshtein (banded Ukkonen,
+       O(d*n) per pair instead of O(n^2)), length-filtered first
+       (|len(a)-len(b)| <= d is necessary for ed <= d).
+
+    The ORACLE is deliberately NOT the mirrored blocking: it is the
+    brute-force all-pairs SQL, so a driver green certifies the prefix
+    filter's completeness end-to-end, not just arithmetic parity.
+
+    Scale shape: gram signing is map-side; the df dictionary is
+    bounded by the alphabet (<= ~96^2 bigrams) and broadcast; the
+    prefix rank is one doc_id-partitioned window (the Ed-Join index
+    build — staged and amortized in a production deployment exactly
+    like the PPJoin prefix index); candidates shuffle on gram with
+    volume #docs * (q*d+1), never #docs^2.  The doc-id slice keeps
+    the brute-force oracle cheap; the plan shape is sf-independent.
+    """
+    d = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 7 < 3) & (F.col("doc_id") < 2000)
+    )
+    base = d.select(
+        "doc_id", F.lower(F.substring("text", 1, 40)).alias("title")
+    ).withColumn("tl", F.length("title"))
+    return _edit_distance_pairs(base)
+
+
+def _edit_distance_pairs(base: DataFrame, q: int = 2, d_max: int = 2) -> DataFrame:
+    """Ed-Join prefix-filter + threshold-Levenshtein verify over a
+    (doc_id, title, tl) frame — factored so tests can plant degenerate
+    keys (see dedup_edit_distance_blocked for semantics + proof)."""
+    pref_len = q * d_max + 1
+    # sequence() is DESCENDING when start > stop, so clamp the top at 1
+    # (a 1-char key degenerates to one 1-char gram — still a valid set).
+    grams = base.select(
+        "doc_id",
+        "tl",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(title) - {q - 1}, 1)),"
+                    f" i -> substring(title, i, {q}))"
+                )
+            )
+        ).alias("gram"),
+    )
+    gdf = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram"))
+    ranked = grams.join(F.broadcast(gdf), "gram").withColumn("rk", rk)
+    prefix = ranked.filter(F.col("rk") <= pref_len).select("doc_id", "tl", "gram")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.gram") == F.col("pb.gram"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (F.abs(F.col("pa.tl") - F.col("pb.tl")) <= d_max),
+        )
+        .select(F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b"))
+    )
+    # degenerate keys (<= q*d distinct grams) can be within distance d
+    # yet share NO gram — all-pairs among themselves (empty here; at
+    # any scale it is bounded by the count of near-empty keys).
+    short = (
+        grams.groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"))
+        .filter(F.col("n_grams") <= q * d_max)
+        .select("doc_id")
+    )
+    sh_a, sh_b = short.alias("sh_a"), short.alias("sh_b")
+    short_pairs = sh_a.join(
+        sh_b, F.col("sh_a.doc_id") < F.col("sh_b.doc_id")
+    ).select(F.col("sh_a.doc_id").alias("doc_a"), F.col("sh_b.doc_id").alias("doc_b"))
+    ba, bb = base.alias("ba"), base.alias("bb")
+    return (
+        cand.unionByName(short_pairs)
+        .distinct()
+        .join(ba, F.col("ba.doc_id") == F.col("doc_a"))
+        .join(bb, F.col("bb.doc_id") == F.col("doc_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("ba.title"), F.col("bb.title"), d_max),
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .select("doc_a", "doc_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+    )
+
+
 def _mh_xxhash_signatures(d: DataFrame, n_hashes: int = 32) -> DataFrame:
     """(doc_id, sig) under the production xxhash64 MinHash — k
     map-side mins over each row's own 3-shingle array, zero shuffle.

@@ -1288,3 +1288,94 @@ def test_simhash_tokenset_permutation_invariance(spark):
     assert (0, 1, 0) in pairs and (0, 2, 0) in pairs and (1, 2, 0) in pairs, pairs
     # doc 3 must NOT be Hamming-0 with the others (one token differs)
     assert all(hm != 0 for a, b, hm in pairs if 3 in (a, b)), pairs
+
+
+def test_edit_distance_blocked_matches_bruteforce(spark, sf_dir):
+    """The Ed-Join prefix filter must lose NO true pair: compare the
+    blocked operator against brute-force all-pairs Levenshtein over
+    the same slice (completeness end-to-end, not just precision)."""
+    import ingest_sharepoint_file_to_fabric_lakehouse_spark as eng
+
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in eng.QUERIES["dedup_edit_distance_blocked"](spark, sf_dir).collect()
+    }
+    base = (
+        eng.t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 7 < 3) & (F.col("doc_id") < 2000))
+        .select("doc_id", F.lower(F.substring("text", 1, 40)).alias("title"))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title")).cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .collect()
+    }
+    assert got == brute and got, (len(got), len(brute))
+
+
+def test_edit_distance_degenerate_keys_use_short_bucket(spark):
+    """Keys with <= q*d distinct grams can be within distance d while
+    sharing NO gram — the prefix join alone would miss them; the
+    all-pairs short bucket must catch them."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup import (
+        _edit_distance_pairs,
+    )
+
+    rows = [
+        (0, "ab"),   # 1 distinct gram: {ab}
+        (1, "cd"),   # 1 distinct gram: {cd} — ed(ab,cd)=2, zero shared grams
+        (2, "abcdefgh"),  # long key, far from both
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, title string").withColumn(
+        "tl", F.length("title")
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in _edit_distance_pairs(base).collect()
+    }
+    assert got == {(0, 1, 2)}, got
+
+
+def test_edit_distance_blocked_adversarial_small_alphabet(spark):
+    """Completeness torture: 240 seeded-random keys over alphabet {a,b}
+    of length 0..6 — maximal gram collisions, many degenerate (<= q*d
+    distinct grams) keys, ties everywhere in the (df, gram) order.
+    The prefix+short-bucket union must equal brute force exactly."""
+    import random
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup import (
+        _edit_distance_pairs,
+    )
+
+    rng = random.Random(20260815)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 6))))
+        for i in range(240)
+    ]
+    base = spark.createDataFrame(rows, "doc_id long, title string").withColumn(
+        "tl", F.length("title")
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in _edit_distance_pairs(base).collect()
+    }
+    a, b = base.alias("a"), base.alias("b")
+    brute = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title")).cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .collect()
+    }
+    assert got == brute and len(got) > 100, (len(got), len(brute))
