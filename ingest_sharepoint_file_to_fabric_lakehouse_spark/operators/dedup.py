@@ -192,6 +192,13 @@ def _edit_distance_pairs(base: DataFrame, q: int = 2, d_max: int = 2) -> DataFra
     (doc_id, title, tl) frame — factored so tests can plant degenerate
     keys (see dedup_edit_distance_blocked for semantics + proof)."""
     pref_len = q * d_max + 1
+    # base feeds 2 verify sides and grams feeds 4 consumers (df
+    # dictionary, both prefix sides, the short-bucket count) —
+    # unmaterialized, EACH replays the scan+explode lineage (the plan
+    # lockfile showed 8 documents scans).  Materialize both once:
+    # they are the Ed-Join INDEX (keys + posting prefixes), exactly
+    # what a production deployment stages to parquet and reuses.
+    base = base.localCheckpoint(eager=True)
     # sequence() is DESCENDING when start > stop, so clamp the top at 1
     # (a 1-char key degenerates to one 1-char gram — still a valid set).
     grams = base.select(
@@ -205,11 +212,18 @@ def _edit_distance_pairs(base: DataFrame, q: int = 2, d_max: int = 2) -> DataFra
                 )
             )
         ).alias("gram"),
-    )
+    ).localCheckpoint(eager=True)
     gdf = grams.groupBy("gram").agg(F.count("*").alias("df"))
     rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram"))
     ranked = grams.join(F.broadcast(gdf), "gram").withColumn("rk", rk)
-    prefix = ranked.filter(F.col("rk") <= pref_len).select("doc_id", "tl", "gram")
+    # the prefix IS the Ed-Join posting index — materialized so the
+    # candidate self-join probes it instead of replaying the rank
+    # window on both sides
+    prefix = (
+        ranked.filter(F.col("rk") <= pref_len)
+        .select("doc_id", "tl", "gram")
+        .localCheckpoint(eager=True)
+    )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(
