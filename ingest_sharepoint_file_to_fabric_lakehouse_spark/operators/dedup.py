@@ -198,7 +198,11 @@ def _edit_distance_pairs(base: DataFrame, q: int = 2, d_max: int = 2) -> DataFra
     # lockfile showed 8 documents scans).  Materialize both once:
     # they are the Ed-Join INDEX (keys + posting prefixes), exactly
     # what a production deployment stages to parquet and reuses.
-    base = base.localCheckpoint(eager=True)
+    # eager=False everywhere: eager checkpoints serialize into py4j
+    # job barriers at CONSTRUCTION time (measured 2.7 s warm at
+    # sf0.1); lazy ones materialize inside the single action and are
+    # shared by all consumers (1.3 s warm, identical results/shape).
+    base = base.localCheckpoint(eager=False)
     # sequence() is DESCENDING when start > stop, so clamp the top at 1
     # (a 1-char key degenerates to one 1-char gram — still a valid set).
     grams = base.select(
@@ -212,7 +216,7 @@ def _edit_distance_pairs(base: DataFrame, q: int = 2, d_max: int = 2) -> DataFra
                 )
             )
         ).alias("gram"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     gdf = grams.groupBy("gram").agg(F.count("*").alias("df"))
     rk = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram"))
     ranked = grams.join(F.broadcast(gdf), "gram").withColumn("rk", rk)
@@ -222,7 +226,7 @@ def _edit_distance_pairs(base: DataFrame, q: int = 2, d_max: int = 2) -> DataFra
     prefix = (
         ranked.filter(F.col("rk") <= pref_len)
         .select("doc_id", "tl", "gram")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
