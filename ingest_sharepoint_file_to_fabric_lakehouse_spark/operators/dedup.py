@@ -152,8 +152,15 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic record-linkage regime.  Pipeline:
 
     1. key   = lower(substring(text, 1, 40)) (a title surrogate).
-    2. grams = DISTINCT character q-grams (q=2) per key.
-    3. prefix = each doc's q*d_max+1 = 5 rarest grams in the global
+    2. grams = DISTINCT character q-grams (q=3) per key.  q picks the
+       selectivity/space trade: the scale probe measured q=2 (784
+       possible bigrams) saturating on a uniform-random corpus — every
+       bucket dense, candidate pairs ~n^2/63, warm ratio 4.2 at 10x —
+       while q=3's ~20k-gram space keeps prefix buckets sparse
+       (candidate volume is sum over grams of df_prefix^2, linear
+       whenever prefix grams stay rare, which Zipfian text guarantees
+       and a uniform corpus only reaches at ~|alphabet|^q keys).
+    3. prefix = each doc's q*d_max+1 = 7 rarest grams in the global
        (df, gram) order.  COMPLETENESS: one edit changes at most q
        distinct grams of the set, so ed(a,b) <= d  ==>  |A\\B| <= q*d
        and |B\\A| <= q*d; the smallest shared gram in the global
@@ -171,7 +178,8 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter's completeness end-to-end, not just arithmetic parity.
 
     Scale shape: gram signing is map-side; the df dictionary is
-    bounded by the alphabet (<= ~96^2 bigrams) and broadcast; the
+    bounded by the alphabet (<= ~96^3 trigrams, Zipf-light in real
+    text) and broadcast; the
     prefix rank is one doc_id-partitioned window (the Ed-Join index
     build — staged and amortized in a production deployment exactly
     like the PPJoin prefix index); candidates shuffle on gram with
@@ -187,7 +195,7 @@ def dedup_edit_distance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edit_distance_pairs(base)
 
 
-def _edit_distance_pairs(base: DataFrame, q: int = 2, d_max: int = 2) -> DataFrame:
+def _edit_distance_pairs(base: DataFrame, q: int = 3, d_max: int = 2) -> DataFrame:
     """Ed-Join prefix-filter + threshold-Levenshtein verify over a
     (doc_id, title, tl) frame — factored so tests can plant degenerate
     keys (see dedup_edit_distance_blocked for semantics + proof)."""

@@ -1355,8 +1355,11 @@ def test_edit_distance_blocked_adversarial_small_alphabet(spark):
     )
 
     rng = random.Random(20260815)
+    # lengths 0..12: under q=3 / d=2, keys up to 8 chars carry <= q*d
+    # distinct grams (short bucket) while longer ones take the prefix
+    # path — both branches dense with collisions and df ties
     rows = [
-        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 6))))
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 12))))
         for i in range(240)
     ]
     base = spark.createDataFrame(rows, "doc_id long, title string").withColumn(
