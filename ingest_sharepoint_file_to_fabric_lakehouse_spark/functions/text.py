@@ -587,7 +587,8 @@ v AS (
   FROM m GROUP BY doc_id
 )
 SELECT doc_id,
-       [COALESCE(ns[list_position(bks, i)], 0) FOR i IN range(0, 16)]
+       array_to_string(
+         [COALESCE(ns[list_position(bks, i)], 0) FOR i IN range(0, 16)], ',')
          AS features,
        n_tokens
 FROM v
@@ -613,6 +614,13 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Portable hash: bucket = first md5 nibble mod 16, identical
     literals on both engines (the same no-stored-model discipline as
     the portable LSH planes), so every count is value-checked.
+
+    The feature vector ships as a comma-joined digit string (the
+    agg_collect convention): the driver's canonicalizer is a pandas
+    ``sort_values`` over all columns, and ndarray cells are unhashable
+    there (r9 driver-err) — a delimited string is equally
+    deterministic and stays hashable.  The array-typed variant is the
+    internal form; tests exercise it directly.
     """
     n_buckets = 16
     d = docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -636,7 +644,9 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            counts.alias("features"),
+            F.array_join(
+                F.transform(counts, lambda c: c.cast("string")), ","
+            ).alias("features"),
             F.size(toks).cast("bigint").alias("n_tokens"),
         )
         .orderBy("doc_id")

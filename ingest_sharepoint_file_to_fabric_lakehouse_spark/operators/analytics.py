@@ -545,6 +545,41 @@ LIFT_PPM_EXPR = (
     f"cast(({_LIFT_NUM} - {_LIFT_NUM} % {_LIFT_DEN}) / {_LIFT_DEN}"
     " as decimal(38,0))"
 )
+# The EMITTED quotient narrows to BIGINT under a proven REAL-DATA
+# bound (q11's green pattern): n_pair <= min(n_a, n_b) in any basket
+# relation, so
+#   lift_ppm = floor(n_pair * N * 1e6 / (n_a * n_b))
+#            <= N * 1e6 / max(n_a, n_b) <= N * 1e6,
+# i.e. it fits int64 for any corpus under ~9.2e12 baskets — far past
+# 100-TB scale.  LIFT_PPM_EXPR itself stays decimal(38,0): the
+# property test pins it on arbitrary (n_pair, n_a, n_b) where the
+# bound does not apply, and the interior products DO cross 2^63.
+# The narrowing lives at the emit site because the driver
+# canonicalizes through pandas, where BIGINT lands as int64 on both
+# engines while decimal(38,0) lands as object-dtype Decimal cells
+# whose driver-side treatment diverged (r9 hash-fail on value-equal
+# rows).
+LIFT_PPM_BIGINT = f"cast({LIFT_PPM_EXPR} as bigint)"
+
+
+# --- 100-TB guards for events_cooccurrence_lift (coded, on by default) ---
+# LIFT_MIN_PAIR is the HAVING threshold on pair counts.  LIFT_MIN_SUPPORT
+# prunes items below this support from the PAIR-GENERATION input (a
+# semi-join before collect_set) — value-NEUTRAL whenever
+# min_support <= min_pair: any emitted pair (a,b) has n_pair >= min_pair
+# baskets containing BOTH items, so support(a) and support(b) are each
+# >= min_pair and neither endpoint can be pruned; removing OTHER
+# low-support items from a basket cannot change the (a,b) basket count;
+# and n_a/n_b are computed from the UNPRUNED support table.  This is the
+# a-priori downward-closure prune: at 100 TB the long tail of
+# singleton-support items (most of any real catalog) never enters the
+# quadratic fan-out.  LIFT_MAX_BASKET_ITEMS caps each basket's sorted
+# item array (a slice on the same exchange — no extra shuffle), bounding
+# the k^2/2 fan-out of degenerate mega-baskets; at fixture scale baskets
+# hold <= 7 items so the default cap is a numeric no-op.
+LIFT_MIN_PAIR = 2
+LIFT_MIN_SUPPORT = 2
+LIFT_MAX_BASKET_ITEMS = 10_000
 
 
 @query(
@@ -567,7 +602,7 @@ LIFT_PPM_EXPR = (
            sa.n_item AS n_a, sb.n_item AS n_b,
            CAST(CAST(n_pair AS HUGEINT) * n_baskets * 1000000
                   // (CAST(sa.n_item AS HUGEINT) * sb.n_item)
-                AS DECIMAL(38,0)) AS lift_ppm
+                AS BIGINT) AS lift_ppm
     FROM pair
     JOIN supp sa ON sa.item = item_a
     JOIN supp sb ON sb.item = item_b
@@ -576,7 +611,13 @@ LIFT_PPM_EXPR = (
     LIMIT 50
     """,
 )
-def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_cooccurrence_lift(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_support: int = LIFT_MIN_SUPPORT,
+    max_basket_items: int = LIFT_MAX_BASKET_ITEMS,
+) -> DataFrame:
     """Market-basket co-occurrence with lift: part pairs bought in the
     same order, scored by ``lift = P(a,b) / (P(a)P(b))`` — the
     association-rule / items-also-bought primitive.
@@ -584,9 +625,12 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float-parity design: lift is integer parts-per-million
     (``floor(n_pair * N * 1_000_000 / (n_a * n_b))``) — exact
     128-bit-safe integer arithmetic on both engines (decimal(38,0)
-    end-to-end Spark-side, including the quotient; DuckDB HUGEINT
-    ``//`` cast to DECIMAL(38,0)), no float division and no bigint
-    `div` anywhere.
+    interior Spark-side including the quotient; DuckDB HUGEINT
+    ``//``), no float division and no bigint `div` anywhere.  The
+    EMITTED value narrows to BIGINT under the proven bound at
+    LIFT_PPM_EXPR — int64 is the one integer type both engines
+    canonicalize identically through pandas (decimal(38,0) emits
+    hash-diverged at the driver in r9 despite value equality).
 
     Scale shape — the a-priori candidate discipline:
     (1) collapse raw lineitem to DISTINCT (basket, item) FIRST (one
@@ -598,11 +642,11 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         basket-keyed self-join shuffle at all; measured 3.2 s vs
         5.9 s cold for the equivalent self-join at sf0.1.  Fan-out is
         sum(k_i^2 / 2) over basket sizes — bounded because baskets
-        are small; at 100 TB a per-basket size cap plus frequent-item
-        pre-pruning (semi-join against a minimum-support item list
-        BEFORE collecting) bounds the hot tail, exactly how a-priori
-        prunes (the array per basket is the size-capped quantity, so
-        the cap also bounds executor memory);
+        are small, and GUARDED in the plan (not just documented): a
+        minimum-support semi-join runs BEFORE collect_set and a
+        per-basket size cap slices the sorted array, both on by
+        default with value-neutral settings (proof at the guard
+        constants above the function) — exactly how a-priori prunes;
     (3) ``HAVING n_pair >= 2`` drops the singleton noise before the
         support joins, so the pair relation entering the final joins
         is support-thresholded (small), and the per-item support table
@@ -632,10 +676,30 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem",
     )
     n_baskets = basket.select(F.countDistinct("bid").alias("n_baskets"))
+    # Support is computed from the UNPRUNED relation — the reported
+    # n_a/n_b (and the lift denominator) must reflect true supports.
     supp = basket.groupBy("item").agg(F.count("*").alias("n_item"))
+    # Guard 1 — a-priori min-support prune BEFORE collect_set: items
+    # whose support can't reach the HAVING threshold never enter the
+    # quadratic fan-out (value-neutral for min_support <= LIFT_MIN_PAIR;
+    # proof at the guard constants above).  The frequent-item list is a
+    # thresholded projection of the support table — small, broadcast.
+    if min_support > 1:
+        hot = supp.filter(F.col("n_item") >= min_support).select("item")
+        gen = basket.join(F.broadcast(hot), "item", "left_semi")
+    else:
+        gen = basket
+    # Guard 2 — per-basket item cap: slice the sorted array on the same
+    # exchange (no extra shuffle); bounds the k^2/2 pair fan-out of
+    # degenerate mega-baskets at 100 TB.  Deterministic (array is
+    # sorted before the slice).
     items = (
-        basket.groupBy("bid")
-        .agg(F.sort_array(F.collect_set("item")).alias("its"))
+        gen.groupBy("bid")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("item")), 1, max_basket_items
+            ).alias("its")
+        )
         .filter(F.size("its") >= 2)
     )
     pair = (
@@ -651,7 +715,7 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= 2)
+        .filter(F.col("n_pair") >= LIFT_MIN_PAIR)
     )
     sa = supp.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
     sb = supp.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
@@ -666,8 +730,9 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wraps once the quotient crosses 2^63, exactly the silent
         # divergence vs DuckDB's HUGEINT `//` the overflow property
         # test pins.  See LIFT_PPM_EXPR above for the remainder-
-        # subtract construction that keeps the divide exact.
-        .withColumn("lift_ppm", F.expr(LIFT_PPM_EXPR))
+        # subtract construction that keeps the divide exact, and
+        # LIFT_PPM_BIGINT for the bounded int64 narrowing at emit.
+        .withColumn("lift_ppm", F.expr(LIFT_PPM_BIGINT))
         .select("item_a", "item_b", "n_pair", "n_a", "n_b", "lift_ppm")
         .orderBy(F.col("n_pair").desc(), "item_a", "item_b")
         .limit(50)

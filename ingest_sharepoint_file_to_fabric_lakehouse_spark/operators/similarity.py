@@ -2007,7 +2007,8 @@ s AS (
 )
 SELECT vec_id,
        CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_micro,
-       [CAST(floor(x * scale + 0.5) AS INT) FOR x IN v] AS qvec,
+       array_to_string([CAST(floor(x * scale + 0.5) AS INT) FOR x IN v], ',')
+         AS qvec,
        CAST(list_max([abs(CAST(floor(x * scale + 0.5) AS INT)) FOR x IN v])
             AS INT) AS q_absmax
 FROM s
@@ -2031,6 +2032,12 @@ def sim_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     speed; the scale ships as integer micro-units next to the codes
     (the dequantization metadata).  q_absmax <= 127 by construction —
     emitted so a scaling bug fails the value gate loudly.
+
+    The code vector ships as a comma-joined digit string (agg_collect
+    convention): the driver's canonicalizer is a pandas
+    ``sort_values`` over all columns, and ndarray cells are unhashable
+    there (r9 driver-err) — the delimited string keeps every code
+    value-checked while staying hashable.
     """
     e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500).select(
         "vec_id", as_double("embedding").alias("v")
@@ -2044,7 +2051,9 @@ def sim_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(
             "vec_id",
             F.floor(F.col("scale") * 1000000 + 0.5).cast("long").alias("scale_micro"),
-            q.alias("qvec"),
+            F.array_join(
+                F.transform(q, lambda c: c.cast("string")), ","
+            ).alias("qvec"),
             F.array_max(F.transform(q, lambda c: F.abs(c))).cast("int").alias("q_absmax"),
         )
         .orderBy("vec_id")

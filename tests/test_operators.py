@@ -1345,7 +1345,7 @@ def test_edit_distance_degenerate_keys_use_short_bucket(spark):
 
 def test_edit_distance_blocked_adversarial_small_alphabet(spark):
     """Completeness torture: 240 seeded-random keys over alphabet {a,b}
-    of length 0..6 — maximal gram collisions, many degenerate (<= q*d
+    of length 0..12 — maximal gram collisions, many degenerate (<= q*d
     distinct grams) keys, ties everywhere in the (df, gram) order.
     The prefix+short-bucket union must equal brute force exactly."""
     import random

@@ -757,3 +757,29 @@ def test_text_hot_path_is_single_codegen_span(spark, sf_dir):
         if line.strip().startswith("*(")
     }
     assert len(spans) == 1, plan
+
+
+def test_every_registered_query_is_driver_canonicalizable(spark):
+    """Driver-canon pin (r9 postmortem): the driver compares results
+    through PANDAS — Spark via toPandas (ArrayType -> ndarray cells,
+    unhashable under the driver's sort_values; DecimalType ->
+    object-dtype Decimal) vs DuckDB via .df() (DECIMAL/HUGEINT ->
+    float64).  So a driver-facing column that is array/map/struct
+    typed ERRORS at the driver and a decimal-typed one HASH-DIVERGES
+    even when every value is equal — both happened in r9 to queries
+    that were exact-equality green locally.  This pin builds every
+    registered query's plan at sf0.001 and asserts no driver-facing
+    column carries those types; complex types stay internal (tests
+    exercise them directly) and ship comma-joined (agg_collect
+    convention) or widened to BIGINT/DOUBLE at the emit site."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    import __spark_entry__ as entry
+
+    offenders = []
+    for key, fn in entry.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType)):
+                offenders.append((key, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

@@ -3,8 +3,24 @@
 Runs every ``queries()`` entry at a given sf dir, runs the matching
 ``oracle_sql()`` in DuckDB over the same parquet (views pre-registered
 as in the driver contract), and compares row count, sorted-column
-schema, and order-insensitive values.  Exact equality is required —
-if we're bit-identical here, any reasonable driver hash matches.
+schema, and order-insensitive values.  Exact equality is required.
+
+Exact equality alone is NOT sufficient, though — the r9 driver reds
+all passed it.  The driver canonicalizes through PANDAS: the Spark
+result via ``toPandas()`` (DecimalType -> object-dtype Decimal cells,
+ArrayType -> ndarray cells) and the DuckDB result via ``.df()``
+(DECIMAL/HUGEINT -> float64), then ``sort_values`` over all columns.
+Two failure modes invisible to a python-object compare:
+
+  * ndarray cells are unhashable -> the driver's sort_values raises
+    (r9: sim_vector_quantize_int8, text_feature_hashing driver-err);
+  * object-Decimal vs float64 columns hash differently even when
+    every value is equal (r9: events_cooccurrence_lift hash-fail).
+
+So this gate ALSO replays the driver path: both results go through
+pandas, the sort_values canary must not raise on either side, and the
+per-column pandas type CLASS (int/float/decimal/str/...) must agree
+between engines.  A key that is green here is green at the driver.
 
 Usage:  python tools/check_oracle.py [sf_dir] [key ...]
 """
@@ -50,6 +66,73 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _pd_type_class(pdf, col):
+    """Coarse pandas type class the driver's hash distinguishes."""
+    import numpy as np
+
+    kind = pdf[col].dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    # object dtype: classify by the first non-null cell
+    for v in pdf[col]:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, bytes):
+            return "bytes"
+        if isinstance(v, datetime):
+            return "datetime"
+        if isinstance(v, date):
+            return "date"
+        return type(v).__name__
+    return "all-null"
+
+
+def driver_canon_check(spark_pdf, duck_pdf):
+    """Replay the driver's pandas canonicalization; return error or None.
+
+    The driver sorts columns by name, then ``sort_values`` over ALL
+    columns (unhashable cells -> TypeError there), then hashes values
+    (dtype-class divergence -> hash mismatch).  We reproduce the sort
+    on both frames and require per-column type-class equality.
+    """
+    for name, pdf in (("spark", spark_pdf), ("duckdb", duck_pdf)):
+        cols = sorted(pdf.columns)
+        try:
+            pdf[cols].sort_values(by=cols)
+        except Exception as ex:
+            return f"{name} result not driver-canonicalizable: {type(ex).__name__}: {ex}"
+    for col in sorted(spark_pdf.columns):
+        if col not in duck_pdf.columns:
+            continue  # schema mismatch reported elsewhere
+        cs, cd = _pd_type_class(spark_pdf, col), _pd_type_class(duck_pdf, col)
+        if "all-null" in (cs, cd):
+            continue
+        if cs != cd:
+            return (
+                f"pandas type-class diverges on '{col}': spark={cs} duckdb={cd}"
+                " (driver hashes these differently even when values are equal)"
+            )
+    return None
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -85,6 +168,7 @@ def main():
             df = fn(spark, sf_dir)
             srows = df.collect()
             scols = df.columns
+            spdf = df.toPandas()
         except Exception as ex:
             print(f"FAIL {key}: spark error: {type(ex).__name__}: {ex}")
             n_fail += 1
@@ -98,8 +182,14 @@ def main():
             res = con.execute(oracles[key])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            dpdf = con.execute(oracles[key]).df()
         except Exception as ex:
             print(f"FAIL {key}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        canon_err = driver_canon_check(spdf, dpdf)
+        if canon_err:
+            print(f"FAIL {key}: {canon_err}")
             n_fail += 1
             continue
         sc, sr = norm_rows([c for c in scols], [tuple(r) for r in srows])

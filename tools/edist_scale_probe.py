@@ -55,8 +55,13 @@ def corpus(n: int, mode: str):
     prev = None
     for i in range(n):
         if prev is not None and i % 40 == 39:
+            # substitute with a character DIFFERENT from the original so
+            # every planted pair is a true 1-edit variant, never an
+            # accidental exact duplicate (~1/26 odds with the full
+            # alphabet, which slightly overstated near-dup density)
             j = rng.randrange(len(prev))
-            title = prev[:j] + rng.choice(string.ascii_lowercase) + prev[j + 1 :]
+            alt = string.ascii_lowercase.replace(prev[j], "")
+            title = prev[:j] + rng.choice(alt) + prev[j + 1 :]
         elif mode == "zipf":
             title = " ".join(rng.choices(vocab, weights=weights, k=5))[:40]
         else:
