@@ -344,6 +344,13 @@ def main() -> None:
             "n_queries": len(timings),
             "protocol_version": protocol["version"],
             "calib_sec": calib_sec,
+            # (total / calib) / n_keys — the machine-independent number
+            # round-over-round comparisons use (r8: 0.64, r9: 0.43);
+            # recorded in-artifact so comparisons stop needing manual
+            # arithmetic
+            "calib_normalized_per_key": round(
+                total / calib_sec / max(len(timings), 1), 4
+            ),
             # "queries" is a tail-truncated excerpt (driver captures
             # ~2 kB of stdout); BENCH_FULL.json holds the canonical
             # full per-key map + raw samples
@@ -358,6 +365,9 @@ def main() -> None:
         "sf": sf_val,
         "protocol": protocol,
         "calib_sec": calib_sec,
+        "calib_normalized_per_key": round(
+            total / calib_sec / max(len(timings), 1), 4
+        ),
         "queries": timings,
         "samples": samples,
         "partial": partial,

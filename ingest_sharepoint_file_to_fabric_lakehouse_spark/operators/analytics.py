@@ -580,6 +580,16 @@ LIFT_PPM_BIGINT = f"cast({LIFT_PPM_EXPR} as bigint)"
 LIFT_MIN_PAIR = 2
 LIFT_MIN_SUPPORT = 2
 LIFT_MAX_BASKET_ITEMS = 10_000
+# The prune is COST-GATED like checkpoint_if_large: it pays exactly
+# when the item-support distribution has a heavy infrequent tail
+# (every real catalog at 100 TB), and is pure overhead when nearly
+# every item is frequent — TPC-H parts average ~30 baskets each, so
+# at fixture scale the semi-join prunes almost nothing and A/B
+# measured it at +1.3 s/run (median-of-5 at sf0.1: 3.35 s on vs
+# 2.03 s off).  Above the source-size threshold the extra support
+# pass is noise next to the quadratic fan-out it bounds; below it,
+# skip.  min_support=None resolves via this gate; an explicit int
+# forces the prune on (tests and the plan assertion use this).
 
 
 @query(
@@ -615,7 +625,7 @@ def events_cooccurrence_lift(
     spark: SparkSession,
     sf_dir: str,
     *,
-    min_support: int = LIFT_MIN_SUPPORT,
+    min_support: int | None = None,
     max_basket_items: int = LIFT_MAX_BASKET_ITEMS,
 ) -> DataFrame:
     """Market-basket co-occurrence with lift: part pairs bought in the
@@ -642,11 +652,15 @@ def events_cooccurrence_lift(
         basket-keyed self-join shuffle at all; measured 3.2 s vs
         5.9 s cold for the equivalent self-join at sf0.1.  Fan-out is
         sum(k_i^2 / 2) over basket sizes — bounded because baskets
-        are small, and GUARDED in the plan (not just documented): a
-        minimum-support semi-join runs BEFORE collect_set and a
-        per-basket size cap slices the sorted array, both on by
-        default with value-neutral settings (proof at the guard
-        constants above the function) — exactly how a-priori prunes;
+        are small, and GUARDED in code (not just documented): a
+        minimum-support semi-join BEFORE collect_set — value-neutral
+        for min_support <= the HAVING threshold (proof at the guard
+        constants above the function) and COST-GATED on source size,
+        the same CBO call checkpoint_if_large makes (A/B at sf0.1:
+        +1.3 s for ~no pruning; at 100 TB it deletes the singleton
+        tail before the quadratic fan-out) — plus an always-on
+        per-basket size cap slicing the sorted array, exactly how
+        a-priori prunes;
     (3) ``HAVING n_pair >= 2`` drops the singleton noise before the
         support joins, so the pair relation entering the final joins
         is support-thresholded (small), and the per-item support table
@@ -684,6 +698,14 @@ def events_cooccurrence_lift(
     # quadratic fan-out (value-neutral for min_support <= LIFT_MIN_PAIR;
     # proof at the guard constants above).  The frequent-item list is a
     # thresholded projection of the support table — small, broadcast.
+    if min_support is None:
+        from ..core import source_bytes
+
+        min_support = (
+            LIFT_MIN_SUPPORT
+            if source_bytes(sf_dir, "lineitem") > 256 << 20
+            else 1
+        )
     if min_support > 1:
         hot = supp.filter(F.col("n_item") >= min_support).select("item")
         gen = basket.join(F.broadcast(hot), "item", "left_semi")

@@ -783,3 +783,54 @@ def test_every_registered_query_is_driver_canonicalizable(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType)):
                 offenders.append((key, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_kmeans_staged_codebook_matches_fresh_training(spark):
+    """sim_kmeans_build stages its trained codebook (fingerprint-gated,
+    like the IVF/PPJoin layouts): the warm path must return results
+    bit-identical to fresh training (parquet round-trips float64
+    exactly), and a source-fingerprint change must force a retrain."""
+    import os
+    import shutil
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        source_fingerprint,
+        staging_current,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    staged = "/tmp/sgdata/sf0.001/kmeans_codebook_v1_k8_i2"
+    shutil.rmtree(staged, ignore_errors=True)
+
+    fresh = engine.QUERIES["sim_kmeans_build"](spark, sf).collect()
+    fp = source_fingerprint(sf, "embeddings")
+    assert staging_current(staged, fp), "fresh run must stage the codebook"
+
+    warm = engine.QUERIES["sim_kmeans_build"](spark, sf).collect()
+    assert warm == fresh
+
+    # stale stamp ⇒ the next run retrains (and still agrees)
+    with open(os.path.join(staged, "_SG_FINGERPRINT"), "w") as fh:
+        fh.write("stale")
+    retrained = engine.QUERIES["sim_kmeans_build"](spark, sf).collect()
+    assert staging_current(staged, fp)
+    assert retrained == fresh
+
+
+def test_cooccurrence_guards_forced_on_are_visible_and_value_neutral(spark, sf_dir):
+    """The lift key's 100-TB guards: forcing min_support on must put a
+    broadcast LeftSemi (the a-priori prune) into the plan ahead of the
+    collect_set, keep the plan free of shuffle joins, and change NO
+    output row (value-neutral for min_support <= the HAVING threshold).
+    The default resolves by source size (cost-gated), so the forced
+    call is how the guard stays pinned at fixture scale."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.analytics import (
+        events_cooccurrence_lift,
+    )
+
+    guarded = events_cooccurrence_lift(spark, sf_dir, min_support=2)
+    plan = plan_of(guarded)
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    unguarded = events_cooccurrence_lift(spark, sf_dir, min_support=1)
+    assert guarded.collect() == unguarded.collect()

@@ -97,10 +97,13 @@ def _pd_type_class(pdf, col):
             return "str"
         if isinstance(v, bytes):
             return "bytes"
-        if isinstance(v, datetime):
+        # date and datetime are ONE class: 7 registry keys emit Spark
+        # DATE (object-dtype datetime.date) against DuckDB DATE
+        # (datetime64[ns]) and all 7 hold strong driver-green verdicts
+        # — the driver's coercions unify temporal types.  Decimal vs
+        # float, by contrast, is driver-red on value-equal rows (r9).
+        if isinstance(v, (datetime, date)):
             return "datetime"
-        if isinstance(v, date):
-            return "date"
         return type(v).__name__
     return "all-null"
 
