@@ -625,19 +625,25 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buckets = 16
     d = docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     toks = F.split(F.col("text"), " ")
+    # Hash each token ONCE up front (transform -> small int array),
+    # then run the 16 counting folds over the int array: the naive
+    # form evaluated md5 inside every per-bucket fold — 16 digests
+    # per token — where one suffices.  The folds over ints are
+    # codegen'd integer compares, ~free next to the digest.
     bucket = lambda t: F.conv(F.substring(F.md5(t), 1, 1), 16, 10).cast("int") % n_buckets  # noqa: E731
+    toks_b = F.transform(toks, bucket)
 
     # closure factory, NOT a default-arg lambda: `lambda acc, t, i=i`
     # parses as Spark's THREE-arg (acc, element, index) merge lambda
     # and fails analysis (same trap as dedup._minhash)
     def _count_bucket(i: int):
-        return lambda acc, t: acc + F.when(bucket(t) == F.lit(i), 1).otherwise(
+        return lambda acc, b: acc + F.when(b == F.lit(i), 1).otherwise(
             0
         ).cast("bigint")
 
     counts = F.array(
         *[
-            F.aggregate(toks, F.lit(0).cast("bigint"), _count_bucket(i))
+            F.aggregate(toks_b, F.lit(0).cast("bigint"), _count_bucket(i))
             for i in range(n_buckets)
         ]
     )

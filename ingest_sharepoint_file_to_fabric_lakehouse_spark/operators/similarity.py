@@ -273,7 +273,62 @@ def _banded_select(e: DataFrame, planes: list[list[float]], band_bits: int) -> D
     ).select("vec_id", "v", "bb.band", "bb.bucket")
 
 
-@query("sim_topk_lsh")
+
+def _lsh_xxh_oracle() -> str:
+    """DuckDB replica of the PRODUCTION xxhash64 banded LSH: the ±1
+    plane signs are derived IN SQL from the same spec Spark uses —
+    ``sign(xxhash64(CAST(dim AS INT), plane))``'s evenness — via the
+    bit-exact XXH64 of :mod:`..functions.xxh_sql` (two chained
+    hashInt steps: dim with seed 42, then the plane index seeded by
+    that).  Everything downstream (bucket packing, multi-probe masks,
+    candidate join, cosine re-rank) replays the exact structure of
+    the driver-green portable-twin oracle.  Upgrades the key from its
+    historical rows-only verdict to full value checking."""
+    from ..functions import xxh_sql as X
+
+    masks = ", ".join(f"({m})" for m in _LSH_PROBE_MASKS)
+    return f"""
+WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings
+),
+dp AS (SELECT CAST(d.d AS INT) AS dim, CAST(p.p AS INT) AS plane
+       FROM range(0, 64) d(d) CROSS JOIN range(0, {_LSH_N_PLANES}) p(p)),
+{X.xxh_int_ctes("h1", "dp", "dim, plane", "dim", X.seed_u(), "hd")},
+{X.xxh_int_ctes("h2", "h1_out", "dim, plane", "plane", "hd", "hp")},
+planes AS (
+  SELECT plane, list(CASE WHEN hp % 2 = 0 THEN 1.0 ELSE -1.0 END
+                     ORDER BY dim) AS s
+  FROM h2_out GROUP BY plane
+),
+sig AS (
+  SELECT e.vec_id, p.plane // {_LSH_BAND_BITS} AS band,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, p.s) >= 0
+                       THEN 1 << (p.plane % {_LSH_BAND_BITS}) ELSE 0 END) AS INT) AS bucket
+  FROM e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.plane // {_LSH_BAND_BITS}
+),
+b AS (SELECT s.vec_id, e.v, s.band, s.bucket FROM sig s JOIN e USING (vec_id)),
+q AS (SELECT vec_id AS q_id, v AS q_vec, band, bucket FROM b WHERE vec_id < 3),
+qp AS (
+  SELECT q_id, q_vec, band, CAST(xor(bucket, f.m) AS INT) AS bucket
+  FROM q CROSS JOIN (VALUES {masks}) f(m)
+),
+cand AS (
+  SELECT DISTINCT qp.q_id, b.vec_id,
+         ROUND(list_cosine_similarity(qp.q_vec, b.v), 6) AS cos_sim
+  FROM b JOIN qp ON b.band = qp.band AND b.bucket = qp.bucket
+                AND b.vec_id <> qp.q_id
+)
+SELECT q_id, vec_id, cos_sim, rnk FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM cand
+) WHERE rnk <= 10
+"""
+
+
+@query("sim_topk_lsh", _lsh_xxh_oracle())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via MULTI-PROBE banded random-hyperplane LSH
     (weak check).
