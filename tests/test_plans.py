@@ -365,11 +365,24 @@ def test_bm25_filters_terms_before_exchange(spark, sf_dir):
     assert "vector" in gen and "stream" in gen and "window" in gen
 
 
+def _clear_cooccur_staging():
+    import glob
+    import shutil
+
+    for d in glob.glob("/tmp/sgdata/sf0.001/cooccur_idx_v1_*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_cooccurrence_has_single_fact_exchange_chain(spark, sf_dir):
     """Map-side pair fan-out: no self-join of the basket relation —
-    the plan contains exactly one join-free explode over collect_set
-    output, and the support/ basket-count sides broadcast."""
-    df = engine.QUERIES["events_cooccurrence_lift"](spark, sf_dir)
+    the BUILD plan (staged index cleared) contains exactly one
+    join-free explode over collect_set output, and the support/
+    basket-count sides broadcast."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.analytics import (
+        _cooccur_scored_pairs,
+    )
+
+    df = _cooccur_scored_pairs(spark, sf_dir, 1, 10_000)
     plan = plan_of(df)
     assert "Generate explode" in plan
     # no basket self-join anywhere: pairs are map-side fan-out over
@@ -828,9 +841,42 @@ def test_cooccurrence_guards_forced_on_are_visible_and_value_neutral(spark, sf_d
         events_cooccurrence_lift,
     )
 
-    guarded = events_cooccurrence_lift(spark, sf_dir, min_support=2)
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.analytics import (
+        _cooccur_scored_pairs,
+    )
+
+    guarded = _cooccur_scored_pairs(spark, sf_dir, 2, 10_000)
     plan = plan_of(guarded)
     assert "LeftSemi" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    unguarded = events_cooccurrence_lift(spark, sf_dir, min_support=1)
-    assert guarded.collect() == unguarded.collect()
+    _clear_cooccur_staging()
+    g_rows = events_cooccurrence_lift(spark, sf_dir, min_support=2).collect()
+    _clear_cooccur_staging()
+    u_rows = events_cooccurrence_lift(spark, sf_dir, min_support=1).collect()
+    assert g_rows == u_rows
+
+
+def test_cooccurrence_staged_index_matches_fresh_build(spark):
+    """events_cooccurrence_lift stages its scored pair relation
+    (fingerprint-gated): warm output must be bit-identical to a fresh
+    build (exact BIGINT counts round-trip parquet losslessly), and a
+    stale stamp must force a rebuild that still agrees."""
+    import glob
+    import os
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    for d in glob.glob("/tmp/sgdata/sf0.001/cooccur_idx_v1_*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+    fresh = engine.QUERIES["events_cooccurrence_lift"](spark, sf).collect()
+    staged = glob.glob("/tmp/sgdata/sf0.001/cooccur_idx_v1_*")
+    assert staged, "fresh run must stage the pair index"
+
+    warm = engine.QUERIES["events_cooccurrence_lift"](spark, sf).collect()
+    assert warm == fresh
+
+    with open(os.path.join(staged[0], "_SG_FINGERPRINT"), "w") as fh:
+        fh.write("stale")
+    rebuilt = engine.QUERIES["events_cooccurrence_lift"](spark, sf).collect()
+    assert rebuilt == fresh
