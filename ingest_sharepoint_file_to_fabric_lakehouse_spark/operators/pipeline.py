@@ -624,3 +624,84 @@ def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+_EPOCH_SALT = 7919  # 1000th prime — decorrelates per-epoch permutations
+
+_SHUFFLE_SHARD_ORACLE = f"""
+WITH x AS (
+  SELECT d.doc_id, d.n_chars, e.epoch,
+         ((CAST(d.doc_id AS DECIMAL(38,0)) + e.epoch * {_EPOCH_SALT})
+           * {_KNUTH}) % {_M32} AS h
+  FROM documents d CROSS JOIN (VALUES (1), (2)) e(epoch)
+),
+o AS (
+  SELECT *, CAST(h AS HUGEINT) * 10000000000000000000 + doc_id AS ord,
+         CAST(h % 16 AS INT) AS shard
+  FROM x
+)
+SELECT epoch, shard,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       arg_min(doc_id, ord) AS first_doc,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM o GROUP BY epoch, shard
+ORDER BY epoch, shard
+"""
+
+
+@query("corpus_shuffle_shard", _SHUFFLE_SHARD_ORACLE)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the
+    data-loader prep step of a training pipeline: give every document
+    a pseudo-random position for the epoch, bucket the corpus into
+    fixed training shards, and make the whole permutation a PURE
+    FUNCTION of (doc_id, epoch) so retries, replays, and re-partitions
+    reproduce byte-identical shards with zero RNG state (the
+    ``corpus_sample_stratified`` portability discipline: Knuth
+    multiplicative hash in decimal(38,0), exact on both engines at any
+    id magnitude).  A new epoch is a new salt — a fresh decorrelated
+    permutation, nothing reshuffled by hand.
+
+    Emitted per (epoch, shard): doc count, payload volume, the shard's
+    FIRST document under the shuffle order (min_by over the composite
+    (h, doc_id) rank — the agg_min_max_by decimal-ord pattern, exact
+    past bigint range), and an id checksum so the oracle verifies
+    exact membership, not just counts.
+
+    Scale shape: the hash, shard, and rank are pure map-side
+    projections; the only exchange is the partial-aggregated
+    #epochs x #shards summary.  At 100 TB the shard column is exactly
+    what the loader-prep job ``partitionBy``s on when writing shards,
+    and within-shard order is ``ORDER BY h`` inside each partition —
+    a local sort per shard file, never a global one.
+    """
+    d = t(spark, sf_dir, "documents")
+    epochs = spark.range(1, 3).select(F.col("id").cast("int").alias("epoch"))
+    x = d.crossJoin(F.broadcast(epochs))
+    h = (
+        (F.col("doc_id").cast("decimal(38,0)") + F.col("epoch") * F.lit(_EPOCH_SALT))
+        * F.lit(_KNUTH)
+    ) % F.lit(_M32)
+    ord_ = (
+        h.cast("decimal(18,0)").cast("decimal(38,0)")
+        * F.expr("CAST(10000000000000000000 AS DECIMAL(38,0))")
+        + F.col("doc_id")
+    )
+    return (
+        x.select(
+            "epoch",
+            (h % 16).cast("int").alias("shard"),
+            "doc_id",
+            "n_chars",
+            ord_.alias("ord"),
+        )
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min_by("doc_id", F.col("ord")).alias("first_doc"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("epoch", "shard")
+    )

@@ -1382,3 +1382,26 @@ def test_edit_distance_blocked_adversarial_small_alphabet(spark):
         .collect()
     }
     assert got == brute and len(got) > 100, (len(got), len(brute))
+
+
+def test_corpus_shuffle_shard_is_deterministic_and_epoch_decorrelated(spark, sf_dir):
+    """The training-order shuffle must be a pure function of
+    (doc_id, epoch): re-runs reproduce identical shards (no RNG
+    state), and a new epoch is a genuinely different permutation —
+    different shard membership, not just a relabel."""
+    import ingest_sharepoint_file_to_fabric_lakehouse_spark as engine
+
+    a = engine.QUERIES["corpus_shuffle_shard"](spark, sf_dir).collect()
+    b = engine.QUERIES["corpus_shuffle_shard"](spark, sf_dir).collect()
+    assert a == b
+
+    e1 = {r.shard: r.id_checksum for r in a if r.epoch == 1}
+    e2 = {r.shard: r.id_checksum for r in a if r.epoch == 2}
+    assert len(e1) > 1 and len(e2) > 1
+    # epochs shuffle docs into different shard memberships
+    assert e1 != e2
+    # but each epoch partitions the SAME corpus: totals conserved
+    assert sum(e1.values()) == sum(e2.values())
+    assert sum(r.n_docs for r in a if r.epoch == 1) == sum(
+        r.n_docs for r in a if r.epoch == 2
+    )
