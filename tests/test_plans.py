@@ -880,3 +880,28 @@ def test_cooccurrence_staged_index_matches_fresh_build(spark):
         fh.write("stale")
     rebuilt = engine.QUERIES["events_cooccurrence_lift"](spark, sf).collect()
     assert rebuilt == fresh
+
+
+def test_bm25_staged_index_matches_fresh_build(spark):
+    """search_bm25/search_hybrid_rrf read a staged inverted index
+    (posting lists + df + doc lengths + stats meta): warm output must
+    be identical to a fresh build, and a stale stamp must rebuild."""
+    import glob
+    import os
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    for d in glob.glob("/tmp/sgdata/sf0.001/bm25_*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+    fresh = engine.QUERIES["search_bm25"](spark, sf).collect()
+    staged = sorted(glob.glob("/tmp/sgdata/sf0.001/bm25_*"))
+    assert len(staged) == 3, staged
+
+    warm = engine.QUERIES["search_bm25"](spark, sf).collect()
+    assert warm == fresh
+
+    with open(os.path.join(staged[0], "_SG_FINGERPRINT"), "w") as fh:
+        fh.write("stale")
+    rebuilt = engine.QUERIES["search_bm25"](spark, sf).collect()
+    assert rebuilt == fresh
