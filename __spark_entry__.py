@@ -83,7 +83,7 @@ _DRIVER_VERIFIED = {
     "scan_json_lines", "scan_manifest", "scan_observe_metrics",
     "scan_parquet", "scan_parquet_nested", "scan_partition_pruned",
     "scan_rowgroup_skipping", "scan_schema_evolution", "scan_table_stats",
-    "search_bm25", "search_hybrid_rrf", "set_except", "set_intersect",
+    "set_except", "set_intersect",
     "set_union_all", "set_union_distinct", "sim_grouped_centroid",
     "sim_ivf_partition_pruned", "sim_ivf_probe", "sim_ivf_recall_eval",
     "sim_kmeans_build", "sim_lsh_dup_witness", "sim_lsh_recall_eval",
@@ -135,27 +135,32 @@ _DRIVER_VERIFIED = {
 # locally at sf0.001/0.01/0.1, perturbed partitions, synthesized 4x);
 # (c) corpus_shuffle_shard, brand new this round (deterministic
 # epoch-shuffle + shard assignment — the data-loader prep step), needs
-# its FIRST verdict; (d) the remaining 43 slots rotate the oldest
-# r01/r02 greens — 47 were queued, 43 fit after the upgrades and the
-# new key took slots, the last 4 (win_lag_lead, win_moving_avg, win_rank_dense, win_running_sum) keep their valid r01 verdicts and queue for r11.  Keys added or
-# changed after this window was pinned sort directly after it via
-# _ordered_keys (unverified strong first).
+# its FIRST verdict; (c') search_bm25 + search_hybrid_rrf re-earn:
+# their implementation changed late in the round (staged inverted
+# index; values bit-identical, full battery green, but changed keys
+# re-earn by policy); (d) the remaining 41 slots rotate the oldest
+# r01/r02 greens — 47 were queued, 41 fit after the upgrades, the new
+# key, and the search re-earns took slots; the last 6 (unpivot_long,
+# win_first_last, win_lag_lead, win_moving_avg, win_rank_dense,
+# win_running_sum) keep their valid r01 verdicts and queue for r11.
+# Keys added or changed after this window was pinned sort directly
+# after it via _ordered_keys (unverified strong first).
 _WINDOW_50 = [
     "events_cooccurrence_lift", "sim_vector_quantize_int8",
     "text_feature_hashing", "dedup_fuzzy_minhash", "dedup_simhash",
-    "sim_topk_lsh", "corpus_shuffle_shard", "agg_collect",
-    "agg_count_distinct", "agg_cube", "agg_empty_check",
-    "agg_grouping_sets", "agg_having", "agg_percentile", "agg_rollup",
-    "array_ops", "cast_types", "cond_case_when", "date_arith",
-    "date_format_tz", "hash_funcs", "limit_n", "math_expr",
-    "multimodal_binary_meta", "pivot_wide", "project_rename_drop",
-    "scan_binaryfile", "scan_csv_schema", "scan_manifest", "scan_parquet",
-    "set_except", "set_intersect", "set_union_all", "set_union_distinct",
-    "sink_parquet", "sink_partitioned", "str_basic", "str_regex",
-    "text_lang_filter", "text_langid_ngram", "text_quality_score",
-    "text_stats", "text_token_count", "udaf_pandas_grouped",
-    "udf_pandas_cosine", "udf_pandas_scalar", "udf_python_scalar",
-    "udtf_map_in_pandas", "unpivot_long", "win_first_last",
+    "sim_topk_lsh", "corpus_shuffle_shard", "search_bm25",
+    "search_hybrid_rrf", "agg_collect", "agg_count_distinct", "agg_cube",
+    "agg_empty_check", "agg_grouping_sets", "agg_having",
+    "agg_percentile", "agg_rollup", "array_ops", "cast_types",
+    "cond_case_when", "date_arith", "date_format_tz", "hash_funcs",
+    "limit_n", "math_expr", "multimodal_binary_meta", "pivot_wide",
+    "project_rename_drop", "scan_binaryfile", "scan_csv_schema",
+    "scan_manifest", "scan_parquet", "set_except", "set_intersect",
+    "set_union_all", "set_union_distinct", "sink_parquet",
+    "sink_partitioned", "str_basic", "str_regex", "text_lang_filter",
+    "text_langid_ngram", "text_quality_score", "text_stats",
+    "text_token_count", "udaf_pandas_grouped", "udf_pandas_cosine",
+    "udf_pandas_scalar", "udf_python_scalar", "udtf_map_in_pandas",
 ]
 
 
