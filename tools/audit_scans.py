@@ -38,6 +38,11 @@ ALLOWED = {
     "sql_api_q15": "CTE referenced twice (scalar max + join)",
     "sql_api_q17": "correlated avg rollup + fact scan",
     "filter_exists_subquery": "semi + anti over orders",
+    # witness keys over planted control-plane rows
+    "sim_lsh_dup_witness": (
+        "bands base(vec_id<3) UNION planted dups, consumed by both join "
+        "sides — 4 pushed-down scans of ~3 rows each, never the corpus"
+    ),
     # self-joins on principle
     "join_interval_overlap": "interval x interval self-join",
     "events_forecast_snaive": "t-7 self-join over daily counts",
