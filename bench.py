@@ -197,17 +197,28 @@ def main() -> None:
     except Exception as ex:
         print(f"# warmup partial: {type(ex).__name__}: {ex}", file=sys.stderr)
 
-    # Machine-speed calibration: identical code+data measured 85.5 s on
-    # one boot and 110-133 s on the next (host/CPU-frequency variance
-    # the variance guard can't remove).  Time a fixed, data-independent
-    # reference job so runs are comparable ACROSS boots: report
-    # calib_sec alongside the total; total/calib is the
-    # machine-independent figure.
+    # Machine-speed calibration, protocol v9: identical code+data
+    # measured 85.5 s on one boot and 110-133 s on the next (host/CPU-
+    # frequency variance the variance guard can't remove).  Time a
+    # fixed, data-independent reference job so runs are comparable
+    # ACROSS boots.  v8 probed ONCE, up front — r10's probe happened to
+    # land 1.7x faster than r9's, turning a 23% raw improvement into an
+    # apparent normalized regression.  v9 probes BEFORE the sweep,
+    # BETWEEN the first pass and the reruns, and AFTER, uses the MEDIAN
+    # as the divisor, and records all probes + their spread so a noisy
+    # calibration is visible in the artifact instead of silently
+    # skewing the headline number.
     spark.range(1_000_000).selectExpr("sum(xxhash64(id) % 1000000) s").collect()  # codegen
-    calib_t0 = time.time()
-    spark.range(2_000_000_000).selectExpr("sum(xxhash64(id) % 1000000) s").collect()
-    calib_sec = round(time.time() - calib_t0, 3)
-    print(f"# calibration job: {calib_sec:.2f}s", file=sys.stderr)
+
+    def _calib_probe() -> float:
+        t0 = time.time()
+        spark.range(2_000_000_000).selectExpr(
+            "sum(xxhash64(id) % 1000000) s"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    calib_probes = [_calib_probe()]
+    print(f"# calibration probe (pre): {calib_probes[0]:.2f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -270,6 +281,9 @@ def main() -> None:
     # round-over-round deltas are attributable; with calib_sec
     # recorded alongside, total/calib is the machine-independent
     # comparison figure.
+    calib_probes.append(_calib_probe())
+    print(f"# calibration probe (mid): {calib_probes[-1]:.2f}s", file=sys.stderr)
+
     samples: dict[str, list[float]] = {}
     partial: dict[str, int] = {}
     # GC nudge per rerun is ~0.3 s x 2 x 252 keys of pure overhead if
@@ -316,6 +330,32 @@ def main() -> None:
         )
     total = sum(v for v in timings.values() if v > 0)
 
+    calib_probes.append(_calib_probe())
+    print(f"# calibration probe (post): {calib_probes[-1]:.2f}s", file=sys.stderr)
+    positive_probes = sorted(p for p in calib_probes if p > 0)
+    calib_sec = positive_probes[len(positive_probes) // 2] if positive_probes else 0.0
+    calib_spread_pct = (
+        round(100.0 * (positive_probes[-1] - positive_probes[0]) / calib_sec, 1)
+        if calib_sec
+        else None
+    )
+    print(
+        f"# calibration median {calib_sec:.2f}s spread {calib_spread_pct}% "
+        f"from {calib_probes}",
+        file=sys.stderr,
+    )
+    # normalized per-key MEDIAN (not total/n): robust to one slow key
+    # dominating, and guarded against a degenerate zero calibration so
+    # a partial run still emits its artifact (ADVICE r10).
+    _pos = sorted(v for v in timings.values() if v > 0)
+    _median_key_sec = _pos[len(_pos) // 2] if _pos else 0.0
+    calib_norm_per_key = (
+        round(total / calib_sec / max(len(timings), 1), 4) if calib_sec else None
+    )
+    calib_norm_median_key = (
+        round(_median_key_sec / calib_sec, 4) if calib_sec else None
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -331,9 +371,10 @@ def main() -> None:
     # runs measured the same way (ADVICE r5: the r5 order change made
     # per-key rows incomparable to earlier rounds without saying so).
     protocol = {
-        "version": 8,
+        "version": 9,
         "order": "reversed-registration",
         "variance_guard": "median-of-3-all-keys;partial-marked-min",
+        "calibration": "median-of-3-probes(pre/mid/post);spread-recorded",
     }
     line = json.dumps(
         {
@@ -344,13 +385,14 @@ def main() -> None:
             "n_queries": len(timings),
             "protocol_version": protocol["version"],
             "calib_sec": calib_sec,
-            # (total / calib) / n_keys — the machine-independent number
-            # round-over-round comparisons use (r8: 0.64, r9: 0.43);
-            # recorded in-artifact so comparisons stop needing manual
-            # arithmetic
-            "calib_normalized_per_key": round(
-                total / calib_sec / max(len(timings), 1), 4
-            ),
+            "calib_probes": calib_probes,
+            "calib_spread_pct": calib_spread_pct,
+            # machine-independent figures (None when calibration failed):
+            # total/calib/n_keys for continuity with r8-r10, plus the
+            # v9 headline — the normalized per-key MEDIAN, robust to a
+            # single slow key and to probe noise
+            "calib_normalized_per_key": calib_norm_per_key,
+            "calib_normalized_median_key": calib_norm_median_key,
             # "queries" is a tail-truncated excerpt (driver captures
             # ~2 kB of stdout); BENCH_FULL.json holds the canonical
             # full per-key map + raw samples
@@ -365,9 +407,10 @@ def main() -> None:
         "sf": sf_val,
         "protocol": protocol,
         "calib_sec": calib_sec,
-        "calib_normalized_per_key": round(
-            total / calib_sec / max(len(timings), 1), 4
-        ),
+        "calib_probes": calib_probes,
+        "calib_spread_pct": calib_spread_pct,
+        "calib_normalized_per_key": calib_norm_per_key,
+        "calib_normalized_median_key": calib_norm_median_key,
         "queries": timings,
         "samples": samples,
         "partial": partial,

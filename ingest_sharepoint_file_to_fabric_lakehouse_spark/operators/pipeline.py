@@ -637,7 +637,7 @@ WITH x AS (
 ),
 o AS (
   SELECT *, CAST(h AS HUGEINT) * 10000000000000000000 + doc_id AS ord,
-         CAST(h % 16 AS INT) AS shard
+         CAST(CAST(h AS BIGINT) >> 28 AS INT) AS shard
   FROM x
 )
 SELECT epoch, shard,
@@ -688,10 +688,14 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.expr("CAST(10000000000000000000 AS DECIMAL(38,0))")
         + F.col("doc_id")
     )
+    # Shard from the hash's HIGH bits (28-31): the Knuth multiplier is
+    # ≡ 1 (mod 16), so low bits of h are (doc_id + salt·epoch) mod 16
+    # verbatim — sequential ids would round-robin and each epoch would
+    # be a pure rotation of the last.  Bits 28-31 are fully mixed.
     return (
         x.select(
             "epoch",
-            (h % 16).cast("int").alias("shard"),
+            F.shiftright(h.cast("long"), 28).cast("int").alias("shard"),
             "doc_id",
             "n_chars",
             ord_.alias("ord"),

@@ -18,13 +18,47 @@ Two write strategies, chosen by target layout:
   day, not the table.
 * **Unpartitioned target** (:func:`merge_upsert`): full-outer-join
   merge staged to a temp directory (ONE write of the merged result),
-  then swapped in with filesystem renames (target → backup, tmp →
-  target) so a mid-swap failure leaves either the old or the new
-  complete table, never a half-written one.  Staging/backup dirs are
-  removed in a ``finally`` block.
+  then committed with the rename protocol below.
 
 The join shuffles both sides on the merge key — identical shuffle
 shape to Delta's own MERGE.
+
+Commit protocol (unpartitioned path)
+------------------------------------
+Renames are atomic metadata operations on POSIX and HDFS-compatible
+stores; writes are not.  The protocol makes every crash point
+recoverable by construction:
+
+1. ``recover_table`` — heal any prior crash (rules below), leaving a
+   committed table and no stray dirs.
+2. Stage: write the merged result to ``<target>__merge_tmp``.  Spark's
+   committer drops a ``_SUCCESS`` marker only when the write finished —
+   that marker is the staged table's completeness witness.
+3. ``rename(target, <target>__merge_bak)`` — the old table is intact
+   under a new name; the commit is now in flight.
+4. ``rename(tmp, target)`` — THE commit point.  Before it, recovery
+   rolls back; after it, the new table is live.
+5. ``delete(bak)`` — post-commit cleanup.
+
+Recovery rules (``recover_table``; also run by ``read_table``):
+
+* target exists → committed.  Delete stray ``tmp`` (crash during/after
+  step 2: old state) and stray ``bak`` (crash before step 5: new state).
+* target missing, ``bak`` exists, ``tmp/_SUCCESS`` exists → crash
+  between steps 3 and 4 with a COMPLETE staged table: roll forward
+  (``rename(tmp, target)``, delete bak).
+* target missing, ``bak`` exists, no ``tmp/_SUCCESS`` → staged table
+  not provably complete: roll back (``rename(bak, target)``, delete
+  tmp).
+* target missing, no ``bak``, ``tmp`` exists → no commit ever started
+  against a live table: delete tmp, report missing target.
+
+Every state therefore reads back as either the complete OLD or the
+complete NEW table — never torn (`tests/test_operators.py::
+test_merge_upsert_crash_*` kills the writer at each step and asserts
+exactly this).  Concurrency: the protocol serializes crash recovery,
+not concurrent writers — two simultaneous MERGEs still race (that is
+Delta's transaction log's job; install delta-spark for it).
 """
 
 from __future__ import annotations
@@ -56,10 +90,59 @@ def write_table(df: DataFrame, path: str, part_col: str | None = None) -> None:
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a merge target written by :func:`write_table`.  A Delta
     table must NOT be read as bare parquet (stale versions' files
-    would double-count), so the format is detected, not assumed."""
+    would double-count), so the format is detected, not assumed.
+    Non-Delta reads first heal any crashed MERGE (two metadata
+    ``exists`` probes when nothing is wrong) so a reader arriving
+    after a mid-swap crash sees a complete table, never a torn one."""
     if HAVE_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         return spark.read.format("delta").load(path)
+    recover_table(spark, path)
     return spark.read.parquet(path)
+
+
+class SimulatedCrash(RuntimeError):
+    """Raised by ``merge_upsert``'s crash-injection hook: propagates
+    without running ANY cleanup, leaving the exact on-disk state a
+    ``kill -9`` at that point would (renames are metadata-atomic, so
+    exception-without-cleanup and process death are indistinguishable
+    to the filesystem)."""
+
+
+def _paths(spark: SparkSession, target_path: str):
+    fs, jtarget = _fs(spark, target_path)
+    mk = spark._jvm.org.apache.hadoop.fs.Path
+    base = target_path.rstrip("/")
+    return fs, jtarget, mk(base + "__merge_tmp"), mk(base + "__merge_bak"), mk(
+        base + "__merge_tmp/_SUCCESS"
+    )
+
+
+def recover_table(spark: SparkSession, target_path: str) -> str:
+    """Heal a crashed :func:`merge_upsert` per the module-doc protocol.
+
+    Returns which rule fired: ``"committed"`` (target intact, stray
+    dirs removed), ``"rolled_forward"`` (complete staged table
+    promoted), ``"rolled_back"`` (old table restored), or
+    ``"missing"`` (no table and nothing recoverable).  Idempotent —
+    every exit leaves a state where re-running is a no-op.
+    """
+    fs, jtarget, jtmp, jbak, jtmp_ok = _paths(spark, target_path)
+    if fs.exists(jtarget):
+        fs.delete(jtmp, True)
+        fs.delete(jbak, True)
+        return "committed"
+    if fs.exists(jbak):
+        if fs.exists(jtmp_ok):
+            if not fs.rename(jtmp, jtarget):
+                raise OSError(f"recovery rename tmp -> {target_path} failed")
+            fs.delete(jbak, True)
+            return "rolled_forward"
+        fs.delete(jtmp, True)
+        if not fs.rename(jbak, jtarget):
+            raise OSError(f"recovery rename bak -> {target_path} failed")
+        return "rolled_back"
+    fs.delete(jtmp, True)
+    return "missing"
 
 
 def _merged_frame(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
@@ -91,14 +174,25 @@ def merge_upsert(
     target_path: str,
     source: DataFrame,
     key: str,
+    _crash: str | None = None,
 ) -> None:
-    """MERGE INTO an *unpartitioned* target (see module doc: one
-    staged write + rename swap; idempotent re-ingest semantics the
-    reference lacks, SURVEY.md §4.1 "Incremental/exactly-once").
+    """MERGE INTO an *unpartitioned* target (see module doc: staged
+    write + the documented atomic-rename commit protocol; idempotent
+    re-ingest semantics the reference lacks, SURVEY.md §4.1
+    "Incremental/exactly-once").
 
     When delta-spark is installed and the target is a Delta table,
     this is a real ``DeltaTable.merge`` — transactional, no rename
-    dance needed; the portable full-outer-join path is the fallback.
+    dance needed; the portable commit-protocol path is the fallback.
+
+    ``_crash`` is the test-only crash-injection hook: naming a step
+    (``"after_stage_write"``, ``"after_backup_rename"``,
+    ``"after_commit_rename"``) raises :class:`SimulatedCrash` right
+    after it, skipping all subsequent steps — the on-disk state a
+    process kill at that instant leaves.  There is deliberately NO
+    ``finally`` cleanup: a crashed run's debris is healed by the NEXT
+    ``recover_table`` (step 1), which is what makes the simulation
+    faithful.
     """
     if HAVE_DELTA and DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
         (
@@ -110,28 +204,34 @@ def merge_upsert(
             .execute()
         )
         return
+
+    def crashpoint(step: str) -> None:
+        if _crash == step:
+            raise SimulatedCrash(step)
+
+    # Step 1: heal any prior crash before reading the target.
+    state = recover_table(spark, target_path)
+    if state == "missing":
+        raise FileNotFoundError(f"merge target does not exist: {target_path}")
+    fs, jtarget, jtmp, jbak, _ = _paths(spark, target_path)
     target = spark.read.parquet(target_path)
     merged = _merged_frame(target, source, key)
 
-    tmp = target_path.rstrip("/") + "__merge_tmp"
-    bak = target_path.rstrip("/") + "__merge_bak"
-    fs, jtarget = _fs(spark, target_path)
-    jtmp = spark._jvm.org.apache.hadoop.fs.Path(tmp)
-    jbak = spark._jvm.org.apache.hadoop.fs.Path(bak)
-    try:
-        fs.delete(jtmp, True)
-        fs.delete(jbak, True)
-        merged.write.mode("overwrite").parquet(tmp)
-        # swap: the only non-atomic window is between the two renames,
-        # and a failure there leaves the complete old table at `bak`.
-        if not fs.rename(jtarget, jbak):
-            raise OSError(f"rename {target_path} -> {bak} failed")
-        if not fs.rename(jtmp, jtarget):
-            fs.rename(jbak, jtarget)  # roll back
-            raise OSError(f"rename {tmp} -> {target_path} failed")
-    finally:
-        fs.delete(jtmp, True)
-        fs.delete(jbak, True)
+    # Step 2: stage the merged table (Spark drops tmp/_SUCCESS on
+    # completion — the roll-forward witness).
+    merged.write.mode("overwrite").parquet(jtmp.toString())
+    crashpoint("after_stage_write")
+    # Step 3: move the old table aside (commit in flight).
+    if not fs.rename(jtarget, jbak):
+        raise OSError(f"rename {target_path} -> {jbak} failed")
+    crashpoint("after_backup_rename")
+    # Step 4: THE commit point.
+    if not fs.rename(jtmp, jtarget):
+        fs.rename(jbak, jtarget)  # roll back (same rule recovery applies)
+        raise OSError(f"rename {jtmp} -> {target_path} failed")
+    crashpoint("after_commit_rename")
+    # Step 5: post-commit cleanup.
+    fs.delete(jbak, True)
 
 
 def merge_upsert_partitioned(

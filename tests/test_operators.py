@@ -184,6 +184,77 @@ def test_cc_label_propagation_matches_unionfind(spark):
     assert fast == dist
 
 
+def test_merge_upsert_crash_at_every_step_never_torn(spark, tmp_path):
+    """Kill the MERGE writer at each commit-protocol step (crash hook:
+    the exception skips ALL cleanup, leaving the exact on-disk state a
+    ``kill -9`` would) and assert the table reads back as either the
+    complete OLD or the complete NEW state — never torn — and that a
+    re-run completes the merge."""
+    import pytest
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import (
+        SimulatedCrash,
+        merge_upsert,
+        read_table,
+        recover_table,
+    )
+
+    old = {1: 10.0, 2: 20.0}
+    new = {1: 10.0, 2: 25.0, 3: 30.0}
+    expect_after_crash = {
+        # staged but commit not started → recovery keeps the old table
+        "after_stage_write": old,
+        # between the renames with a complete (_SUCCESS) staged table
+        # → recovery rolls FORWARD
+        "after_backup_rename": new,
+        # committed, cleanup pending → new table, bak swept
+        "after_commit_rename": new,
+    }
+    for step, expected in expect_after_crash.items():
+        path = str(tmp_path / f"crash_{step}")
+        spark.createDataFrame(
+            [(k, v) for k, v in old.items()], "id long, v double"
+        ).write.parquet(path)
+        src = spark.createDataFrame([(2, 25.0), (3, 30.0)], "id long, v double")
+        with pytest.raises(SimulatedCrash):
+            merge_upsert(spark, path, src, "id", _crash=step)
+        # read_table runs recovery: complete old or complete new only
+        got = {r.id: r.v for r in read_table(spark, path).collect()}
+        assert got == expected, (step, got)
+        # recovery is idempotent and leaves no debris
+        assert recover_table(spark, path) == "committed"
+        import os
+
+        assert not [p for p in os.listdir(tmp_path) if "__merge_" in p], step
+        # a re-run (the normal retry) always lands the merged state
+        merge_upsert(spark, path, src, "id")
+        got = {r.id: r.v for r in read_table(spark, path).collect()}
+        assert got == new, step
+
+
+def test_merge_upsert_recovery_rolls_back_incomplete_stage(spark, tmp_path):
+    """Crash DURING the staged write (no _SUCCESS witness) with the
+    commit in flight: recovery must roll back to the old table, never
+    promote a half-written stage."""
+    import os
+    import shutil
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import read_table, recover_table
+
+    path = str(tmp_path / "rollback")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.parquet(path)
+    # Forge the crash state by hand: old table moved to bak, tmp dir
+    # present but WITHOUT _SUCCESS (write never finished).
+    os.rename(path, path + "__merge_bak")
+    os.makedirs(path + "__merge_tmp")
+    with open(path + "__merge_tmp/part-00000.parquet", "wb") as fh:
+        fh.write(b"torn")
+    assert recover_table(spark, path) == "rolled_back"
+    assert {r.id: r.v for r in read_table(spark, path).collect()} == {1: 1.0}
+    assert not [p for p in os.listdir(tmp_path) if "__merge_" in p]
+    shutil.rmtree(path)
+
+
 def test_merge_upsert_cleans_staging_dirs(spark, tmp_path):
     """The rename-swap MERGE must leave no __merge_tmp/__merge_bak."""
     import os
@@ -1400,6 +1471,12 @@ def test_corpus_shuffle_shard_is_deterministic_and_epoch_decorrelated(spark, sf_
     assert len(e1) > 1 and len(e2) > 1
     # epochs shuffle docs into different shard memberships
     assert e1 != e2
+    # …and not merely a relabel/rotation of the same membership: no
+    # shard-label permutation maps epoch-1 onto epoch-2, i.e. the
+    # MULTISET of per-shard (n_docs, id_checksum) signatures differs.
+    s1 = sorted((r.n_docs, r.id_checksum) for r in a if r.epoch == 1)
+    s2 = sorted((r.n_docs, r.id_checksum) for r in a if r.epoch == 2)
+    assert s1 != s2, "epoch-2 shards are a pure relabel of epoch-1"
     # but each epoch partitions the SAME corpus: totals conserved
     assert sum(e1.values()) == sum(e2.values())
     assert sum(r.n_docs for r in a if r.epoch == 1) == sum(
