@@ -231,6 +231,19 @@ def main() -> None:
     # unchanged in meaning.
     import gc as _gc
 
+    # Cold-build attribution: the staged indexes (minhash frames,
+    # PPJoin jp_*, BM25 inverted index, k-means codebook, …) are pure
+    # functions of the corpus, built once and fingerprint-gated.  On a
+    # fresh host /tmp/sgdata is empty, so each staged key's FIRST pass
+    # pays the build; stamp events landing during a pass mark it as a
+    # build pass, and its wall time is recorded under "cold" in
+    # BENCH_FULL so a staging win is never confused with a query win.
+    # The official per-key figure stays the median-of-3 (the two
+    # reruns are warm, so the median is a warm number by construction).
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import STAGING_EVENTS
+
+    cold: dict[str, dict] = {}
+
     ordered = list(reversed(qs.items()))
     for qi, (key, fn) in enumerate(ordered):
         if qi and qi % 20 == 0:
@@ -249,12 +262,17 @@ def main() -> None:
             spark.catalog.clearCache()
         except Exception:
             pass
+        ev0 = len(STAGING_EVENTS)
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.time() - t0
             timings[key] = round(dt, 3)
+            if len(STAGING_EVENTS) > ev0:
+                built = [os.path.basename(p) for p, _ in STAGING_EVENTS[ev0:]]
+                cold[key] = {"build_pass_sec": round(dt, 3), "built": built}
+                print(f"# {key}: cold build pass ({built})", file=sys.stderr)
             print(f"# {key}: {dt:.2f}s rows={n}", file=sys.stderr)
         except Exception as ex:  # keep benching; a broken query shows as -1
             timings[key] = -1.0
@@ -397,6 +415,9 @@ def main() -> None:
             # ~2 kB of stdout); BENCH_FULL.json holds the canonical
             # full per-key map + raw samples
             "queries_note": "10 slowest only; full map in BENCH_FULL.json",
+            # staged-index build passes absorbed by first runs this
+            # session (per-artifact detail in BENCH_FULL "cold")
+            "n_cold_builds": len(cold),
             "queries": slowest,
         }
     )
@@ -414,6 +435,10 @@ def main() -> None:
         "queries": timings,
         "samples": samples,
         "partial": partial,
+        # build-pass wall time for every staged artifact built during
+        # this run (first pass of each staged key on a cold host);
+        # per-key medians above are warm steady-state by construction
+        "cold": cold,
     }
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),

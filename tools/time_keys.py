@@ -2,7 +2,17 @@
 config (heap, Kryo, code cache, /dev/shm local dir, calibration) but
 times only the keys given on argv, N passes each, printing min/median.
 
-Usage: python tools/time_keys.py [--sf DIR] [--passes N] key [key ...]
+``--cold`` additionally measures each key's COLD path: the fixture's
+staged-artifact fingerprints under /tmp/sgdata are invalidated before
+an extra first pass, so that pass pays the full index build (minhash
+frames, PPJoin jp_*, BM25 inverted index, codebooks, …).  Cold and
+warm numbers print separately and a per-key map is merged into
+BENCH_FULL.json under "cold" — a staging win can never be confused
+with a query win (round-10 verdict item 2).  Keys sharing an artifact
+each pay its build in their own cold pass; the per-artifact "built"
+list makes the overlap explicit.
+
+Usage: python tools/time_keys.py [--sf DIR] [--passes N] [--cold] key [key ...]
 """
 
 from __future__ import annotations
@@ -20,6 +30,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--cold", action="store_true")
     ap.add_argument("keys", nargs="+")
     args = ap.parse_args()
 
@@ -53,10 +64,41 @@ def main() -> None:
     spark.range(2_000_000_000).selectExpr("sum(xxhash64(id) % 1000000) s").collect()
     print(f"calib {time.time() - calib_t0:.3f}s", file=sys.stderr)
 
+    def invalidate_staging(sf: str) -> int:
+        """Drop every staged artifact's fingerprint for this fixture so
+        the next pass rebuilds (the artifact data stays; the gate is
+        the fingerprint, so this is exactly the 'regenerated corpus'
+        cold path)."""
+        base = f"/tmp/sgdata/{os.path.basename(sf.rstrip('/'))}"
+        dropped = 0
+        for root, _dirs, files in os.walk(base):
+            if "_SG_FINGERPRINT" in files:
+                os.unlink(os.path.join(root, "_SG_FINGERPRINT"))
+                dropped += 1
+        return dropped
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import STAGING_EVENTS
+
+    cold_report: dict[str, dict] = {}
     for key in args.keys:
         if key not in qs:
             print(f"{key}: UNKNOWN KEY", file=sys.stderr)
             continue
+        if args.cold:
+            n_inv = invalidate_staging(args.sf)
+            ev0 = len(STAGING_EVENTS)
+            t0 = time.time()
+            qs[key](spark, args.sf).count()
+            cold_sec = time.time() - t0
+            built = [os.path.basename(p) for p, _ in STAGING_EVENTS[ev0:]]
+            cold_report[key] = {
+                "build_pass_sec": round(cold_sec, 3),
+                "built": built,
+            }
+            print(
+                f"{key}: cold={cold_sec:.3f}s built={built} "
+                f"(invalidated {n_inv} stamps)"
+            )
         times = []
         for _ in range(args.passes):
             spark.sparkContext._jvm.System.gc()
@@ -71,6 +113,23 @@ def main() -> None:
             f"{key}: min={min(times):.3f} med={statistics.median(times):.3f} "
             f"all={[round(t, 3) for t in times]} rows={n}"
         )
+
+    if args.cold and cold_report:
+        import json
+
+        full_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_FULL.json",
+        )
+        try:
+            with open(full_path) as fh:
+                full = json.load(fh)
+        except (OSError, ValueError):
+            full = {}
+        full.setdefault("cold", {}).update(cold_report)
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+        print(f"merged {len(cold_report)} cold entries into BENCH_FULL.json")
 
     spark.stop()
 
