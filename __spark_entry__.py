@@ -50,19 +50,21 @@ _DRIVER_VERIFIED = {
     "date_arith", "date_format_tz", "date_series_gapfill",
     "dedup_cluster_cc", "dedup_containment", "dedup_distinct_rows",
     "dedup_edit_distance_blocked", "dedup_embedding_cosine",
-    "dedup_exact_hash", "dedup_incremental_minhash", "dedup_jaccard_prefix", "dedup_lsh_eval",
-    "dedup_minhash_dup_witness", "dedup_minhash_pipeline_witness",
-    "dedup_minhash_portable", "dedup_ngram_jaccard", "dedup_simhash_portable", "dedup_simhash_stats", "dedup_subset_keyed",
-    "dq_expectations", "events_ab_ttest", "events_anomaly_zscore",
+    "dedup_exact_hash", "dedup_fuzzy_minhash", "dedup_incremental_minhash",
+    "dedup_lsh_eval", "dedup_minhash_dup_witness",
+    "dedup_minhash_pipeline_witness", "dedup_minhash_portable",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_portable",
+    "dedup_simhash_stats", "dedup_subset_keyed", "dq_expectations",
+    "events_ab_ttest", "events_anomaly_zscore",
     "events_attribution_lasttouch", "events_changepoint_cusum",
-    "events_dau_wau_mau", "events_ewma", "events_forecast_snaive",
-    "events_markov_transitions", "events_resample_ohlc",
-    "events_rolling_distinct", "events_sequence_pattern",
-    "events_session_stats", "events_trend_ols", "events_user_features",
-    "events_user_retention", "explode_lateral", "filter_between_date",
-    "filter_comparison", "filter_exists_subquery", "filter_in_set",
-    "filter_like", "filter_null", "flagship_q3_topk", "funnel_conversion",
-    "geo_grid_nearest", "graph_bfs_reachability",
+    "events_cooccurrence_lift", "events_dau_wau_mau", "events_ewma",
+    "events_forecast_snaive", "events_markov_transitions",
+    "events_resample_ohlc", "events_rolling_distinct",
+    "events_sequence_pattern", "events_session_stats", "events_trend_ols",
+    "events_user_features", "events_user_retention", "explode_lateral",
+    "filter_between_date", "filter_comparison", "filter_exists_subquery",
+    "filter_in_set", "filter_like", "filter_null", "flagship_q3_topk",
+    "funnel_conversion", "geo_grid_nearest", "graph_bfs_reachability",
     "graph_label_propagation", "graph_link_prediction", "graph_pagerank",
     "graph_triangle_count", "hash_funcs", "ingest_pipeline",
     "join_asof_latest", "join_asof_nearest", "join_asof_next_within",
@@ -75,40 +77,41 @@ _DRIVER_VERIFIED = {
     "join_skew_salted", "join_theta_range", "limit_n", "map_json_ops",
     "math_expr", "multimodal_binary_meta", "multimodal_chunk_binary",
     "multimodal_embed_ann", "multimodal_frame_sample",
-    "multimodal_resize_meta", "orders_benford_digits",
-    "orders_cohort_ltv", "orders_open_backlog", "orders_pareto_abc",
-    "orders_rfm_segments", "pivot_wide", "project_rename_drop",
-    "project_select", "scalar_subquery", "scan_binaryfile",
-    "scan_csv_malformed", "scan_csv_schema", "scan_datasource_sharepoint",
-    "scan_json_lines", "scan_manifest", "scan_observe_metrics",
-    "scan_parquet", "scan_parquet_nested", "scan_partition_pruned",
+    "multimodal_resize_meta", "orders_benford_digits", "orders_cohort_ltv",
+    "orders_open_backlog", "orders_pareto_abc", "orders_rfm_segments",
+    "pivot_wide", "project_rename_drop", "project_select",
+    "scalar_subquery", "scan_binaryfile", "scan_csv_malformed",
+    "scan_csv_schema", "scan_datasource_sharepoint", "scan_json_lines",
+    "scan_manifest", "scan_observe_metrics", "scan_parquet",
+    "scan_parquet_nested", "scan_partition_pruned",
     "scan_rowgroup_skipping", "scan_schema_evolution", "scan_table_stats",
-    "set_except", "set_intersect",
+    "search_bm25", "search_hybrid_rrf", "set_except", "set_intersect",
     "set_union_all", "set_union_distinct", "sim_grouped_centroid",
     "sim_ivf_partition_pruned", "sim_ivf_probe", "sim_ivf_recall_eval",
-    "sim_kmeans_build", "sim_lsh_dup_witness", "sim_lsh_recall_eval",
-    "sim_mmr_diversify", "sim_pq_adc_topk", "sim_radius_search",
-    "sim_topk_bruteforce", "sim_topk_ivfpq", "sim_topk_lsh_portable", "sink_compact_small_files",
-    "sink_csv_export", "sink_delta_merge", "sink_merge_partitioned",
-    "sink_parquet", "sink_partitioned", "sink_scd2_merge",
-    "sink_snapshot_diff", "sink_zorder_layout", "sort_multi_nulls",
-    "sql_api_parameterized", "sql_api_q1", "sql_api_q10", "sql_api_q11",
-    "sql_api_q12", "sql_api_q13", "sql_api_q14", "sql_api_q15",
-    "sql_api_q16", "sql_api_q17", "sql_api_q18", "sql_api_q19",
-    "sql_api_q2", "sql_api_q20", "sql_api_q21", "sql_api_q22",
-    "sql_api_q4", "sql_api_q5", "sql_api_q6", "sql_api_q7", "sql_api_q8",
-    "sql_api_q9", "str_basic", "str_regex", "stream_additive_state_merge",
-    "stream_datasource_sharepoint", "stream_dedup", "stream_foreach_sink",
-    "stream_session", "stream_session_live", "stream_sliding",
-    "stream_stateful_custom", "stream_static_join", "stream_stream_join",
-    "stream_stream_outer_join", "stream_tumbling", "stream_tumbling_live",
-    "stream_watermark_late", "string_agg_ordered",
-    "text_boilerplate_ratio", "text_bpe_tokenize", "text_chunk_overlap",
-    "text_dataset_split", "text_decontaminate", "text_duplicate_spans",
-    "text_fingerprint", "text_lang_filter", "text_langid_ngram",
-    "text_lm_quality", "text_ngram_entropy", "text_pack_sequences",
-    "text_pii_scrub", "text_quality_score", "text_repetition_filter",
-    "text_stats", "text_token_count", "tfidf_top_terms", "topk_per_group",
+    "sim_lsh_dup_witness", "sim_lsh_recall_eval", "sim_mmr_diversify",
+    "sim_pq_adc_topk", "sim_radius_search", "sim_topk_bruteforce",
+    "sim_topk_ivfpq", "sim_topk_lsh", "sim_topk_lsh_portable",
+    "sim_vector_quantize_int8", "sink_compact_small_files",
+    "sink_csv_export", "sink_parquet", "sink_partitioned",
+    "sink_scd2_merge", "sink_snapshot_diff", "sink_zorder_layout",
+    "sort_multi_nulls", "sql_api_parameterized", "sql_api_q1",
+    "sql_api_q10", "sql_api_q11", "sql_api_q12", "sql_api_q13",
+    "sql_api_q14", "sql_api_q15", "sql_api_q16", "sql_api_q17",
+    "sql_api_q18", "sql_api_q19", "sql_api_q2", "sql_api_q20",
+    "sql_api_q21", "sql_api_q22", "sql_api_q4", "sql_api_q5", "sql_api_q6",
+    "sql_api_q7", "sql_api_q8", "sql_api_q9", "str_basic", "str_regex",
+    "stream_additive_state_merge", "stream_datasource_sharepoint",
+    "stream_dedup", "stream_foreach_sink", "stream_session",
+    "stream_session_live", "stream_sliding", "stream_stateful_custom",
+    "stream_static_join", "stream_stream_join", "stream_stream_outer_join",
+    "stream_tumbling", "stream_tumbling_live", "stream_watermark_late",
+    "string_agg_ordered", "text_boilerplate_ratio", "text_bpe_tokenize",
+    "text_chunk_overlap", "text_dataset_split", "text_decontaminate",
+    "text_duplicate_spans", "text_feature_hashing", "text_fingerprint",
+    "text_lang_filter", "text_langid_ngram", "text_lm_quality",
+    "text_ngram_entropy", "text_pack_sequences", "text_pii_scrub",
+    "text_quality_score", "text_repetition_filter", "text_stats",
+    "text_token_count", "tfidf_top_terms", "topk_per_group",
     "udaf_pandas_grouped", "udf_cogrouped_asof", "udf_pandas_cosine",
     "udf_pandas_scalar", "udf_python_scalar", "udtf_lateral_python",
     "udtf_map_in_pandas", "unpivot_long", "vocab_bpe_merges",
@@ -116,51 +119,50 @@ _DRIVER_VERIFIED = {
     "win_cumulative_distinct", "win_distribution", "win_first_last",
     "win_gaps_islands", "win_lag_lead", "win_moving_avg",
     "win_ntile_bucketize", "win_range_interval", "win_rank_dense",
-    "win_row_number", "win_running_sum",
+    "win_row_number", "win_running_sum"
 }
 
-# Round 10's 50-slot window, pinned per the round-9 verdict's items 1
-# and 3: (a) the THREE r9 driver-reds, changed this round to be
-# driver-canonicalizable and pinned at the head — the two array-column
-# keys now emit comma-joined digit strings (the driver's pandas
-# sort_values canonicalizer cannot hash ndarray cells) and the lift
-# key narrows its exact decimal quotient to BIGINT at the emit site
-# under a proven bound (DuckDB's .df() renders DECIMAL as float64
-# while Spark's toPandas renders it as object-dtype Decimal — equal
-# values, diverged hashes); (b) the three PRODUCTION-HASH keys
-# upgraded from weak to strong this round: functions/xxh_sql.py
-# reproduces Spark's xxhash64 bit-for-bit as single-statement DuckDB
-# SQL, so dedup_fuzzy_minhash, dedup_simhash, and sim_topk_lsh now
-# carry full value-checked oracles and re-earn REAL verdicts (green
-# locally at sf0.001/0.01/0.1, perturbed partitions, synthesized 4x);
-# (c) corpus_shuffle_shard, brand new this round (deterministic
-# epoch-shuffle + shard assignment — the data-loader prep step), needs
-# its FIRST verdict; (c') search_bm25 + search_hybrid_rrf re-earn:
-# their implementation changed late in the round (staged inverted
-# index; values bit-identical, full battery green, but changed keys
-# re-earn by policy); (d) the remaining 41 slots rotate the oldest
-# r01/r02 greens — 47 were queued, 41 fit after the upgrades, the new
-# key, and the search re-earns took slots; the last 6 (unpivot_long,
-# win_first_last, win_lag_lead, win_moving_avg, win_rank_dense,
-# win_running_sum) keep their valid r01 verdicts and queue for r11.
+# Round 11's 50-slot window, pinned per the round-10 verdict's items
+# 1-2 and the post-r10 commits: (a) the FIVE keys whose implementation
+# changed after their last verdict, pinned at the head to re-earn —
+# sim_kmeans_build (staged codebook landed late in r10 outside that
+# round's window: the one process defect the r10 verdict flagged),
+# corpus_shuffle_shard (shard bits 28-31 fix: the Knuth multiplier is
+# 1 mod 16, so the low-bit shard was (doc_id - epoch) mod 16 — a
+# round-robin relabel, not a decorrelated permutation),
+# sink_delta_merge + sink_merge_partitioned (atomic-rename commit
+# protocol in plans/merge.py: stage + _SUCCESS witness + backup/commit
+# renames + crash recovery), and dedup_jaccard_prefix (fused map-side
+# verification: the 784k-row candidate groupBy and the verify
+# repartition exchanges are gone, dedup happens on the ~256-row
+# post-tau survivor set; 1.61 s -> ~0.9 s warm at sf0.1);
+# (b) the SIX keys still riding r01 verdicts (code unchanged since —
+# the verdicts are valid, but after this round every key's verdict
+# postdates its last code change and staleness drains by
+# construction): unpivot_long, win_first_last, win_lag_lead,
+# win_moving_avg, win_rank_dense, win_running_sum;
+# (c) the remaining 39 slots rotate the oldest greens (r04, all of
+# r05, and the two oldest r06 keys by name).
 # Keys added or changed after this window was pinned sort directly
 # after it via _ordered_keys (unverified strong first).
 _WINDOW_50 = [
-    "events_cooccurrence_lift", "sim_vector_quantize_int8",
-    "text_feature_hashing", "dedup_fuzzy_minhash", "dedup_simhash",
-    "sim_topk_lsh", "corpus_shuffle_shard", "search_bm25",
-    "search_hybrid_rrf", "agg_collect", "agg_count_distinct", "agg_cube",
-    "agg_empty_check", "agg_grouping_sets", "agg_having",
-    "agg_percentile", "agg_rollup", "array_ops", "cast_types",
-    "cond_case_when", "date_arith", "date_format_tz", "hash_funcs",
-    "limit_n", "math_expr", "multimodal_binary_meta", "pivot_wide",
-    "project_rename_drop", "scan_binaryfile", "scan_csv_schema",
-    "scan_manifest", "scan_parquet", "set_except", "set_intersect",
-    "set_union_all", "set_union_distinct", "sink_parquet",
-    "sink_partitioned", "str_basic", "str_regex", "text_lang_filter",
-    "text_langid_ngram", "text_quality_score", "text_stats",
-    "text_token_count", "udaf_pandas_grouped", "udf_pandas_cosine",
-    "udf_pandas_scalar", "udf_python_scalar", "udtf_map_in_pandas",
+    "sim_kmeans_build", "corpus_shuffle_shard", "sink_delta_merge",
+    "sink_merge_partitioned", "dedup_jaccard_prefix", "unpivot_long",
+    "win_first_last", "win_lag_lead", "win_moving_avg", "win_rank_dense",
+    "win_running_sum", "agg_approx_distinct", "agg_incremental_rollup",
+    "corpus_mix_weights", "multimodal_frame_sample", "sim_radius_search",
+    "sink_scd2_merge", "string_agg_ordered", "agg_approx_quantile",
+    "agg_bool", "date_series_gapfill", "dedup_cluster_cc",
+    "dedup_embedding_cosine", "dedup_exact_hash", "dedup_minhash_portable",
+    "events_user_retention", "funnel_conversion", "graph_triangle_count",
+    "join_asof_latest", "join_bucketed", "join_theta_range",
+    "map_json_ops", "scalar_subquery", "scan_datasource_sharepoint",
+    "scan_json_lines", "scan_partition_pruned", "sim_grouped_centroid",
+    "sim_topk_bruteforce", "stream_session", "stream_sliding",
+    "stream_tumbling", "text_decontaminate", "text_fingerprint",
+    "text_repetition_filter", "tfidf_top_terms", "vocab_topk",
+    "win_distribution", "win_range_interval", "agg_bitmap_distinct",
+    "agg_cms_portable"
 ]
 
 

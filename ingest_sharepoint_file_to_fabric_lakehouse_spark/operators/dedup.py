@@ -1414,10 +1414,22 @@ def dedup_jaccard_prefix(
     # corpora (measured 6.0M -> 1.4M rows at sf0.1).  Canonical order
     # is (n_sh, doc_id); output relabels to doc_a < doc_b.
     pa = pb.filter(F.col("rn") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1)
+    # Spread the STREAMED side explicitly before the join: the staged
+    # prefix parquet is 1-2 files, and the candidate join + fused
+    # verification below is one CPU-dense map stage — left at the scan
+    # layout it runs on 2 tasks and idles 15/16 of the machine.  Hash
+    # on doc_id (deterministic — never round-robin, the r8 layout-reuse
+    # bug class), width = defaultParallelism so the same code spreads
+    # over a 1000-executor cluster; repartition's explicit numPartitions
+    # is REPARTITION_BY_NUM, which AQE's byte-based coalescing must
+    # respect (the 54k-row shuffle is byte-light, so AQE would
+    # otherwise fuse the whole verify into 1-2 tasks).
+    width = spark.sparkContext.defaultParallelism
+    pbw = pb.repartition(width, "doc_id")
     raw = (
-        pa.alias("a")
+        F.broadcast(pa.alias("a"))
         .join(
-            pb.alias("b"),
+            pbw.alias("b"),
             (F.col("a.sid") == F.col("b.sid"))
             & (
                 (F.col("a.n_sh") < F.col("b.n_sh"))
@@ -1446,95 +1458,37 @@ def dedup_jaccard_prefix(
             F.col("b.doc_id").alias("db"),
             F.col("a.n_sh").alias("na"),
             F.col("b.n_sh").alias("nb"),
-            F.col("a.rn").alias("ra"),
-            F.col("b.rn").alias("rb"),
         )
     )
-    # Aggregated PPJoin position filter: alpha common prefix entries
-    # were seen, and everything after the LAST match contributes at
-    # most min(|a|-max_ra, |b|-max_rb) more, so
-    # alpha + min(na-max_ra, nb-max_rb) bounds the true overlap from
-    # above; prune pairs whose bound misses the integer-exact minimum
-    # intersection ceil(tau/(1+tau)*(na+nb)) = ceil(4(na+nb)/9).
-    # (float 4/9 = 0.444…49 overshoots exact ceil by 1 for
-    # s = 63, 117, 126, … and would drop at-threshold pairs.)
-    # The groupBy replaces the old DISTINCT — same shuffle, tighter
-    # output — and the oracle replays the looser unfiltered candidate
-    # set, so final rows are identical.
-    cand = (
-        raw.groupBy("da", "db")
-        .agg(
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-            F.count("*").alias("alpha"),
-            F.max("ra").alias("mra"),
-            F.max("rb").alias("mrb"),
-        )
-        .filter(
-            F.col("alpha")
-            + F.least(F.col("na") - F.col("mra"), F.col("nb") - F.col("mrb"))
-            >= F.expr("(4 * (na + nb) + 8) div 9")
-        )
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            F.greatest("na", "nb").alias("max_sh"),
-        )
-    )
-    # Exact verification: one row per candidate pair, intersecting the
-    # two docs' shingle sets JVM-side (array_intersect) — fan-out is
-    # |cand|, never candidate x per-shingle bucket sizes.  The doc-set
-    # relation is #docs rows; at fixture scale it broadcasts (hinted),
-    # at 100 TB both docsets and cand are doc_id-partitioned off the
-    # cached sh layout, so the swap to a co-partitioned shuffle join is
-    # mechanical.  (The inverse direction — broadcast the candidate
-    # list, stream docsets — was tried and measured 4-10x SLOWER here:
-    # the un-materialized pair list re-executes the whole candidate
-    # pipeline inside each broadcast exchange, and checkpointing it
-    # first still lost; the broadcast threads overlap the two docset
-    # builds, which the streamed form serializes.)
+    # FUSED verification: intersect the two docs' staged sid arrays
+    # (array_intersect, JVM-side) in the SAME map stage as the
+    # candidate join — the docset relation is #docs rows and
+    # broadcasts, so candidate generation, verification, and the
+    # tau filter all run inside one whole-stage-codegen span with NO
+    # exchange until the few-hundred-row survivor set.  The previous
+    # form deduplicated candidates first (a 784k-row groupBy with an
+    # aggregated PPJoin position filter pruning ~15%, then a
+    # repartition + broadcast-join verify): two full exchanges and a
+    # stage barrier to save ~17% of the intersections.  Verifying
+    # per raw candidate occurrence does that duplicated work map-side
+    # instead and deduplicates AFTER the tau filter, where the set is
+    # ~|true matches| — measured 1.61 s → 0.9 s warm at sf0.1 on the
+    # adversarially dense fixture.  At 100 TB the docsets no longer
+    # broadcast: the mechanical swap is the old shape (groupBy-dedup
+    # the pair list, then a doc_id-co-partitioned shuffle join against
+    # the docsets), at which point the aggregated position filter
+    # earns its shuffle back.
     #
     # Per-pair memory in the array path is proportional to the two
     # docs' shingle counts, so a PATHOLOGICAL document (shingle count
-    # above `large_doc_cap`) must never be collect_list'ed: one
-    # control-plane scalar (max n_sh, read off the checkpointed prefix
-    # relation) decides whether the corpus needs the split; when it
-    # does, pairs touching a large doc route through a join-count
+    # above `large_doc_cap`) must never be collect_list'ed: the staged
+    # docsets EXCLUDE large docs (built small-filtered at index time),
+    # one control-plane scalar (max n_sh, stamped in the _SG_META
+    # sidecar at build) decides whether the corpus needs the split,
+    # and pairs touching a large doc route through a join-count
     # verification (groupBy overlap count, the dedup_ngram_jaccard
-    # shape) whose state per task is a counter, not an array, and the
-    # docset build excludes large docs so the executor never
-    # materializes the pathological array at all.
-    def verify_arrays(pairs: DataFrame, docsets: DataFrame) -> DataFrame:
-        # Verification is CPU-dense per row (an array_intersect over
-        # two ~n_sh-element sets) on BYTE-light rows, exactly the shape
-        # AQE's byte-based partition coalescing misjudges: it fused the
-        # 667k-pair verify into a 10-task reduce stage and left 2/3 of
-        # the machine idle (measured 2.2 s → 1.6 s warm at sf0.1 with
-        # the explicit spread).  Deterministic HASH repartition on the
-        # pair key — never round-robin, which depends on input order
-        # (the r8 prefix-sum layout-reuse bug class).  Width follows
-        # the executor count, not a constant, so the same code spreads
-        # over a 1000-executor cluster.
-        width = pairs.sparkSession.sparkContext.defaultParallelism
-        pairs = pairs.repartition(width, "doc_a", "doc_b")
-        A, B = docsets.alias("A"), docsets.alias("B")
-        verified = (
-            pairs.join(F.broadcast(A), F.col("A.doc_id") == F.col("doc_a"))
-            .join(F.broadcast(B), F.col("B.doc_id") == F.col("doc_b"))
-            .withColumn(
-                "n_common", F.size(F.array_intersect(F.col("A.shs"), F.col("B.shs")))
-            )
-        )
-        jac = F.col("n_common").cast("double") / (
-            F.col("A.n_sh") + F.col("B.n_sh") - F.col("n_common")
-        )
-        return verified.filter(jac >= tau).select(
-            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-        )
-
-    # The staged docsets hold every doc at or under the cap (built
-    # small-filtered at index time — see the build branch); max n_sh is
-    # one control-plane scalar off the staged prefix.
+    # shape) whose state per task is a counter, not an array — the
+    # executor never materializes the pathological array at all.
     docsets_staged = read_staged(spark, ds_path)
     import json as _json
 
@@ -1543,24 +1497,57 @@ def dedup_jaccard_prefix(
             max_nsh = _json.load(fh)["max_nsh"]
     except (OSError, KeyError, ValueError):
         max_nsh = pb.agg(F.max("n_sh")).first()[0] or 0
+
+    small_raw = raw
+    if max_nsh > large_doc_cap:
+        small_raw = raw.filter(
+            (F.col("na") <= large_doc_cap) & (F.col("nb") <= large_doc_cap)
+        )
+    A, B = docsets_staged.alias("A"), docsets_staged.alias("B")
+    verified = (
+        small_raw.join(F.broadcast(A), F.col("A.doc_id") == F.col("da"))
+        .join(F.broadcast(B), F.col("B.doc_id") == F.col("db"))
+        .withColumn(
+            "n_common", F.size(F.array_intersect(F.col("A.shs"), F.col("B.shs")))
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("A.n_sh") + F.col("B.n_sh") - F.col("n_common")
+    )
+    # distinct AFTER the tau filter: duplicate candidate occurrences
+    # of one pair carry identical (da, db, jaccard), and the survivor
+    # set is a few hundred rows — the dedup shuffle is control-plane
+    # sized.  Output relabels the canonical (n_sh, doc_id) pair order
+    # to doc_a < doc_b.
+    small_out = (
+        verified.filter(jac >= tau)
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .distinct()
+    )
     if max_nsh <= large_doc_cap:
-        out = verify_arrays(cand.drop("max_sh"), docsets_staged)
+        out = small_out
     else:
-        # Checkpoint the (tiny) pair list so the two branch filters and
-        # the broadcast below don't re-execute the candidate pipeline.
-        cand = cand.localCheckpoint(eager=True)
-        sizes = pb.select("doc_id", "n_sh").distinct()
-        small_out = verify_arrays(
-            cand.filter(F.col("max_sh") <= large_doc_cap).drop("max_sh"),
-            docsets_staged,
-        )
+        # Pairs touching a large doc: dedup the (tiny — large docs are
+        # pathological outliers by definition) pair list, then count
+        # matching sids over the staged ENCODED shingle relation —
+        # counting sids equals counting shingles (injective
+        # dictionary), and per-task state is a counter, never an array.
         large = F.broadcast(
-            cand.filter(F.col("max_sh") > large_doc_cap).drop("max_sh")
+            raw.filter(
+                (F.col("na") > large_doc_cap) | (F.col("nb") > large_doc_cap)
+            )
+            .select(
+                F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        # Overlap count for pairs touching a large doc runs over the
-        # staged ENCODED shingle relation — counting matching sids
-        # equals counting matching shingles (injective dictionary),
-        # and per-task state is a counter, never an array.
+        sizes = pb.select("doc_id", "n_sh").distinct()
         shi = read_staged(spark, se_path)
         ov = (
             large.join(shi.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
@@ -1576,11 +1563,11 @@ def dedup_jaccard_prefix(
         lj = ov.join(F.broadcast(za), F.col("za.doc_id") == F.col("doc_a")).join(
             F.broadcast(zb), F.col("zb.doc_id") == F.col("doc_b")
         )
-        jac = F.col("n_common").cast("double") / (
+        ljac = F.col("n_common").cast("double") / (
             F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_common")
         )
-        large_out = lj.filter(jac >= tau).select(
-            "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        large_out = lj.filter(ljac >= tau).select(
+            "doc_a", "doc_b", F.round(ljac, 6).alias("jaccard")
         )
         out = small_out.unionByName(large_out)
     return out.orderBy("doc_a", "doc_b")

@@ -465,7 +465,7 @@ def test_staged_index_pass_equals_fresh_build_pass(spark, sf_dir):
     import shutil
 
     staged_keys = {
-        "dedup_jaccard_prefix": ["jp_prefix_v2", "jp_shenc_v2", "jp_docsets_v2_c65536"],
+        "dedup_jaccard_prefix": ["jp_prefix_v3", "jp_shenc_v2", "jp_docsets_v2_c65536"],
         "dedup_simhash": ["simhash_sigs_v1"],
         "dedup_fuzzy_minhash": ["minhash_sigs_v1"],
         "corpus_dedup_pipeline": ["cdp_canon_v1", "cdp_sigs_v1"],
