@@ -95,9 +95,9 @@ _DRIVER_VERIFIED = {
     "sink_csv_export", "sink_parquet", "sink_partitioned",
     "sink_scd2_merge", "sink_snapshot_diff", "sink_zorder_layout",
     "sort_multi_nulls", "sql_api_parameterized", "sql_api_q1",
-    "sql_api_q10", "sql_api_q11", "sql_api_q12", "sql_api_q13",
+    "sql_api_q10", "sql_api_q12", "sql_api_q13",
     "sql_api_q14", "sql_api_q15", "sql_api_q16", "sql_api_q17",
-    "sql_api_q18", "sql_api_q19", "sql_api_q2", "sql_api_q20",
+    "sql_api_q18", "sql_api_q19", "sql_api_q20",
     "sql_api_q21", "sql_api_q22", "sql_api_q4", "sql_api_q5", "sql_api_q6",
     "sql_api_q7", "sql_api_q8", "sql_api_q9", "str_basic", "str_regex",
     "stream_additive_state_merge", "stream_datasource_sharepoint",
@@ -141,8 +141,11 @@ _DRIVER_VERIFIED = {
 # postdates its last code change and staleness drains by
 # construction): unpivot_long, win_first_last, win_lag_lead,
 # win_moving_avg, win_rank_dense, win_running_sum;
-# (c) the remaining 39 slots rotate the oldest greens (r04, all of
-# r05, and the two oldest r06 keys by name).
+# (c) sql_api_q2 + sql_api_q11 re-earn: their supply relation is now
+# a STAGED partsupp-shaped rollup (plans/flagship.py _supply_view —
+# the inline CTE re-aggregated lineitem 2-3x per query; values
+# unchanged, oracle still derives it inline); (d) the remaining 37
+# slots rotate the oldest greens (r04 and all of r05).
 # Keys added or changed after this window was pinned sort directly
 # after it via _ordered_keys (unverified strong first).
 _WINDOW_50 = [
@@ -161,8 +164,8 @@ _WINDOW_50 = [
     "sim_topk_bruteforce", "stream_session", "stream_sliding",
     "stream_tumbling", "text_decontaminate", "text_fingerprint",
     "text_repetition_filter", "tfidf_top_terms", "vocab_topk",
-    "win_distribution", "win_range_interval", "agg_bitmap_distinct",
-    "agg_cms_portable"
+    "win_distribution", "win_range_interval", "sql_api_q2",
+    "sql_api_q11"
 ]
 
 

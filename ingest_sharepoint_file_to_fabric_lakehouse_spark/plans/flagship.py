@@ -834,13 +834,12 @@ def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q2/Q9/Q11/Q16/Q20 need the part-supplier relation; the fixture has
-# no partsupp table, so the suite derives it from lineitem history —
-# (partkey, suppkey) pairs with cost/volume rollups.  The shape each
-# query exists to exercise (the correlated-min, the scalar-threshold
-# HAVING, the NOT IN, the nested IN + correlated agg) is unchanged.
-_SUPPLY_CTE = """
-WITH supply AS (
+# Q2/Q11 need the part-supplier relation; the fixture has no partsupp
+# table, so the suite derives it from lineitem history — (partkey,
+# suppkey) pairs with cost/volume rollups.  The shape each query
+# exists to exercise (the correlated-min, the scalar-threshold
+# HAVING) is unchanged.
+_SUPPLY_BODY = """
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
          MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT))
            AS ps_supplycost_cents,
@@ -848,10 +847,58 @@ WITH supply AS (
                   * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_value_cents
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
-)
 """
 
-_Q2_SQL = _SUPPLY_CTE + """
+_SUPPLY_CTE = "WITH supply AS (" + _SUPPLY_BODY + ")\n"
+
+
+def _supply_view(spark: SparkSession, sf_dir: str) -> None:
+    """Register the part-supplier rollup as temp view ``supply`` —
+    a STAGED fingerprint-gated layout (the same discipline as the
+    BM25 inverted index and the PPJoin prefix frames).
+
+    The rollup is a pure function of lineitem, and in the real TPC-H
+    schema it IS a base table (partsupp); deriving it per query made
+    Q2 re-aggregate lineitem three times and Q11 twice (Catalyst
+    cannot reuse the CTE across the outer query and the correlated /
+    scalar subquery — each reference is an independent subtree).  The
+    staged form is read back partkey-sorted parquet; the steady-state
+    queries join it like the dimension it semantically is.  The
+    ORACLE keeps deriving it inline from lineitem (``_SUPPLY_CTE``) —
+    identical values by construction, so the staging can never fork
+    semantics.  A regenerated fixture rebuilds (source_fingerprint
+    gate); the build pass is attributed via stamp_staging so bench
+    cold-build accounting sees it.
+    """
+    import os as _os
+
+    from ..core import (
+        read_staged,
+        source_fingerprint,
+        stamp_staging,
+        staging_current,
+    )
+
+    base = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}"
+    path = f"{base}/tpch_supply_v1"
+    token = source_fingerprint(sf_dir, "lineitem")
+    if not staging_current(path, token):
+        t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+        # sortWithinPartitions on the probe key: consumers join /
+        # aggregate on ps_partkey, and the sorted layout gives parquet
+        # rowgroup min/max pruning on any partkey-sliced read.  The
+        # groupBy's own hash partitioning is kept (at 100 TB this is
+        # the bucketed-by-key partsupp table); no re-shuffle at build.
+        (
+            spark.sql(_SUPPLY_BODY)
+            .sortWithinPartitions("ps_partkey", "ps_suppkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        stamp_staging(path, token)
+    read_staged(spark, path).createOrReplaceTempView("supply")
+
+_Q2_SELECT = """
 SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
        ps_supplycost_cents
 FROM part, supply, supplier, nation, region
@@ -875,6 +922,9 @@ LIMIT 100
 """
 
 
+_Q2_SQL = _SUPPLY_CTE + _Q2_SELECT
+
+
 @query("sql_api_q2", _Q2_SQL)
 def sql_api_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
@@ -888,13 +938,18 @@ def sql_api_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is supply-cardinality-sized.  The supply relation derives
     from lineitem (no partsupp in the fixture): min unit price in
     exact integer cents, so the min-equality join — where a float
-    would break — compares exact integers on both engines.  Identical
-    ANSI text; ordering pinned through (acctbal DESC, n_name, s_name,
-    p_partkey).
+    would break — compares exact integers on both engines.  Spark
+    reads ``supply`` as the STAGED rollup (``_supply_view``: in the
+    real schema it is the partsupp base table; deriving it inline
+    made this query re-aggregate lineitem for the outer tree AND the
+    decorrelated min tree); the oracle derives it inline — same
+    SELECT text over the same relation.  Ordering pinned through
+    (acctbal DESC, n_name, s_name, p_partkey).
     """
-    for name in ("part", "lineitem", "supplier", "nation", "region"):
+    for name in ("part", "supplier", "nation", "region"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q2_SQL)
+    _supply_view(spark, sf_dir)
+    return spark.sql(_Q2_SELECT)
 
 
 _Q9_SQL = """
@@ -939,7 +994,7 @@ def sql_api_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q9_SQL)
 
 
-_Q11_SQL = _SUPPLY_CTE + """
+_Q11_SELECT = """
 SELECT ps_partkey,
        CAST(SUM(CAST(ps_value_cents AS DECIMAL(38,0))) AS BIGINT)
          AS part_value_cents
@@ -956,6 +1011,9 @@ HAVING SUM(CAST(ps_value_cents AS DECIMAL(38,0))) * 500 > (
     AND n_name = 'NATION_7')
 ORDER BY part_value_cents DESC, ps_partkey
 """
+
+
+_Q11_SQL = _SUPPLY_CTE + _Q11_SELECT
 
 
 @query("sql_api_q11", _Q11_SQL)
@@ -979,11 +1037,16 @@ def sql_api_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_snapshot_diff hit in r6).  The projected total's final
     BIGINT cast is safe: a single part's supply value is bounded by
     suppliers-per-part (a dimension constant), not corpus scale.
-    Identical ANSI text.
+    Spark reads ``supply`` as the STAGED rollup (``_supply_view``;
+    the oracle derives it inline from lineitem — same SELECT text
+    over the same relation), so the steady-state query aggregates
+    the partsupp-sized table twice instead of re-rolling lineitem
+    for both the HAVING scalar and the per-part totals.
     """
-    for name in ("lineitem", "supplier", "nation"):
+    for name in ("supplier", "nation"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(_Q11_SQL)
+    _supply_view(spark, sf_dir)
+    return spark.sql(_Q11_SELECT)
 
 
 _Q16_SQL = """

@@ -474,6 +474,7 @@ def test_staged_index_pass_equals_fresh_build_pass(spark, sf_dir):
         "text_boilerplate_ratio": ["boiler_sh3_v1", "boiler_df3_v1"],
         "corpus_quality_pipeline": [],
         "dedup_lsh_eval": ["lsh_eval_truth_v1"],
+        "sql_api_q2": ["tpch_supply_v1"],
     }
     base = "/tmp/sgdata/sf0.001"
     for key, artifacts in staged_keys.items():
