@@ -97,7 +97,7 @@ _DRIVER_VERIFIED = {
     "sort_multi_nulls", "sql_api_parameterized", "sql_api_q1",
     "sql_api_q10", "sql_api_q12", "sql_api_q13",
     "sql_api_q14", "sql_api_q15", "sql_api_q16", "sql_api_q17",
-    "sql_api_q18", "sql_api_q19", "sql_api_q20",
+    "sql_api_q19", "sql_api_q20",
     "sql_api_q21", "sql_api_q22", "sql_api_q4", "sql_api_q5", "sql_api_q6",
     "sql_api_q7", "sql_api_q8", "sql_api_q9", "str_basic", "str_regex",
     "stream_additive_state_merge", "stream_datasource_sharepoint",
@@ -141,7 +141,9 @@ _DRIVER_VERIFIED = {
 # postdates its last code change and staleness drains by
 # construction): unpivot_long, win_first_last, win_lag_lead,
 # win_moving_avg, win_rank_dense, win_running_sum;
-# (c) sql_api_q2 + sql_api_q11 re-earn: their supply relation is now
+# (c) sql_api_q2 + sql_api_q11 + sql_api_q18 re-earn (q18: Spark runs
+# a shared-rollup text — one lineitem scan+exchange instead of the
+# spec form's two; oracle keeps the spec text): their supply relation is now
 # a STAGED partsupp-shaped rollup (plans/flagship.py _supply_view —
 # the inline CTE re-aggregated lineitem 2-3x per query; values
 # unchanged, oracle still derives it inline); (d) the remaining 37
@@ -164,7 +166,7 @@ _WINDOW_50 = [
     "sim_topk_bruteforce", "stream_session", "stream_sliding",
     "stream_tumbling", "text_decontaminate", "text_fingerprint",
     "text_repetition_filter", "tfidf_top_terms", "vocab_topk",
-    "win_distribution", "win_range_interval", "sql_api_q2",
+    "win_distribution", "sql_api_q18", "sql_api_q2",
     "sql_api_q11"
 ]
 
