@@ -89,8 +89,8 @@ _DRIVER_VERIFIED = {
     "set_union_all", "set_union_distinct", "sim_grouped_centroid",
     "sim_ivf_partition_pruned", "sim_ivf_probe", "sim_ivf_recall_eval",
     "sim_lsh_dup_witness", "sim_lsh_recall_eval", "sim_mmr_diversify",
-    "sim_pq_adc_topk", "sim_radius_search", "sim_topk_bruteforce",
-    "sim_topk_ivfpq", "sim_topk_lsh", "sim_topk_lsh_portable",
+    "sim_radius_search", "sim_topk_bruteforce",
+    "sim_topk_lsh", "sim_topk_lsh_portable",
     "sim_vector_quantize_int8", "sink_compact_small_files",
     "sink_csv_export", "sink_parquet", "sink_partitioned",
     "sink_scd2_merge", "sink_snapshot_diff", "sink_zorder_layout",
@@ -143,7 +143,10 @@ _DRIVER_VERIFIED = {
 # win_moving_avg, win_rank_dense, win_running_sum;
 # (c) sql_api_q2 + sql_api_q11 + sql_api_q18 re-earn (q18: Spark runs
 # a shared-rollup text — one lineitem scan+exchange instead of the
-# spec form's two; oracle keeps the spec text): their supply relation is now
+# spec form's two; oracle keeps the spec text), and sim_pq_adc_topk +
+# sim_topk_ivfpq re-earn (corpus localCheckpoint dropped — an eager
+# checkpoint of the raw corpus is wrong at 100 TB and cost ~0.25 s
+# of job latency; the 3-row query slice checkpoints instead): their supply relation is now
 # a STAGED partsupp-shaped rollup (plans/flagship.py _supply_view —
 # the inline CTE re-aggregated lineitem 2-3x per query; values
 # unchanged, oracle still derives it inline); (d) the remaining 37
@@ -161,12 +164,12 @@ _WINDOW_50 = [
     "dedup_embedding_cosine", "dedup_exact_hash", "dedup_minhash_portable",
     "events_user_retention", "funnel_conversion", "graph_triangle_count",
     "join_asof_latest", "join_bucketed", "join_theta_range",
-    "map_json_ops", "scalar_subquery", "scan_datasource_sharepoint",
+    "map_json_ops", "sim_pq_adc_topk", "scan_datasource_sharepoint",
     "scan_json_lines", "scan_partition_pruned", "sim_grouped_centroid",
     "sim_topk_bruteforce", "stream_session", "stream_sliding",
     "stream_tumbling", "text_decontaminate", "text_fingerprint",
     "text_repetition_filter", "tfidf_top_terms", "vocab_topk",
-    "win_distribution", "sql_api_q18", "sql_api_q2",
+    "sim_topk_ivfpq", "sql_api_q18", "sql_api_q2",
     "sql_api_q11"
 ]
 

@@ -1472,10 +1472,17 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (q_id, vec_id, integer-partial) rows; the exact
     re-rank touches raw vectors for only 100 rows per query.
     """
-    e = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double("embedding").alias("v"))
-        .localCheckpoint(eager=True)
+    # The corpus relation stays a PLAIN parquet scan — no
+    # materialization: steady state reads it only for the 3 query
+    # vectors and the 100-row re-rank fetch (both filtered scans with
+    # pushdown), and an eager localCheckpoint here would write the
+    # whole corpus to executor storage — wrong at 100 TB and ~0.25 s
+    # of pure job latency at fixture scale.  The 3-row query slice is
+    # what gets checkpointed: it feeds the LUT and the re-rank
+    # broadcast, and materializing it makes those broadcast builds
+    # instant instead of re-running the filtered scan.
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
     )
     sv = e.select(
         "vec_id",
@@ -1497,8 +1504,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3. per-query integer LUT: M x k dot parts + code norms, built by
     # exploding the literal codebook (compact plan, not an unrolled
     # 80-struct expression)
-    q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    q = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
+        .localCheckpoint(eager=True)
     )
     lut = q.select("q_id", "q_vec", F.explode(_pq_cb_lit(cb)).alias("c")).select(
         "q_id",
@@ -1693,10 +1702,12 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage (centroids, cell probes, codebook training, encoding,
     integer LUT, shortlist, re-rank) is replayed in the oracle.
     """
-    e = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double("embedding").alias("v"))
-        .localCheckpoint(eager=True)
+    # Plain corpus scan, 3-row query slice checkpointed — same
+    # reasoning as sim_pq_adc_topk: steady state touches raw vectors
+    # only through filtered pushdown scans, and materializing the
+    # corpus would be wrong at 100 TB.
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
     )
     sv = e.select(
         "vec_id",
@@ -1722,8 +1733,10 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw corpus.
     enc = _pq_code_index(spark, sf_dir, e, cb)
 
-    q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    q = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
+        .localCheckpoint(eager=True)
     )
     probes = q.select("q_id", F.explode(best_cells(F.col("q_vec"), 2)).alias("cell_id"))
     # Physical cell pruning: the probed cell set is control-plane-sized
