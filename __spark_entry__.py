@@ -115,7 +115,7 @@ _DRIVER_VERIFIED = {
     "udaf_pandas_grouped", "udf_cogrouped_asof", "udf_pandas_cosine",
     "udf_pandas_scalar", "udf_python_scalar", "udtf_lateral_python",
     "udtf_map_in_pandas", "unpivot_long", "vocab_bpe_merges",
-    "vocab_pmi_collocations", "vocab_topk", "vocab_zipf_fit",
+    "vocab_topk", "vocab_zipf_fit",
     "win_cumulative_distinct", "win_distribution", "win_first_last",
     "win_gaps_islands", "win_lag_lead", "win_moving_avg",
     "win_ntile_bucketize", "win_range_interval", "win_rank_dense",
@@ -146,7 +146,9 @@ _DRIVER_VERIFIED = {
 # spec form's two; oracle keeps the spec text), and sim_pq_adc_topk +
 # sim_topk_ivfpq re-earn (corpus localCheckpoint dropped — an eager
 # checkpoint of the raw corpus is wrong at 100 TB and cost ~0.25 s
-# of job latency; the 3-row query slice checkpoints instead): their supply relation is now
+# of job latency; the 3-row query slice checkpoints instead), and
+# vocab_pmi_collocations re-earns (bigram table materialized — four
+# consumers, exchange reuse never fired, corpus explode ran 4x): their supply relation is now
 # a STAGED partsupp-shaped rollup (plans/flagship.py _supply_view —
 # the inline CTE re-aggregated lineitem 2-3x per query; values
 # unchanged, oracle still derives it inline); (d) the remaining 37
@@ -160,7 +162,7 @@ _WINDOW_50 = [
     "win_running_sum", "agg_approx_distinct", "agg_incremental_rollup",
     "corpus_mix_weights", "multimodal_frame_sample", "sim_radius_search",
     "sink_scd2_merge", "string_agg_ordered", "agg_approx_quantile",
-    "agg_bool", "date_series_gapfill", "dedup_cluster_cc",
+    "agg_bool", "vocab_pmi_collocations", "dedup_cluster_cc",
     "dedup_embedding_cosine", "dedup_exact_hash", "dedup_minhash_portable",
     "events_user_retention", "funnel_conversion", "graph_triangle_count",
     "join_asof_latest", "join_bucketed", "join_theta_range",
