@@ -65,8 +65,7 @@ _DRIVER_VERIFIED = {
     "filter_between_date", "filter_comparison", "filter_exists_subquery",
     "filter_in_set", "filter_like", "filter_null", "flagship_q3_topk",
     "funnel_conversion", "geo_grid_nearest", "graph_bfs_reachability",
-    "graph_label_propagation", "graph_link_prediction", "graph_pagerank",
-    "graph_triangle_count", "hash_funcs", "ingest_pipeline",
+    "graph_label_propagation", "graph_link_prediction", "graph_triangle_count", "hash_funcs", "ingest_pipeline",
     "join_asof_latest", "join_asof_nearest", "join_asof_next_within",
     "join_broadcast_dim", "join_bucketed", "join_cross",
     "join_dynamic_partition_pruned", "join_interval_banded",
@@ -141,18 +140,22 @@ _DRIVER_VERIFIED = {
 # postdates its last code change and staleness drains by
 # construction): unpivot_long, win_first_last, win_lag_lead,
 # win_moving_avg, win_rank_dense, win_running_sum;
-# (c) sql_api_q2 + sql_api_q11 + sql_api_q18 re-earn (q18: Spark runs
-# a shared-rollup text — one lineitem scan+exchange instead of the
-# spec form's two; oracle keeps the spec text), and sim_pq_adc_topk +
-# sim_topk_ivfpq re-earn (corpus localCheckpoint dropped — an eager
-# checkpoint of the raw corpus is wrong at 100 TB and cost ~0.25 s
-# of job latency; the 3-row query slice checkpoints instead), and
-# vocab_pmi_collocations re-earns (bigram table materialized — four
-# consumers, exchange reuse never fired, corpus explode ran 4x): their supply relation is now
-# a STAGED partsupp-shaped rollup (plans/flagship.py _supply_view —
-# the inline CTE re-aggregated lineitem 2-3x per query; values
-# unchanged, oracle still derives it inline); (d) the remaining 37
-# slots rotate the oldest greens (r04 and all of r05).
+# (c) the SEVEN keys changed by this round's perf work re-earn:
+# sql_api_q2 + sql_api_q11 (their supply relation is now a STAGED
+# partsupp-shaped rollup, plans/flagship.py _supply_view — the inline
+# CTE re-aggregated lineitem 2-3x per query; values unchanged, the
+# oracle still derives it inline), sql_api_q18 (Spark runs a
+# shared-rollup text — one lineitem scan+exchange instead of the spec
+# form's two; oracle keeps the spec text), sim_pq_adc_topk +
+# sim_topk_ivfpq (corpus localCheckpoint dropped — an eager
+# checkpoint of the raw corpus is wrong at 100 TB and cost ~0.25 s of
+# job latency; the 3-row query slice checkpoints instead),
+# vocab_pmi_collocations (bigram table materialized — four consumers,
+# exchange reuse never fired, the corpus explode ran 4x), and
+# graph_pagerank (hybrid: driver rank loop below a 200k
+# aggregated-edge cap, the connected_components pattern, bit-exact
+# parity with the distributed loop pinned by test);
+# (d) the remaining 33 slots rotate the oldest greens (r04 + r05).
 # Keys added or changed after this window was pinned sort directly
 # after it via _ordered_keys (unverified strong first).
 _WINDOW_50 = [
@@ -164,7 +167,7 @@ _WINDOW_50 = [
     "sink_scd2_merge", "string_agg_ordered", "agg_approx_quantile",
     "agg_bool", "vocab_pmi_collocations", "dedup_cluster_cc",
     "dedup_embedding_cosine", "dedup_exact_hash", "dedup_minhash_portable",
-    "events_user_retention", "funnel_conversion", "graph_triangle_count",
+    "events_user_retention", "graph_pagerank", "graph_triangle_count",
     "join_asof_latest", "join_bucketed", "join_theta_range",
     "map_json_ops", "sim_pq_adc_topk", "scan_datasource_sharepoint",
     "scan_json_lines", "scan_partition_pruned", "sim_grouped_centroid",

@@ -127,6 +127,16 @@ def _pagerank_oracle() -> str:
     return "".join(heads)
 
 
+# Above this many aggregated edges the rank iterations run
+# distributed; at or below, on the driver.  Same hybrid (and a similar
+# constant) as corpus.connected_components' union-find threshold: the
+# EDGE relation here is #nations² rows by construction — the corpus
+# pass is the trade-edge aggregation inside _trade_edges_cached — so
+# iterating 5 joins over a <=625-row relation through the scheduler
+# buys nothing but job latency (~1.2 s of the key's 1.5 s at sf0.1).
+_DRIVER_EDGE_CAP = 200_000
+
+
 @query("graph_pagerank", _pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (damping 0.85, 5 iterations) over the nation
@@ -134,7 +144,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     share of src's out-weight; dangling mass is dropped (ranks need
     not sum to 1 — relative ordering is the product), identically on
     both engines.
+
+    HYBRID execution, decided by one control-plane scalar (the
+    aggregated edge count): the corpus-proportional work is the
+    trade-edge aggregation (one fact-fact shuffle inside
+    _trade_edges_cached); the rank loop's state is #nodes rows and its
+    input #nodes² edges, so below _DRIVER_EDGE_CAP the 5 iterations
+    run on the driver — replicating the distributed arithmetic
+    BIT-EXACTLY (double contrib, HALF_UP quantize to decimal(28,14),
+    exact decimal accumulation, decimal→double on read; Python floats
+    ARE IEEE doubles and Decimal reproduces Spark's DecimalType) —
+    and above it the distributed join+agg loop below takes over
+    unchanged (a web-scale graph's edge relation never collects).
+    The same hybrid as connected_components' driver union-find.
     """
+    edges = _trade_edges_cached(spark, sf_dir)
+    if edges.count() <= _DRIVER_EDGE_CAP:
+        return _pagerank_driver(spark, edges)
     # The iteration state is #nations rows and every shuffle hashes on
     # node/src — 25 keys — so reducer width is control-plane-sized (the
     # MMR rule; A/B on two hosts: 32 -> 2 measured 1.83 -> 1.48 s and
@@ -142,12 +168,50 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trade-edge aggregation) is inside _trade_edges_cached, which
     # materializes before this pin.
     prev_w = spark.conf.get("spark.sql.shuffle.partitions")
-    edges = _trade_edges_cached(spark, sf_dir)
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         return _pagerank_body(spark, edges)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+
+
+def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Driver-side rank loop over the collected (control-plane-sized)
+    edge relation.  Every arithmetic step mirrors _pagerank_body's
+    Spark expressions exactly — see the parity pin
+    test_pagerank_driver_equals_distributed."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = edges.collect()
+    ow: dict[str, int] = {}
+    for r in rows:
+        ow[r["src"]] = ow.get(r["src"], 0) + r["w"]
+    nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    n = len(nodes)
+    rank = {v: 1.0 / float(n) for v in nodes}
+    q14 = Decimal("1E-14")
+    for _ in range(_ITER):
+        acc: dict[str, Decimal] = {}
+        for r in rows:
+            # double contrib (w: long over double out-weight, times
+            # double rank), then cast decimal(28,14) == HALF_UP
+            # quantize of the double's exact decimal expansion
+            contrib = rank[r["src"]] * (r["w"] / float(ow[r["src"]]))
+            acc[r["dst"]] = acc.get(r["dst"], Decimal(0)) + Decimal(
+                contrib
+            ).quantize(q14, ROUND_HALF_UP)
+        rank = {
+            v: 0.15 / float(n) + 0.85 * float(acc.get(v, Decimal(0)))
+            for v in nodes
+        }
+    out = spark.createDataFrame(
+        [(v, rank[v]) for v in nodes], schema="node string, rank double"
+    )
+    w = F.row_number().over(Window.orderBy(F.col("rank").desc(), F.col("node")))
+    return (
+        out.select("node", F.round("rank", 6).alias("pagerank"), w.alias("rnk"))
+        .orderBy("rnk")
+    )
 
 
 def _pagerank_body(spark: SparkSession, edges: DataFrame) -> DataFrame:

@@ -1482,3 +1482,25 @@ def test_corpus_shuffle_shard_is_deterministic_and_epoch_decorrelated(spark, sf_
     assert sum(r.n_docs for r in a if r.epoch == 1) == sum(
         r.n_docs for r in a if r.epoch == 2
     )
+
+
+def test_pagerank_driver_equals_distributed(spark, sf_dir):
+    """The hybrid's two paths must agree exactly: the driver loop
+    replicates the distributed decimal(28,14) accumulation bit-for-bit
+    (double contrib -> HALF_UP quantize -> exact decimal sum ->
+    decimal->double), so forcing the distributed branch must reproduce
+    the driver branch's rows, 6-dp-rounded ranks included."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators import graph as G
+
+    driver = sorted(
+        map(tuple, engine.QUERIES["graph_pagerank"](spark, sf_dir).collect())
+    )
+    edges = G._trade_edges_cached(spark, sf_dir)
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        dist = sorted(map(tuple, G._pagerank_body(spark, edges).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+    assert driver == dist
+    assert len(driver) > 0
