@@ -56,9 +56,29 @@ Recovery rules (``recover_table``; also run by ``read_table``):
 Every state therefore reads back as either the complete OLD or the
 complete NEW table — never torn (`tests/test_operators.py::
 test_merge_upsert_crash_*` kills the writer at each step and asserts
-exactly this).  Concurrency: the protocol serializes crash recovery,
-not concurrent writers — two simultaneous MERGEs still race (that is
-Delta's transaction log's job; install delta-spark for it).
+exactly this).
+
+Concurrency
+-----------
+* **Writers** are serialized by a lease file ``<target>__merge_lock``
+  (:func:`_acquire_lock`): atomic create-if-absent (``FileSystem.
+  create(overwrite=False)`` — atomic on HDFS-compatible stores), owner
+  UUID inside, stale-lease takeover when the lock's mtime exceeds
+  ``lock_ttl_sec`` (a crashed writer's lock ages out; takeover claims
+  it by RENAMING it to a uniquified name first, so two takeover racers
+  can't both free it — renames are atomic, only one wins).  A second
+  live writer polls up to ``lock_wait_sec`` then raises
+  :class:`MergeLockTimeout`.  A live writer's failure releases the
+  lock in ``finally``; only process death leaves it, which is exactly
+  the case the TTL covers.
+* **Readers** are lock-free.  ``read_table`` runs recovery only when
+  the target path is MISSING (a committed table needs none), so a
+  reader can no longer delete a live writer's in-progress ``tmp`` or
+  free its ``bak`` mid-commit.  The one remaining overlap — a reader
+  arriving between steps 3 and 4 rolls the complete staged table
+  forward itself — is tolerated by the writer: a failed step-4 rename
+  re-probes the state and treats "target present, tmp gone" as its
+  own commit having been completed by the recoverer.
 """
 
 from __future__ import annotations
@@ -91,13 +111,115 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a merge target written by :func:`write_table`.  A Delta
     table must NOT be read as bare parquet (stale versions' files
     would double-count), so the format is detected, not assumed.
-    Non-Delta reads first heal any crashed MERGE (two metadata
-    ``exists`` probes when nothing is wrong) so a reader arriving
-    after a mid-swap crash sees a complete table, never a torn one."""
+
+    Recovery runs ONLY when the target path is missing (one metadata
+    ``exists`` probe when nothing is wrong): a present target is by
+    protocol a complete committed table, and running the stray-dir
+    sweep against it would race a LIVE writer — deleting its
+    in-progress ``tmp`` between steps 2-3, or freeing its ``bak``
+    between 3-4.  Stray-dir cleanup after a crash is merge_upsert's
+    step-1 job, not the reader's.  A reader arriving after a mid-swap
+    crash (target missing) still heals and sees a complete table."""
     if HAVE_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         return spark.read.format("delta").load(path)
-    recover_table(spark, path)
+    fs, jtarget = _fs(spark, path)
+    if not fs.exists(jtarget):
+        recover_table(spark, path)
     return spark.read.parquet(path)
+
+
+class MergeLockTimeout(RuntimeError):
+    """A concurrent MERGE holds the target's lease and did not release
+    it within ``lock_wait_sec``.  The caller retries later — the lease
+    holder is (by the TTL rule) a LIVE writer making progress."""
+
+
+def _lock_path(spark: SparkSession, target_path: str):
+    mk = spark._jvm.org.apache.hadoop.fs.Path
+    return mk(target_path.rstrip("/") + "__merge_lock")
+
+
+def _acquire_lock(
+    spark: SparkSession,
+    target_path: str,
+    lock_ttl_sec: float,
+    lock_wait_sec: float,
+) -> str:
+    """Take the target's writer lease.  Returns the owner token the
+    caller must pass to :func:`_release_lock`.
+
+    Atomic create-if-absent: ``FileSystem.create(path, False)`` on
+    HDFS-compatible stores (atomic there by contract), but on the
+    ``file://`` scheme that call is check-then-act (RawLocalFileSystem
+    probes ``exists`` then opens — two simultaneous local writers can
+    BOTH win, measured in the two-thread test), so the local scheme
+    uses POSIX ``O_CREAT|O_EXCL`` which the kernel makes exclusive.
+    A lock older than ``lock_ttl_sec`` belongs to a dead writer:
+    takeover first RENAMES it to a uniquified stale name (atomic — of
+    N racing takeover attempts exactly one rename succeeds; the losers
+    go back to polling), then deletes the renamed file and retries the
+    create.
+    """
+    import os
+    import time
+    import uuid
+
+    fs, _ = _fs(spark, target_path)
+    jlock = _lock_path(spark, target_path)
+    local = fs.getUri().getScheme() == "file"
+    token = uuid.uuid4().hex
+    deadline = time.monotonic() + lock_wait_sec
+    while True:
+        try:
+            if local:
+                fd = os.open(
+                    jlock.toUri().getPath(),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.write(fd, token.encode())
+                os.close(fd)
+            else:  # pragma: no cover - needs a real HDFS-compatible store
+                out = fs.create(jlock, False)
+                out.write(bytearray(token.encode()))
+                out.close()
+            return token
+        except Exception:
+            pass  # lock present (or transient create race) — probe it
+        try:
+            age_sec = (
+                time.time() * 1000.0 - fs.getFileStatus(jlock).getModificationTime()
+            ) / 1000.0
+        except Exception:
+            continue  # vanished between create and stat — retry create
+        if age_sec > lock_ttl_sec:
+            stale = spark._jvm.org.apache.hadoop.fs.Path(
+                jlock.toString() + ".stale-" + token
+            )
+            if fs.rename(jlock, stale):  # atomic claim: one winner
+                fs.delete(stale, False)
+            continue
+        if time.monotonic() >= deadline:
+            raise MergeLockTimeout(
+                f"merge lease on {target_path} held by a live writer for "
+                f">{lock_wait_sec}s (lock age {age_sec:.1f}s, ttl {lock_ttl_sec}s)"
+            )
+        time.sleep(min(0.05, lock_wait_sec / 20.0 or 0.05))
+
+
+def _release_lock(spark: SparkSession, target_path: str, token: str) -> None:
+    """Drop the lease IF still ours — after a TTL takeover the lock
+    file belongs to the new owner and must not be deleted out from
+    under them (ownership = the token written at create)."""
+    fs, _ = _fs(spark, target_path)
+    jlock = _lock_path(spark, target_path)
+    try:
+        stream = fs.open(jlock)
+        held = bytes(stream.readAllBytes()).decode()
+        stream.close()
+        if held == token:
+            fs.delete(jlock, False)
+    except Exception:
+        pass  # already gone (taken over + released) — nothing ours remains
 
 
 class SimulatedCrash(RuntimeError):
@@ -175,6 +297,9 @@ def merge_upsert(
     source: DataFrame,
     key: str,
     _crash: str | None = None,
+    lock_ttl_sec: float = 600.0,
+    lock_wait_sec: float = 60.0,
+    _between_backup_and_commit=None,
 ) -> None:
     """MERGE INTO an *unpartitioned* target (see module doc: staged
     write + the documented atomic-rename commit protocol; idempotent
@@ -188,11 +313,15 @@ def merge_upsert(
     ``_crash`` is the test-only crash-injection hook: naming a step
     (``"after_stage_write"``, ``"after_backup_rename"``,
     ``"after_commit_rename"``) raises :class:`SimulatedCrash` right
-    after it, skipping all subsequent steps — the on-disk state a
-    process kill at that instant leaves.  There is deliberately NO
-    ``finally`` cleanup: a crashed run's debris is healed by the NEXT
-    ``recover_table`` (step 1), which is what makes the simulation
-    faithful.
+    after it, skipping all subsequent rename-protocol steps — the
+    on-disk table state a process kill at that instant leaves.  There
+    is deliberately NO ``finally`` cleanup of tmp/bak: a crashed run's
+    debris is healed by the NEXT ``recover_table`` (step 1), which is
+    what makes the simulation faithful.  The writer LEASE, by
+    contrast, IS released in ``finally`` — a live process's failure
+    must free the lease immediately; only real process death leaves
+    it, and that is precisely the case ``lock_ttl_sec``'s stale
+    takeover exists for (forged-stale-lock test pins it).
     """
     if HAVE_DELTA and DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
         (
@@ -209,29 +338,51 @@ def merge_upsert(
         if _crash == step:
             raise SimulatedCrash(step)
 
-    # Step 1: heal any prior crash before reading the target.
-    state = recover_table(spark, target_path)
-    if state == "missing":
-        raise FileNotFoundError(f"merge target does not exist: {target_path}")
-    fs, jtarget, jtmp, jbak, _ = _paths(spark, target_path)
-    target = spark.read.parquet(target_path)
-    merged = _merged_frame(target, source, key)
+    token = _acquire_lock(spark, target_path, lock_ttl_sec, lock_wait_sec)
+    try:
+        # Step 1: heal any prior crash before reading the target.
+        state = recover_table(spark, target_path)
+        if state == "missing":
+            raise FileNotFoundError(f"merge target does not exist: {target_path}")
+        fs, jtarget, jtmp, jbak, _ = _paths(spark, target_path)
+        target = spark.read.parquet(target_path)
+        merged = _merged_frame(target, source, key)
 
-    # Step 2: stage the merged table (Spark drops tmp/_SUCCESS on
-    # completion — the roll-forward witness).
-    merged.write.mode("overwrite").parquet(jtmp.toString())
-    crashpoint("after_stage_write")
-    # Step 3: move the old table aside (commit in flight).
-    if not fs.rename(jtarget, jbak):
-        raise OSError(f"rename {target_path} -> {jbak} failed")
-    crashpoint("after_backup_rename")
-    # Step 4: THE commit point.
-    if not fs.rename(jtmp, jtarget):
-        fs.rename(jbak, jtarget)  # roll back (same rule recovery applies)
-        raise OSError(f"rename {jtmp} -> {target_path} failed")
-    crashpoint("after_commit_rename")
-    # Step 5: post-commit cleanup.
-    fs.delete(jbak, True)
+        # Step 2: stage the merged table (Spark drops tmp/_SUCCESS on
+        # completion — the roll-forward witness).
+        merged.write.mode("overwrite").parquet(jtmp.toString())
+        crashpoint("after_stage_write")
+        # Step 3: move the old table aside (commit in flight).
+        if not fs.rename(jtarget, jbak):
+            raise OSError(f"rename {target_path} -> {jbak} failed")
+        crashpoint("after_backup_rename")
+        if _between_backup_and_commit is not None:  # test-only interleave
+            _between_backup_and_commit()
+        # Step 4: THE commit point.  A failed rename may RAISE rather
+        # than return false (RawLocalFileSystem's copy fallback throws
+        # FileNotFoundException on a vanished source) — both shapes
+        # mean "rename didn't happen", so both fall into the re-probe.
+        try:
+            committed = fs.rename(jtmp, jtarget)
+        except Exception:
+            committed = False
+        if not committed:
+            # A lock-free READER arriving between steps 3 and 4 sees a
+            # missing target and ROLLS OUR COMPLETE STAGE FORWARD
+            # itself (read_table → recover_table).  Re-probe: target
+            # present with tmp gone means OUR commit landed — finish
+            # cleanup and succeed rather than raising over a merge
+            # that actually committed.
+            if fs.exists(jtarget) and not fs.exists(jtmp):
+                fs.delete(jbak, True)
+                return
+            fs.rename(jbak, jtarget)  # roll back (same rule recovery applies)
+            raise OSError(f"rename {jtmp} -> {target_path} failed")
+        crashpoint("after_commit_rename")
+        # Step 5: post-commit cleanup.
+        fs.delete(jbak, True)
+    finally:
+        _release_lock(spark, target_path, token)
 
 
 def merge_upsert_partitioned(
@@ -240,10 +391,14 @@ def merge_upsert_partitioned(
     source: DataFrame,
     key: str,
     part_col: str,
+    lock_ttl_sec: float = 600.0,
+    lock_wait_sec: float = 60.0,
 ) -> None:
     """MERGE INTO a parquet target partitioned by ``part_col``:
     partition-pruned read of only the touched partitions, one dynamic
-    partition overwrite write.
+    partition overwrite write.  Writers take the same lease as
+    :func:`merge_upsert` — two concurrent dynamic overwrites touching
+    the same partition would interleave at the file-commit level.
 
     Assumes ``part_col`` is stable per key (a row never migrates
     between partitions) — the standard partitioned-MERGE contract.
@@ -269,11 +424,15 @@ def merge_upsert_partitioned(
             .execute()
         )
         return
-    target = spark.read.parquet(target_path).filter(F.col(part_col).isin(touched))
-    merged = _merged_frame(target, source, key)
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(part_col)
-        .parquet(target_path)
-    )
+    token = _acquire_lock(spark, target_path, lock_ttl_sec, lock_wait_sec)
+    try:
+        target = spark.read.parquet(target_path).filter(F.col(part_col).isin(touched))
+        merged = _merged_frame(target, source, key)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(target_path)
+        )
+    finally:
+        _release_lock(spark, target_path, token)
