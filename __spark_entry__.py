@@ -155,7 +155,8 @@ _DRIVER_VERIFIED = {
 # graph_pagerank (hybrid: driver rank loop below a 200k
 # aggregated-edge cap, the connected_components pattern, bit-exact
 # parity with the distributed loop pinned by test);
-# (d) the remaining 33 slots rotate the oldest greens (r04 + r05).
+# (d) the remaining 32 slots rotate the oldest greens (r04 + r05)
+# ((a)+(b)+(c) pin 5+6+7 = 18 of the 50).
 # Keys added or changed after this window was pinned sort directly
 # after it via _ordered_keys (unverified strong first).
 _WINDOW_50 = [

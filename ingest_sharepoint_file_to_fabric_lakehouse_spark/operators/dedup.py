@@ -1164,6 +1164,16 @@ def _attach_shingle_df(
     )
 
 
+# Max index-prefix rows dedup_jaccard_prefix's candidate join may
+# BROADCAST: ~28 bytes/row (long + 3 ints) x 8M ~= 220 MB serialized,
+# inside a plain executor/driver budget with headroom.  The relation
+# is corpus-proportional, so the hint must be runtime-guarded (same
+# pattern as graph._DRIVER_EDGE_CAP); above the cap the join falls
+# back to shuffling both sides on sid — same values, one more
+# exchange.
+_JACCARD_BROADCAST_PA_CAP = 8_000_000
+
+
 @query(
     "dedup_jaccard_prefix",
     """
@@ -1269,7 +1279,7 @@ def dedup_jaccard_prefix(
 
     base = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}"
     # Three staged artifacts — the whole steady-state read set:
-    #   jp_prefix_v3   (doc_id, sid, rn, n_sh)      the probe prefix,
+    #   jp_prefix_v4   (doc_id, sid, rn, n_sh)      the probe prefix,
     #                                               dictionary-encoded:
     #                                               the candidate
     #                                               self-join probes an
@@ -1297,7 +1307,7 @@ def dedup_jaccard_prefix(
     # see the verify commentary), so a different cap is a different
     # artifact.
     pfx_path, se_path, ds_path = (
-        f"{base}/jp_prefix_v3",
+        f"{base}/jp_prefix_v4",
         f"{base}/jp_shenc_v2",
         f"{base}/jp_docsets_v2_c{large_doc_cap}",
     )
@@ -1378,8 +1388,16 @@ def dedup_jaccard_prefix(
         import json as _json
 
         max_nsh_build = pb_build.agg(F.max("n_sh")).first()[0] or 0
+        # Second control-plane scalar: the INDEX-prefix (pa) row count,
+        # stamped so the steady-state read can decide broadcast-vs-
+        # shuffle for the candidate join without running a count job.
+        pa_rows_build = pb_build.filter(
+            F.col("rn") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1
+        ).count()
         with open(f"{pfx_path}/_SG_META", "w") as fh:
-            _json.dump({"max_nsh": int(max_nsh_build)}, fh)
+            _json.dump(
+                {"max_nsh": int(max_nsh_build), "pa_rows": int(pa_rows_build)}, fh
+            )
         # Small-doc semi-join BEFORE the collect_list: the cap guard is
         # about never materializing a pathological doc's array, so the
         # filter must precede the aggregation buffer, not prune its
@@ -1426,8 +1444,30 @@ def dedup_jaccard_prefix(
     # otherwise fuse the whole verify into 1-2 tasks).
     width = spark.sparkContext.defaultParallelism
     pbw = pb.repartition(width, "doc_id")
-    raw = (
+    # The broadcast of the index prefix is GATED on a control-plane
+    # scalar (the pa row count stamped in _SG_META at build — no count
+    # job at read time): ~1.4M rows at sf0.1 broadcasts comfortably,
+    # but the relation is corpus-proportional, so an unconditional
+    # hint OOMs the driver on a large-enough fixture.  Above the cap
+    # the hint is dropped and the join shuffles both sides on sid —
+    # the pre-fused shape this module's scale commentary describes.
+    import json as _json
+
+    try:
+        with open(f"{pfx_path}/_SG_META") as fh:
+            _sg_meta = _json.load(fh)
+    except (OSError, ValueError):
+        _sg_meta = {}
+    pa_rows = _sg_meta.get("pa_rows")
+    if pa_rows is None:
+        pa_rows = pa.count()
+    a_side = (
         F.broadcast(pa.alias("a"))
+        if pa_rows <= _JACCARD_BROADCAST_PA_CAP
+        else pa.alias("a")
+    )
+    raw = (
+        a_side
         .join(
             pbw.alias("b"),
             (F.col("a.sid") == F.col("b.sid"))
@@ -1490,12 +1530,8 @@ def dedup_jaccard_prefix(
     # shape) whose state per task is a counter, not an array — the
     # executor never materializes the pathological array at all.
     docsets_staged = read_staged(spark, ds_path)
-    import json as _json
-
-    try:
-        with open(f"{pfx_path}/_SG_META") as fh:
-            max_nsh = _json.load(fh)["max_nsh"]
-    except (OSError, KeyError, ValueError):
+    max_nsh = _sg_meta.get("max_nsh")
+    if max_nsh is None:
         max_nsh = pb.agg(F.max("n_sh")).first()[0] or 0
 
     small_raw = raw

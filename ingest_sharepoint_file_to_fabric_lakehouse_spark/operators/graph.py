@@ -194,11 +194,17 @@ def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
         acc: dict[str, Decimal] = {}
         for r in rows:
             # double contrib (w: long over double out-weight, times
-            # double rank), then cast decimal(28,14) == HALF_UP
-            # quantize of the double's exact decimal expansion
+            # double rank), then cast decimal(28,14).  Spark's
+            # double→decimal goes through BigDecimal.valueOf ==
+            # Double.toString's SHORTEST round-trip representation,
+            # not the double's exact binary expansion — Python's
+            # repr(float) is the same shortest-round-trip algorithm,
+            # so Decimal(repr(x)) matches Java bit-for-bit where
+            # Decimal(x) could diverge 1 ulp on half-way ties at the
+            # 14th decimal.
             contrib = rank[r["src"]] * (r["w"] / float(ow[r["src"]]))
             acc[r["dst"]] = acc.get(r["dst"], Decimal(0)) + Decimal(
-                contrib
+                repr(contrib)
             ).quantize(q14, ROUND_HALF_UP)
         rank = {
             v: 0.15 / float(n) + 0.85 * float(acc.get(v, Decimal(0)))

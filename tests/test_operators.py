@@ -1504,3 +1504,33 @@ def test_pagerank_driver_equals_distributed(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev_w)
     assert driver == dist
     assert len(driver) > 0
+
+
+def test_jaccard_prefix_shuffle_fallback_matches_broadcast(spark, tmp_path, monkeypatch):
+    """The candidate join's broadcast hint is gated on the staged pa
+    row count (_SG_META 'pa_rows') — corpus-proportional relations
+    must never broadcast unconditionally.  Forcing the cap to 0 takes
+    the shuffle-join fallback; its survivors must be value-identical
+    to the broadcast shape's."""
+    import ingest_sharepoint_file_to_fabric_lakehouse_spark.operators.dedup as dd
+
+    toks = [f"t{i:02d}" for i in range(40)]
+    docs = [
+        (1, " ".join(toks[:29])),
+        (2, " ".join(toks[:35])),
+        (3, " ".join(toks[2:31])),
+        (4, " ".join(toks[5:20])),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    broadcast = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.dedup_jaccard_prefix(spark, str(tmp_path)).collect()
+    }
+    monkeypatch.setattr(dd, "_JACCARD_BROADCAST_PA_CAP", 0)
+    shuffled = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.dedup_jaccard_prefix(spark, str(tmp_path)).collect()
+    }
+    assert broadcast and shuffled == broadcast
