@@ -271,7 +271,16 @@ def main() -> None:
             timings[key] = round(dt, 3)
             if len(STAGING_EVENTS) > ev0:
                 built = [os.path.basename(p) for p, _ in STAGING_EVENTS[ev0:]]
-                cold[key] = {"build_pass_sec": round(dt, 3), "built": built}
+                # provenance per record (ADVICE r11): cold numbers from
+                # different fixtures/boots/code must be attributable,
+                # not silently mingled across runs
+                cold[key] = {
+                    "build_pass_sec": round(dt, 3),
+                    "built": built,
+                    "sf": sf_dir,
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "source": "bench.py",
+                }
                 print(f"# {key}: cold build pass ({built})", file=sys.stderr)
             print(f"# {key}: {dt:.2f}s rows={n}", file=sys.stderr)
         except Exception as ex:  # keep benching; a broken query shows as -1
@@ -437,13 +446,26 @@ def main() -> None:
         "partial": partial,
         # build-pass wall time for every staged artifact built during
         # this run (first pass of each staged key on a cold host);
-        # per-key medians above are warm steady-state by construction
+        # per-key medians above are warm steady-state by construction.
+        # MERGED with the prior artifact's map below — a warm-staging
+        # rerun rebuilds only the every-run sinks, and overwriting the
+        # file wholesale clobbered the 30-record union the r11 final
+        # commits paid to build (r11 verdict defect #1).  This run's
+        # records win per key; prior records for keys not rebuilt this
+        # run are carried forward (their provenance fields say when/
+        # where they were measured).
         "cold": cold,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as f:
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path) as f:
+            prior_cold = json.load(f).get("cold", {})
+    except (OSError, ValueError):
+        prior_cold = {}
+    full["cold"] = {**prior_cold, **cold}
+    with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     spark.stop()  # stop first: Spark shutdown chatter must not trail the JSON
     os.write(real_stdout, (line + "\n").encode())

@@ -94,6 +94,13 @@ def main() -> None:
             cold_report[key] = {
                 "build_pass_sec": round(cold_sec, 3),
                 "built": built,
+                # provenance (ADVICE r11): ad-hoc cold entries merged
+                # into BENCH_FULL must say which fixture/boot/tool
+                # measured them, so they never silently mingle with a
+                # full bench run's records
+                "sf": args.sf,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "source": "time_keys.py --cold",
             }
             print(
                 f"{key}: cold={cold_sec:.3f}s built={built} "
