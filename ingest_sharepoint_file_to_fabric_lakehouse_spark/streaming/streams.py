@@ -921,3 +921,152 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@query(
+    "stream_watermark_resume",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTES AS w FROM events),
+    win AS (
+      SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS ws, event_type, count(*) AS n
+      FROM events, wm
+      WHERE time_bucket(INTERVAL 5 MINUTES, ts) + INTERVAL 5 MINUTES <= w
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           count(*) AS n_closed_windows,
+           CAST(SUM(n) AS BIGINT) AS n_events_emitted
+    FROM win GROUP BY event_type
+    """,
+)
+def stream_watermark_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`stream_watermark_late` across a DRIVER RESTART: two
+    separate StreamingQuery lifetimes over ONE checkpoint — lifetime 1
+    drains the event-time-early half of the feed, the "driver dies",
+    the late half lands, lifetime 2 resumes from the same checkpoint.
+
+    The oracle is the SAME closed-form batch query as the single-
+    lifetime key, which is exactly what makes this a RESUME witness:
+    a window straddling the restart boundary holds a partial count in
+    the state store when lifetime 1 ends, so the final emitted set
+    matches the batch answer only if lifetime 2 reloaded that state
+    from the checkpoint (lost state ⇒ partial counts; replayed input
+    ⇒ duplicate window emissions — both break the value hash).
+    Complements `tests/test_streaming_resume.py`, which pins the
+    state-store mechanics epoch by epoch.
+    """
+    base = _staging(sf_dir, "stream_late_resume")
+    feed = stage_event_files(spark, sf_dir)
+    files = sorted(f for f in os.listdir(feed) if f.endswith(".parquet"))
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    token = source_fingerprint(sf_dir, "events")
+    if not _drained_current(out, token):
+        for p in (src, out, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+
+        def lifetime() -> None:
+            stream = (
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+                .agg(F.count("*").alias("n_events"))
+                .select(
+                    F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                    "event_type",
+                    "n_events",
+                )
+            )
+            run_stream_to_parquet(stream, out, ckpt, mode="append", src_dir=feed)
+
+        # copy2 preserves the feed's pinned strictly-increasing mtimes,
+        # so arrival order stays event-time order across both lifetimes
+        for f in files[: len(files) // 2]:
+            shutil.copy2(f"{feed}/{f}", f"{src}/{f}")
+        lifetime()
+        for f in files[len(files) // 2 :]:
+            shutil.copy2(f"{feed}/{f}", f"{src}/{f}")
+        lifetime()
+        _stamp_drained(out, token)
+    emitted = spark.read.parquet(f"{out}/epoch=*")
+    return emitted.groupBy("event_type").agg(
+        F.count("*").alias("n_closed_windows"),
+        F.sum("n_events").alias("n_events_emitted"),
+    )
+
+
+@query(
+    "stream_dedup_resume",
+    """
+    SELECT count(*) AS n_unique, CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM (SELECT DISTINCT event_id FROM events)
+    """,
+)
+def stream_dedup_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`stream_dedup` across a DRIVER RESTART, with duplicates
+    that SPAN the restart: lifetime 1 drains the first half of the
+    feed (each file plus an in-run duplicate); after the "crash", the
+    SAME first-half files arrive AGAIN (cross-restart duplicates)
+    along with the second half, and lifetime 2 resumes from the same
+    checkpoint.
+
+    The cross-restart duplicates are the resume witness: their ids
+    live only in the state store when lifetime 1 ends, so the final
+    distinct set matches the batch oracle only if lifetime 2 reloaded
+    dedup state from the checkpoint (lost state ⇒ first-half ids
+    re-emitted ⇒ count and checksum both inflate).  The watermark
+    delay is far beyond the fixture's event-time span so no dedup
+    state is evicted — eviction-under-watermark is the single-
+    lifetime key's concern, not this one's.
+    """
+    base = _staging(sf_dir, "stream_dedup_resume")
+    feed = stage_event_files(spark, sf_dir)
+    files = sorted(f for f in os.listdir(feed) if f.endswith(".parquet"))
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    token = source_fingerprint(sf_dir, "events")
+    if not _drained_current(out, token):
+        for p in (src, out, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        stamp = [1_000_000_000]
+
+        def land(name: str, from_file: str) -> None:
+            shutil.copy(f"{feed}/{from_file}", f"{src}/{name}")
+            os.utime(f"{src}/{name}", (stamp[0], stamp[0]))
+            stamp[0] += 1
+
+        def lifetime() -> None:
+            stream = (
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 4)
+                .parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withWatermark("ts", "3650 days")
+                .dropDuplicates(["event_id"])
+                .select("event_id")
+            )
+            run_stream_to_parquet(
+                stream, out, ckpt, mode="append", src_dir=feed,
+                final_nodata_batch=False,
+            )
+
+        half = files[: len(files) // 2]
+        rest = files[len(files) // 2 :]
+        for f in half:          # lifetime 1: file + in-run duplicate
+            land(f, f)
+            land(f"dup_{f}", f)
+        lifetime()
+        for f in half:          # cross-restart duplicates of half 1
+            land(f"redup_{f}", f)
+        for f in rest:          # plus the second half (+ dups)
+            land(f, f)
+            land(f"dup_{f}", f)
+        lifetime()
+        _stamp_drained(out, token)
+    deduped = spark.read.parquet(f"{out}/epoch=*")
+    return deduped.agg(
+        F.count("*").alias("n_unique"), F.sum("event_id").alias("id_checksum")
+    )

@@ -208,3 +208,119 @@ def test_python_stream_source_offset_resume(spark, scratch):
     rows = spark.read.parquet(f"{out}/epoch=*").collect()
     seqs = sorted(r.seq for r in rows)
     assert seqs == list(range(7)), seqs  # complete, no duplicates
+
+
+def _drain_with(spark, src, out, ckpt, build, mode="append", nodata=True):
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.streaming.streams import run_stream_to_parquet
+
+    schema = spark.read.parquet(src).schema
+    stream = build(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    run_stream_to_parquet(
+        stream, out, ckpt, mode=mode, src_dir=src, final_nodata_batch=nodata
+    )
+
+
+def test_dedup_state_survives_restart(spark, scratch):
+    """dropDuplicates state must reload from the checkpoint across
+    query lifetimes: ids seen before the restart, re-delivered after
+    it, must be suppressed — the new epochs carry ONLY never-seen ids."""
+    import pandas as pd
+
+    src, out, ckpt = f"{scratch}/src", f"{scratch}/out", f"{scratch}/ckpt"
+    os.makedirs(src)
+
+    def land(name, ids, stamp):
+        pd.DataFrame(
+            {
+                "event_id": ids,
+                # micros, not pandas' default nanos — Spark's parquet
+                # reader rejects TIMESTAMP(NANOS)
+                "ts": pd.Series([pd.Timestamp("2024-01-01")] * len(ids)).astype(
+                    "datetime64[us]"
+                ),
+            }
+        ).to_parquet(f"{src}/{name}")
+        os.utime(f"{src}/{name}", (stamp, stamp))
+
+    def build(reader):
+        return (
+            reader.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "3650 days")
+            .dropDuplicates(["event_id"])
+            .select("event_id")
+        )
+
+    land("a.parquet", list(range(1, 11)), 1_000_000_000)
+    _drain_with(spark, src, out, ckpt, build, nodata=False)
+    run1 = {r.event_id for r in spark.read.parquet(out).collect()}
+    assert run1 == set(range(1, 11))
+
+    epochs_before = set(os.listdir(out))
+    # restart: the SAME ids arrive again plus five new ones
+    land("b.parquet", list(range(1, 11)) + list(range(11, 16)), 1_000_000_001)
+    _drain_with(spark, src, out, ckpt, build, nodata=False)
+    new_rows = [
+        r.event_id
+        for d in set(os.listdir(out)) - epochs_before
+        for r in spark.read.parquet(f"{out}/{d}").collect()
+    ]
+    assert sorted(new_rows) == [11, 12, 13, 14, 15], (
+        "pre-restart ids re-emitted: dedup state was not resumed"
+    )
+
+
+def test_windowed_agg_state_survives_restart(spark, scratch):
+    """An append-mode windowed aggregate whose window STRADDLES the
+    restart must emit once, after the restart, with the TOTAL count —
+    partial pre-restart counts live only in the state store."""
+    import pandas as pd
+
+    src, out, ckpt = f"{scratch}/src", f"{scratch}/out", f"{scratch}/ckpt"
+    os.makedirs(src)
+
+    def land(name, ts_list, stamp):
+        pd.DataFrame(
+            {
+                "event_id": range(len(ts_list)),
+                "ts": pd.Series(pd.to_datetime(ts_list)).astype("datetime64[us]"),
+            }
+        ).to_parquet(f"{src}/{name}")
+        os.utime(f"{src}/{name}", (stamp, stamp))
+
+    def build(reader):
+        return (
+            reader.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "n")
+        )
+
+    # lifetime 1: three events in the 12:00 window — watermark can't
+    # close it yet, so NOTHING emits; the count lives in state only
+    land("a.parquet", ["2024-01-01 12:00:30", "2024-01-01 12:01:00", "2024-01-01 12:02:00"], 1_000_000_000)
+    _drain_with(spark, src, out, ckpt, build)
+    emitted_run1 = (
+        [r for d in os.listdir(out) for r in spark.read.parquet(f"{out}/{d}").collect()]
+        if os.path.isdir(out)
+        else []
+    )
+    assert not [r for r in emitted_run1 if r.n], "window closed too early"
+
+    # lifetime 2: two more events in the SAME window, then a sentinel
+    # far enough ahead to close it
+    land("b.parquet", ["2024-01-01 12:03:00", "2024-01-01 12:04:00", "2024-01-01 13:00:00"], 1_000_000_001)
+    _drain_with(spark, src, out, ckpt, build)
+    rows = [
+        r
+        for d in os.listdir(out)
+        for r in spark.read.parquet(f"{out}/{d}").collect()
+        if r.ws.hour == 12 and r.ws.minute == 0
+    ]
+    assert len(rows) == 1, f"straddling window emitted {len(rows)} times"
+    assert rows[0].n == 5, (
+        f"straddling window count {rows[0].n} != 5: pre-restart partial "
+        "count lost (state not resumed)"
+    )
