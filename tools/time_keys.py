@@ -12,7 +12,17 @@ with a query win (round-10 verdict item 2).  Keys sharing an artifact
 each pay its build in their own cold pass; the per-artifact "built"
 list makes the overlap explicit.
 
-Usage: python tools/time_keys.py [--sf DIR] [--passes N] [--cold] key [key ...]
+``--force-distributed`` disables the driver-side hybrid branches
+(graph_pagerank's rank loop below _DRIVER_EDGE_CAP, the
+connected-components union-find below collect_threshold) so the
+DISTRIBUTED branch runs at fixture scale — the branch a web-scale
+graph always takes.  Parity tests pin its VALUES; this records its
+TIME, merged into BENCH_FULL.json under "forced_distributed" so a
+distributed-path perf regression is visible even though the hybrid
+hides it at bench scale (round-11 verdict ask #6).
+
+Usage: python tools/time_keys.py [--sf DIR] [--passes N] [--cold]
+           [--force-distributed] key [key ...]
 """
 
 from __future__ import annotations
@@ -31,6 +41,7 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--cold", action="store_true")
+    ap.add_argument("--force-distributed", action="store_true")
     ap.add_argument("keys", nargs="+")
     args = ap.parse_args()
 
@@ -57,6 +68,20 @@ def main() -> None:
 
     import __spark_entry__ as e
 
+    if args.force_distributed:
+        # Kill the driver-side hybrid branches so the distributed loop
+        # runs even at fixture scale.  Values are already pinned equal
+        # by the parity tests; this measures the branch's TIME.
+        from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators import corpus, graph
+
+        graph._DRIVER_EDGE_CAP = -1
+        _orig_cc = corpus.connected_components
+        corpus.connected_components = (
+            lambda edges, max_iter=20, collect_threshold=0: _orig_cc(
+                edges, max_iter, collect_threshold=0
+            )
+        )
+
     qs = e.queries()
     e.entry(spark).collect()  # warmup
 
@@ -80,6 +105,7 @@ def main() -> None:
     from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import STAGING_EVENTS
 
     cold_report: dict[str, dict] = {}
+    forced_report: dict[str, dict] = {}
     for key in args.keys:
         if key not in qs:
             print(f"{key}: UNKNOWN KEY", file=sys.stderr)
@@ -120,6 +146,31 @@ def main() -> None:
             f"{key}: min={min(times):.3f} med={statistics.median(times):.3f} "
             f"all={[round(t, 3) for t in times]} rows={n}"
         )
+        if args.force_distributed:
+            forced_report[key] = {
+                "med_sec": round(statistics.median(times), 3),
+                "min_sec": round(min(times), 3),
+                "samples": [round(t, 3) for t in times],
+                "sf": args.sf,
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+
+    if args.force_distributed and forced_report:
+        import json
+
+        full_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_FULL.json",
+        )
+        try:
+            with open(full_path) as fh:
+                full = json.load(fh)
+        except (OSError, ValueError):
+            full = {}
+        full.setdefault("forced_distributed", {}).update(forced_report)
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+        print(f"merged {len(forced_report)} forced-distributed entries into BENCH_FULL.json")
 
     if args.cold and cold_report:
         import json
