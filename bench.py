@@ -461,10 +461,14 @@ def main() -> None:
     )
     try:
         with open(full_path) as f:
-            prior_cold = json.load(f).get("cold", {})
+            prior = json.load(f)
     except (OSError, ValueError):
-        prior_cold = {}
-    full["cold"] = {**prior_cold, **cold}
+        prior = {}
+    full["cold"] = {**prior.get("cold", {}), **cold}
+    # sidecar maps other tools maintain (time_keys --force-distributed)
+    # survive a bench rewrite untouched
+    if prior.get("forced_distributed"):
+        full["forced_distributed"] = prior["forced_distributed"]
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     spark.stop()  # stop first: Spark shutdown chatter must not trail the JSON
