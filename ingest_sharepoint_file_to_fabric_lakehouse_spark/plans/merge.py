@@ -70,7 +70,12 @@ Concurrency
   live writer polls up to ``lock_wait_sec`` then raises
   :class:`MergeLockTimeout`.  A live writer's failure releases the
   lock in ``finally``; only process death leaves it, which is exactly
-  the case the TTL covers.
+  the case the TTL covers.  Because the STAGE write is arbitrarily
+  long, the writer re-verifies lease ownership (and re-arms the TTL)
+  between staging and the destructive renames — a stage that outlived
+  the TTL and lost its lease to a takeover ABORTS with
+  :class:`MergeLockTimeout` instead of interleaving renames with the
+  new owner (:func:`_hold_lease`).
 * **Readers** are lock-free.  ``read_table`` runs recovery only when
   the target path is MISSING (a committed table needs none), so a
   reader can no longer delete a live writer's in-progress ``tmp`` or
@@ -206,6 +211,37 @@ def _acquire_lock(
         time.sleep(min(0.05, lock_wait_sec / 20.0 or 0.05))
 
 
+def _hold_lease(spark: SparkSession, target_path: str, token: str) -> bool:
+    """True iff the lease is still OURS; refreshes its mtime when so.
+
+    Called between the (arbitrarily long) stage write and the
+    destructive renames: a stage that outlives ``lock_ttl_sec`` makes
+    the lease eligible for takeover, and if another writer claimed it
+    the commit MUST abort — proceeding would reintroduce exactly the
+    interleaved-rename race the lease exists to prevent.  The refresh
+    re-arms the TTL so the remaining window (metadata renames, ~ms)
+    never ages past it.
+    """
+    fs, _ = _fs(spark, target_path)
+    jlock = _lock_path(spark, target_path)
+    try:
+        stream = fs.open(jlock)
+        held = bytes(stream.readAllBytes()).decode()
+        stream.close()
+    except Exception:
+        return False  # lock gone: taken over (and possibly released)
+    if held != token:
+        return False
+    import time
+
+    now_ms = int(time.time() * 1000)
+    try:
+        fs.setTimes(jlock, now_ms, now_ms)
+    except Exception:
+        pass  # refresh is best-effort; ownership is what matters
+    return True
+
+
 def _release_lock(spark: SparkSession, target_path: str, token: str) -> None:
     """Drop the lease IF still ours — after a TTL takeover the lock
     file belongs to the new owner and must not be deleted out from
@@ -300,6 +336,7 @@ def merge_upsert(
     lock_ttl_sec: float = 600.0,
     lock_wait_sec: float = 60.0,
     _between_backup_and_commit=None,
+    _after_stage=None,
 ) -> None:
     """MERGE INTO an *unpartitioned* target (see module doc: staged
     write + the documented atomic-rename commit protocol; idempotent
@@ -352,6 +389,18 @@ def merge_upsert(
         # completion — the roll-forward witness).
         merged.write.mode("overwrite").parquet(jtmp.toString())
         crashpoint("after_stage_write")
+        if _after_stage is not None:  # test-only interleave
+            _after_stage()
+        # Lease checkpoint: the stage write is the long pole, and a
+        # stage outliving lock_ttl_sec makes the lease stealable.
+        # Verify ownership (and re-arm the TTL) BEFORE the destructive
+        # renames — losing the lease here must abort, not interleave.
+        if not _hold_lease(spark, target_path, token):
+            raise MergeLockTimeout(
+                f"merge lease on {target_path} lost during staging "
+                f"(stage outlived lock_ttl_sec={lock_ttl_sec}); aborting "
+                "before commit — another writer owns the table now"
+            )
         # Step 3: move the old table aside (commit in flight).
         if not fs.rename(jtarget, jbak):
             raise OSError(f"rename {target_path} -> {jbak} failed")

@@ -209,3 +209,31 @@ def test_delta_dispatch_routes_merge_through_deltatable(spark, tmp_path, monkeyp
     conds = [c for c in _FakeDeltaTable.calls if c[0] == "merge"]
     assert conds and "t.p IN ('a')" in conds[0][1] and "t.id = s.id" in conds[0][1]
     assert ("execute",) in _FakeDeltaTable.calls
+
+
+def test_lease_lost_during_staging_aborts_before_commit(spark, tmp_path):
+    """A stage write that outlives the TTL can have its lease stolen;
+    the writer must detect the loss at the post-stage lease checkpoint
+    and abort with MergeLockTimeout BEFORE the destructive renames —
+    the target stays the thief's to commit, our rows never interleave."""
+    path = str(tmp_path / "lease_steal")
+    _seed(spark, path, [(1, 1.0)])
+    lock = path + "__merge_lock"
+
+    def steal():
+        # what a TTL takeover by another writer looks like on disk:
+        # our lock file replaced by one holding THEIR token
+        with open(lock, "w") as fh:
+            fh.write("thief-token")
+
+    src = spark.createDataFrame([(2, 2.0)], "id long, v double")
+    with pytest.raises(MergeLockTimeout, match="lost during staging"):
+        merge_upsert(spark, path, src, "id", _after_stage=steal)
+    # target untouched (old state), thief still owns the lease
+    assert {r.id: r.v for r in read_table(spark, path).collect()} == {1: 1.0}
+    with open(lock) as fh:
+        assert fh.read() == "thief-token"
+    os.remove(lock)
+    # the abandoned stage dir is ordinary crash debris: recovery sweeps it
+    assert recover_table(spark, path) == "committed"
+    assert not [p for p in os.listdir(tmp_path) if "__merge_" in p]
