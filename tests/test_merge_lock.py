@@ -237,3 +237,33 @@ def test_lease_lost_during_staging_aborts_before_commit(spark, tmp_path):
     # the abandoned stage dir is ordinary crash debris: recovery sweeps it
     assert recover_table(spark, path) == "committed"
     assert not [p for p in os.listdir(tmp_path) if "__merge_" in p]
+
+
+def test_merge_sequence_matches_dict_model(spark, tmp_path):
+    """MERGE semantics against the obvious model: seed a table, apply
+    a seeded-random sequence of upserts; after each, the table must
+    equal `model.update(source)` — matched rows replaced, unmatched
+    kept, new keys inserted.  Catches full-outer-join edge cases
+    (all-matched, all-new, empty-intersection sources) the literal
+    tests don't enumerate."""
+    import random as _random
+
+    for seed in range(4):
+        rnd = _random.Random(1000 + seed)
+        model = {k: float(rnd.randint(0, 99)) for k in rnd.sample(range(20), rnd.randint(1, 8))}
+        path = str(tmp_path / f"model_{seed}")
+        spark.createDataFrame(list(model.items()), "id long, v double").write.parquet(path)
+        for step in range(3):
+            src = {
+                k: float(rnd.randint(100, 199))
+                for k in rnd.sample(range(20), rnd.randint(1, 8))
+            }
+            merge_upsert(
+                spark,
+                path,
+                spark.createDataFrame(list(src.items()), "id long, v double"),
+                "id",
+            )
+            model.update(src)
+            got = {r.id: r.v for r in read_table(spark, path).collect()}
+            assert got == model, f"seed={seed} step={step}"

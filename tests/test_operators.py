@@ -1534,3 +1534,39 @@ def test_jaccard_prefix_shuffle_fallback_matches_broadcast(spark, tmp_path, monk
         for r in dd.dedup_jaccard_prefix(spark, str(tmp_path)).collect()
     }
     assert broadcast and shuffled == broadcast
+
+
+def test_pagerank_parity_on_random_graphs(spark):
+    """The driver/distributed parity must hold on graphs OUTSIDE the
+    pinned fixture — the repr()-based double->decimal conversion claims
+    bit-exact agreement with Spark's BigDecimal.valueOf on ARBITRARY
+    contribution values, including near-half-way quantize ties the
+    nation graph never produces.  Ten seeded random weighted digraphs,
+    both branches collected and compared exactly (6-dp ranks AND the
+    deterministic rank order)."""
+    import random as _random
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators import graph as G
+
+    prev_w = spark.conf.get("spark.sql.shuffle.partitions")
+    for seed in range(10):
+        rnd = _random.Random(seed)
+        n = rnd.randint(2, 12)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        seen = set()
+        rows = []
+        for _ in range(rnd.randint(1, 4 * n)):
+            s, d = rnd.choice(nodes), rnd.choice(nodes)
+            if s != d and (s, d) not in seen:
+                seen.add((s, d))
+                rows.append((s, d, rnd.randint(1, 10**6)))
+        if not rows:
+            continue
+        edges = spark.createDataFrame(rows, "src string, dst string, w long")
+        driver = sorted(map(tuple, G._pagerank_driver(spark, edges).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            dist = sorted(map(tuple, G._pagerank_body(spark, edges).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_w)
+        assert driver == dist, f"seed={seed}: driver/distributed diverge"

@@ -492,3 +492,54 @@ def test_mix32_sampling_hash_survives_bigint_ids(doc_id, salt):
     got = row.select(_mix32(F.col("doc_id"), salt=salt).alias("m")).collect()[0]["m"]
     want = ((doc_id + salt) * 2654435761) % 4294967296
     assert got == want, (doc_id, salt, got, want)
+
+
+@given(st.data())
+@settings(max_examples=2000, deadline=None)
+def test_ppjoin_prefix_filters_are_lossless(data):
+    """Mirror of dedup_jaccard_prefix's candidate-join predicate (the
+    asymmetric PPJoin prefixes + integer-exact length and position
+    filters, dedup.py) over ARBITRARY set configurations: for every
+    pair with J >= tau=0.8, at least one shared element must survive
+    ALL the filters — the fixtures pin specific shapes, this pins the
+    bound arithmetic itself (`div`-based ceils, the 8n/9 index prefix,
+    the 4(na+nb)/9 occurrence cap) on thousands of random (sizes,
+    overlap, rarity-order) draws.
+
+    Construction: |a| = na <= nb = |b| (the canonical side order),
+    overlap o chosen so J = o/(na+nb-o) >= 0.8; global rarity order =
+    element value; which elements are shared is a random draw."""
+    na = data.draw(st.integers(1, 60), label="na")
+    # max achievable J is na/nb, so nb beyond 5na/4 can't reach tau
+    nb = data.draw(st.integers(na, max(na, (5 * na) // 4)), label="nb")
+    o_min = -(-4 * (na + nb) // 9)  # ceil(4(na+nb)/9): J >= 0.8
+    if o_min > na:
+        return  # J >= 0.8 unreachable at these sizes — vacuous draw
+    o = data.draw(st.integers(o_min, na), label="overlap")
+
+    universe = list(range(na + nb - o))
+    shared = set(data.draw(st.permutations(universe), label="order")[:o])
+    rest = [e for e in universe if e not in shared]
+    a_set = sorted(shared | set(rest[: na - o]))
+    b_set = sorted(shared | set(rest[na - o :]))
+    assert len(a_set) == na and len(b_set) == nb
+    ra = {e: i + 1 for i, e in enumerate(a_set)}  # rank by rarity order
+    rb = {e: i + 1 for i, e in enumerate(b_set)}
+
+    # the exact filter expressions from the candidate join:
+    a_prefix = na - (8 * na + 8) // 9 + 1          # index prefix (8n/9 bound)
+    b_prefix = nb - (4 * nb + 4) // 5 + 1          # probe prefix (tau*n bound)
+    assert 5 * na >= 4 * nb                        # length filter must hold
+    occurrence_cap = (4 * (na + nb) + 8) // 9      # ceil(tau/(1+tau)*(na+nb))
+    survivors = [
+        e
+        for e in shared
+        if ra[e] <= a_prefix
+        and rb[e] <= b_prefix
+        and 1 + min(na - ra[e], nb - rb[e]) >= occurrence_cap
+    ]
+    jacc = o / (na + nb - o)
+    assert survivors, (
+        f"true pair lost: na={na} nb={nb} o={o} J={jacc:.3f} "
+        f"a_prefix={a_prefix} b_prefix={b_prefix} cap={occurrence_cap}"
+    )
