@@ -200,7 +200,16 @@ def _acquire_lock(
             stale = spark._jvm.org.apache.hadoop.fs.Path(
                 jlock.toString() + ".stale-" + token
             )
-            if fs.rename(jlock, stale):  # atomic claim: one winner
+            # atomic claim: one winner.  A losing racer's rename may
+            # RAISE rather than return false (RawLocalFileSystem falls
+            # back to copy on a vanished source and throws
+            # FileNotFoundException) — both shapes mean "lost the
+            # claim", both go back to the create loop.
+            try:
+                claimed = fs.rename(jlock, stale)
+            except Exception:
+                claimed = False
+            if claimed:
                 fs.delete(stale, False)
             continue
         if time.monotonic() >= deadline:

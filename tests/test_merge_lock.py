@@ -267,3 +267,42 @@ def test_merge_sequence_matches_dict_model(spark, tmp_path):
             model.update(src)
             got = {r.id: r.v for r in read_table(spark, path).collect()}
             assert got == model, f"seed={seed} step={step}"
+
+
+def test_stale_lease_takeover_race_serializes(spark, tmp_path):
+    """Four writers race the SAME stale lease: the rename-claim rule
+    means exactly one takeover wins at a time, the rest fall back to
+    polling — all four must eventually hold the lease (serially),
+    none may error, and the lock must end released."""
+    import time as _time
+
+    path = str(tmp_path / "race")
+    _seed(spark, path, [(1, 1.0)])
+    lock = path + "__merge_lock"
+    with open(lock, "w") as fh:
+        fh.write("dead-writer")
+    os.utime(lock, (1_000_000_000, 1_000_000_000))
+
+    held_order: list[str] = []
+    errs: list[Exception] = []
+
+    def contender(name):
+        try:
+            token = _acquire_lock(spark, path, lock_ttl_sec=60.0, lock_wait_sec=30.0)
+            held_order.append(name)  # GIL-atomic append
+            _time.sleep(0.05)
+            _release_lock(spark, path, token)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=contender, args=(f"w{i}",)) for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert sorted(held_order) == ["w0", "w1", "w2", "w3"]
+    assert not os.path.exists(lock)
+    assert not [p for p in os.listdir(tmp_path) if ".stale-" in p]
