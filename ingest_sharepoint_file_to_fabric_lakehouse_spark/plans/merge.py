@@ -298,15 +298,27 @@ def recover_table(spark: SparkSession, target_path: str) -> str:
         fs.delete(jtmp, True)
         fs.delete(jbak, True)
         return "committed"
+
+    def _try_rename(src, why: str) -> None:
+        # Two RECOVERERS can race the same crash state (e.g. two
+        # readers both find the target missing).  The loser's rename
+        # returns false or THROWS (local-FS copy fallback on the
+        # vanished source); either way, the winner having restored the
+        # target is success — only a still-missing target is an error.
+        try:
+            ok = fs.rename(src, jtarget)
+        except Exception:
+            ok = False
+        if not ok and not fs.exists(jtarget):
+            raise OSError(f"recovery rename {why} -> {target_path} failed")
+
     if fs.exists(jbak):
         if fs.exists(jtmp_ok):
-            if not fs.rename(jtmp, jtarget):
-                raise OSError(f"recovery rename tmp -> {target_path} failed")
+            _try_rename(jtmp, "tmp")
             fs.delete(jbak, True)
             return "rolled_forward"
         fs.delete(jtmp, True)
-        if not fs.rename(jbak, jtarget):
-            raise OSError(f"recovery rename bak -> {target_path} failed")
+        _try_rename(jbak, "bak")
         return "rolled_back"
     fs.delete(jtmp, True)
     return "missing"

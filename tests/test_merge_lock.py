@@ -306,3 +306,37 @@ def test_stale_lease_takeover_race_serializes(spark, tmp_path):
     assert sorted(held_order) == ["w0", "w1", "w2", "w3"]
     assert not os.path.exists(lock)
     assert not [p for p in os.listdir(tmp_path) if ".stale-" in p]
+
+
+def test_concurrent_readers_race_recovery_without_error(spark, tmp_path):
+    """Two readers arriving at the same crashed table (target missing,
+    complete stage present) both run recovery: one wins the
+    roll-forward rename, the loser must recognize the restored target
+    instead of erroring on its failed rename.  Both reads then return
+    the complete NEW table."""
+    import pandas as pd
+
+    for seed in range(3):  # repeat: the interleave is scheduler-timed
+        path = str(tmp_path / f"rr_{seed}")
+        _seed(spark, path, [(1, 1.0), (2, 2.0)])
+        # forge the between-steps-3-and-4 crash state
+        os.rename(path, path + "__merge_bak")
+        shutil_src = path + "__merge_bak"
+        import shutil as _sh
+
+        _sh.copytree(shutil_src, path + "__merge_tmp")
+        results, errs = [], []
+
+        def reader():
+            try:
+                results.append(
+                    {r.id: r.v for r in read_table(spark, path).collect()}
+                )
+            except Exception as e:  # pragma: no cover - failure reporting
+                errs.append(e)
+
+        ta, tb = threading.Thread(target=reader), threading.Thread(target=reader)
+        ta.start(); tb.start(); ta.join(); tb.join()
+        assert not errs, errs
+        assert results == [{1: 1.0, 2: 2.0}] * 2
+        assert recover_table(spark, path) == "committed"
