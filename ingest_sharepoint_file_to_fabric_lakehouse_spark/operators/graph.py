@@ -196,12 +196,15 @@ def _pagerank_driver(spark: SparkSession, edges: DataFrame) -> DataFrame:
             # double contrib (w: long over double out-weight, times
             # double rank), then cast decimal(28,14).  Spark's
             # double→decimal goes through BigDecimal.valueOf ==
-            # Double.toString's SHORTEST round-trip representation,
-            # not the double's exact binary expansion — Python's
-            # repr(float) is the same shortest-round-trip algorithm,
-            # so Decimal(repr(x)) matches Java bit-for-bit where
-            # Decimal(x) could diverge 1 ulp on half-way ties at the
-            # 14th decimal.
+            # Double.toString, and Python's repr(float) is the
+            # shortest-round-trip algorithm — on JDK >= 19
+            # (JDK-4511638) Double.toString is shortest-round-trip
+            # too, so the two match exactly; on older JDKs rare values
+            # get extra digits and the HALF_UP quantize can still
+            # diverge 1 ulp at the 14th place.  The randomized
+            # distributed-parity test covers the deployed JDK either
+            # way; Decimal(repr(x)) is still strictly closer than
+            # Decimal(x)'s exact binary expansion.
             contrib = rank[r["src"]] * (r["w"] / float(ow[r["src"]]))
             acc[r["dst"]] = acc.get(r["dst"], Decimal(0)) + Decimal(
                 repr(contrib)

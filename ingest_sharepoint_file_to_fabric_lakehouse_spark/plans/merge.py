@@ -58,6 +58,50 @@ complete NEW table — never torn (`tests/test_operators.py::
 test_merge_upsert_crash_*` kills the writer at each step and asserts
 exactly this).
 
+Commit protocol (partitioned path)
+----------------------------------
+:func:`merge_upsert_partitioned` extends the same rename discipline to
+exactly the touched partitions (a dynamic partition overwrite straight
+onto the live table has no crash story — Spark's job commit mid-crash
+can tear touched partition dirs with nothing to roll back to):
+
+1. ``recover_table_partitioned`` — heal any prior crash.
+2. Stage: write the merged TOUCHED partitions to
+   ``<target>__merge_ptmp`` (partitioned layout; ``_SUCCESS`` is the
+   completeness witness) — never the live table.
+3. Write ``ptmp/_MERGE_PLAN``: the staged partition dir names.  The
+   plan+``_SUCCESS`` pair is the roll-FORWARD authorization; no swap
+   ever starts before both exist.
+4. Per planned partition ``p=v``: rename ``target/p=v`` →
+   ``target/_merge_bak_p=v`` (old data aside; the ``_`` prefix hides
+   it from Spark's input discovery), rename ``ptmp/p=v`` →
+   ``target/p=v`` (THE commit point for that partition), delete the
+   bak.  Each rename is atomic; the lease is re-verified every
+   iteration.
+5. Delete ``ptmp`` (plan consumed) — post-commit cleanup.
+
+Recovery rules (``recover_table_partitioned``):
+
+* no ``ptmp`` → committed; heal any stray bak (target partition
+  present → delete bak; missing → restore it).
+* ``ptmp`` without plan+``_SUCCESS`` → stage incomplete, no swap ever
+  started: delete ptmp (old table intact).
+* ``ptmp`` with plan+``_SUCCESS`` → resume the swap loop exactly (it
+  is idempotent: partitions already committed have no ``ptmp/p=v``
+  left and are skipped), then delete ptmp.
+
+A crash at ANY step therefore recovers to the complete OLD table
+(before the plan write) or the complete NEW table (after) — per
+partition the data is always one or the other, never torn.  Unlike the
+unpartitioned path, intermediate crash states are rolled FORWARD (some
+partitions may already be committed); the plan file is what makes that
+decidable.  Visibility: a lock-free reader overlapping the swap loop
+can observe partition ``v`` new while ``w`` is still old — the
+cross-partition snapshot isolation a parquet directory layout cannot
+provide (that is Delta's transaction log; the ``HAVE_DELTA`` dispatch
+gets it).  Crash consistency, not snapshot isolation, is the contract
+here.
+
 Concurrency
 -----------
 * **Writers** are serialized by a lease file ``<target>__merge_lock``
@@ -130,6 +174,26 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     fs, jtarget = _fs(spark, path)
     if not fs.exists(jtarget):
         recover_table(spark, path)
+    mk = spark._jvm.org.apache.hadoop.fs.Path
+    if fs.exists(mk(path.rstrip("/") + "__merge_ptmp")):
+        # A crashed PARTITIONED merge leaves the target present but
+        # possibly missing mid-swap partitions; heal it — unless a
+        # LIVE writer owns the lease (fresh lock ⇒ the ptmp is its
+        # in-progress stage; a zero-ish wait keeps readers lock-free
+        # on the happy path and non-blocking on this one).  A crashed
+        # writer's still-fresh lock defers healing for up to the TTL —
+        # the same availability window every lease protocol has.  (The
+        # 1s wait exists so a STALE lock still reaches the takeover
+        # branch; a live writer costs the reader at most that poll.)
+        try:
+            tok = _acquire_lock(spark, path, lock_ttl_sec=600.0, lock_wait_sec=1.0)
+        except MergeLockTimeout:
+            tok = None
+        if tok is not None:
+            try:
+                recover_table_partitioned(spark, path)
+            finally:
+                _release_lock(spark, path, tok)
     return spark.read.parquet(path)
 
 
@@ -144,6 +208,35 @@ def _lock_path(spark: SparkSession, target_path: str):
     return mk(target_path.rstrip("/") + "__merge_lock")
 
 
+def _hb_path(spark: SparkSession, jlock):
+    """Heartbeat sidecar: a live writer whose store refuses
+    ``setTimes`` (it is a no-op on several object stores) re-arms its
+    lease by REWRITING this file instead — its mtime is then the
+    freshness witness.  Plain timestamp semantics, no token: a stale
+    heartbeat from an earlier lease is by construction OLDER than the
+    current lock file, so ``max(lock mtime, hb mtime)`` ignores it."""
+    return spark._jvm.org.apache.hadoop.fs.Path(jlock.toString() + ".hb")
+
+
+def _set_times(fs, jpath, now_ms: int) -> None:
+    """mtime refresh seam — module-level so tests can substitute a
+    ``setTimes``-refusing store and pin the heartbeat fallback."""
+    fs.setTimes(jpath, now_ms, now_ms)
+
+
+def _lease_age_sec(spark: SparkSession, fs, jlock) -> float:
+    """Lease age = seconds since the freshest of (lock mtime,
+    heartbeat mtime).  Raises when the lock itself is gone."""
+    import time
+
+    mt = fs.getFileStatus(jlock).getModificationTime()
+    try:
+        mt = max(mt, fs.getFileStatus(_hb_path(spark, jlock)).getModificationTime())
+    except Exception:
+        pass  # no heartbeat — lock mtime alone decides
+    return (time.time() * 1000.0 - mt) / 1000.0
+
+
 def _acquire_lock(
     spark: SparkSession,
     target_path: str,
@@ -153,17 +246,26 @@ def _acquire_lock(
     """Take the target's writer lease.  Returns the owner token the
     caller must pass to :func:`_release_lock`.
 
-    Atomic create-if-absent: ``FileSystem.create(path, False)`` on
-    HDFS-compatible stores (atomic there by contract), but on the
-    ``file://`` scheme that call is check-then-act (RawLocalFileSystem
-    probes ``exists`` then opens — two simultaneous local writers can
-    BOTH win, measured in the two-thread test), so the local scheme
-    uses POSIX ``O_CREAT|O_EXCL`` which the kernel makes exclusive.
-    A lock older than ``lock_ttl_sec`` belongs to a dead writer:
+    Atomic create-if-absent: ``FileSystem.create(path, False)`` — the
+    HDFS contract makes it atomic on HDFS proper; on the ``file://``
+    scheme that call is check-then-act (RawLocalFileSystem probes
+    ``exists`` then opens — two simultaneous local writers can BOTH
+    win, measured in the two-thread test), so the local scheme uses
+    POSIX ``O_CREAT|O_EXCL`` which the kernel makes exclusive.  On
+    object stores (S3A, ABFS/OneLake) conditional create has known
+    non-atomic races (cf. the HADOOP-17717 conditional-write work), so
+    writer serialization there should come from the Delta transaction
+    log via the ``HAVE_DELTA`` dispatch, not this lease — the lease is
+    the portable fallback for stores with real atomic create.
+    A lease older than ``lock_ttl_sec`` (freshest of lock mtime and
+    heartbeat mtime, see :func:`_hb_path`) belongs to a dead writer:
     takeover first RENAMES it to a uniquified stale name (atomic — of
     N racing takeover attempts exactly one rename succeeds; the losers
     go back to polling), then deletes the renamed file and retries the
-    create.
+    create.  Every retry path re-checks the deadline, so a persistent
+    non-EEXIST create failure (permissions, missing parent, store
+    outage) raises :class:`MergeLockTimeout` after ``lock_wait_sec``
+    instead of spinning forever.
     """
     import os
     import time
@@ -190,11 +292,18 @@ def _acquire_lock(
             return token
         except Exception:
             pass  # lock present (or transient create race) — probe it
+        # Deadline first: every continue below comes back through this
+        # check, so no retry path can busy-spin past lock_wait_sec.
+        if time.monotonic() >= deadline:
+            raise MergeLockTimeout(
+                f"merge lease on {target_path} not acquired within "
+                f"{lock_wait_sec}s (held by a live writer, or create "
+                f"persistently failing; ttl {lock_ttl_sec}s)"
+            )
         try:
-            age_sec = (
-                time.time() * 1000.0 - fs.getFileStatus(jlock).getModificationTime()
-            ) / 1000.0
+            age_sec = _lease_age_sec(spark, fs, jlock)
         except Exception:
+            time.sleep(0.01)
             continue  # vanished between create and stat — retry create
         if age_sec > lock_ttl_sec:
             stale = spark._jvm.org.apache.hadoop.fs.Path(
@@ -211,12 +320,8 @@ def _acquire_lock(
                 claimed = False
             if claimed:
                 fs.delete(stale, False)
+                fs.delete(_hb_path(spark, jlock), False)  # dead lease's hb
             continue
-        if time.monotonic() >= deadline:
-            raise MergeLockTimeout(
-                f"merge lease on {target_path} held by a live writer for "
-                f">{lock_wait_sec}s (lock age {age_sec:.1f}s, ttl {lock_ttl_sec}s)"
-            )
         time.sleep(min(0.05, lock_wait_sec / 20.0 or 0.05))
 
 
@@ -245,26 +350,69 @@ def _hold_lease(spark: SparkSession, target_path: str, token: str) -> bool:
 
     now_ms = int(time.time() * 1000)
     try:
-        fs.setTimes(jlock, now_ms, now_ms)
+        _set_times(fs, jlock, now_ms)
     except Exception:
-        pass  # refresh is best-effort; ownership is what matters
+        # setTimes is a no-op/unsupported on several object stores —
+        # without a fallback a long-staging LIVE writer's lease would
+        # stay takeover-eligible forever (safe: the post-stage
+        # ownership check aborts, but availability suffers).  Re-arm
+        # by rewriting the heartbeat sidecar instead: its mtime is its
+        # write time on every store (`_lease_age_sec` takes the
+        # freshest of lock and heartbeat).
+        try:
+            out = fs.create(_hb_path(spark, jlock), True)
+            out.write(bytearray(str(now_ms).encode()))
+            out.close()
+        except Exception:
+            pass  # both refresh channels down; ownership still holds
     return True
 
 
 def _release_lock(spark: SparkSession, target_path: str, token: str) -> None:
     """Drop the lease IF still ours — after a TTL takeover the lock
     file belongs to the new owner and must not be deleted out from
-    under them (ownership = the token written at create)."""
+    under them (ownership = the token written at create).
+
+    Read-token-then-delete would be a TOCTOU (a takeover landing
+    between the read and the delete would have us delete the NEW
+    owner's lock), so release claims by RENAME first — the same atomic
+    trick as stale takeover: rename the lock to a token-suffixed name,
+    THEN inspect it.  Ours ⇒ delete it (released).  Not ours ⇒ a
+    takeover won the race; rename it back.  Residual window: if a
+    third writer creates a fresh lock during that rename-back, the
+    rename fails and the displaced owner's lease is lost — it ABORTS
+    at its next ``_hold_lease`` checkpoint (token mismatch), never
+    interleaves; requires two independent races inside a ms-wide
+    window that itself requires the lease to cross the TTL exactly at
+    release."""
     fs, _ = _fs(spark, target_path)
     jlock = _lock_path(spark, target_path)
+    jrel = spark._jvm.org.apache.hadoop.fs.Path(jlock.toString() + ".rel-" + token)
     try:
-        stream = fs.open(jlock)
+        if not fs.rename(jlock, jrel):
+            return  # lock already gone (taken over + released)
+    except Exception:
+        return
+    try:
+        stream = fs.open(jrel)
         held = bytes(stream.readAllBytes()).decode()
         stream.close()
-        if held == token:
-            fs.delete(jlock, False)
     except Exception:
-        pass  # already gone (taken over + released) — nothing ours remains
+        held = None
+    if held == token:
+        try:
+            fs.delete(jrel, False)
+            fs.delete(_hb_path(spark, jlock), False)
+        except Exception:
+            pass
+    else:
+        # takeover landed between our last ownership check and the
+        # rename — give the new owner their lease back
+        try:
+            if not fs.rename(jrel, jlock):
+                fs.delete(jrel, False)  # fresh lock already there
+        except Exception:
+            pass
 
 
 class SimulatedCrash(RuntimeError):
@@ -322,6 +470,100 @@ def recover_table(spark: SparkSession, target_path: str) -> str:
         return "rolled_back"
     fs.delete(jtmp, True)
     return "missing"
+
+
+_BAK_PREFIX = "_merge_bak_"
+
+
+def _ppaths(spark: SparkSession, target_path: str):
+    fs, jtarget = _fs(spark, target_path)
+    mk = spark._jvm.org.apache.hadoop.fs.Path
+    base = target_path.rstrip("/")
+    jptmp = mk(base + "__merge_ptmp")
+    return fs, jtarget, mk, jptmp, mk(base + "__merge_ptmp/_MERGE_PLAN"), mk(
+        base + "__merge_ptmp/_SUCCESS"
+    )
+
+
+def _heal_baks(fs, jtarget, mk) -> None:
+    """Sweep stray per-partition backups: a bak whose live partition
+    exists is post-commit debris (delete); one whose live partition is
+    MISSING is a mid-swap orphan (restore it).  Rename losses to a
+    concurrent recoverer are tolerated — the dir existing afterwards
+    is what matters."""
+    if not fs.exists(jtarget):
+        return
+    for st in fs.listStatus(jtarget):
+        name = st.getPath().getName()
+        if not name.startswith(_BAK_PREFIX):
+            continue
+        jdst = mk(jtarget.toString() + "/" + name[len(_BAK_PREFIX):])
+        if fs.exists(jdst):
+            fs.delete(st.getPath(), True)
+        else:
+            try:
+                fs.rename(st.getPath(), jdst)
+            except Exception:
+                pass
+
+
+def recover_table_partitioned(spark: SparkSession, target_path: str) -> str:
+    """Heal a crashed :func:`merge_upsert_partitioned` per the
+    module-doc partitioned protocol.  Caller should hold the writer
+    lease (the writer's step 1 and ``read_table``'s ptmp probe both
+    do).  Idempotent; tolerates a racing recoverer the same way
+    :func:`recover_table` does.
+
+    Returns ``"committed"`` (no ptmp; stray baks healed),
+    ``"rolled_back"`` (incomplete stage discarded — old table intact),
+    or ``"rolled_forward"`` (swap loop resumed to completion — new
+    data live in every planned partition)."""
+    fs, jtarget, mk, jptmp, jplan, jptmp_ok = _ppaths(spark, target_path)
+    if not fs.exists(jptmp):
+        _heal_baks(fs, jtarget, mk)
+        return "committed"
+    if not (fs.exists(jplan) and fs.exists(jptmp_ok)):
+        # Stage never finished ⇒ by protocol no swap ever started; any
+        # bak is an OLDER crash's debris.  Old table is intact.
+        _heal_baks(fs, jtarget, mk)
+        fs.delete(jptmp, True)
+        return "rolled_back"
+    stream = fs.open(jplan)
+    plan = bytes(stream.readAllBytes()).decode().split()
+    stream.close()
+    for d in plan:
+        _swap_partition(fs, mk, jtarget, jptmp, d)
+    fs.delete(jptmp, True)
+    return "rolled_forward"
+
+
+def _swap_partition(fs, mk, jtarget, jptmp, d: str) -> None:
+    """Commit one staged partition dir ``d`` (idempotent resume step):
+    old dir aside → staged dir in → bak gone.  Rename failures against
+    a concurrent recoverer resolve by re-probing the surviving state,
+    mirroring ``recover_table._try_rename``."""
+    jsrc = mk(jptmp.toString() + "/" + d)
+    jdst = mk(jtarget.toString() + "/" + d)
+    jbak = mk(jtarget.toString() + "/" + _BAK_PREFIX + d)
+    if fs.exists(jsrc):
+        if fs.exists(jdst):
+            try:
+                fs.rename(jdst, jbak)
+            except Exception:
+                pass
+        try:
+            ok = fs.rename(jsrc, jdst)
+        except Exception:
+            ok = False
+        if not ok and not fs.exists(jdst):
+            raise OSError(f"partition commit rename {d} failed")
+    if fs.exists(jdst):
+        fs.delete(jbak, True)
+    elif fs.exists(jbak):  # defensive: staged dir lost, old data wins
+        try:
+            fs.rename(jbak, jdst)
+        except Exception:
+            pass
 
 
 def _merged_frame(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
@@ -446,7 +688,18 @@ def merge_upsert(
             if fs.exists(jtarget) and not fs.exists(jtmp):
                 fs.delete(jbak, True)
                 return
-            fs.rename(jbak, jtarget)  # roll back (same rule recovery applies)
+            # roll back (same rule recovery applies).  The rollback
+            # rename itself can lose to a reader's roll-forward landing
+            # AFTER the re-probe above — so on rollback failure,
+            # re-probe ONCE MORE: target present with tmp gone means
+            # the merge actually committed; report success, not error.
+            try:
+                rolled_back = fs.rename(jbak, jtarget)
+            except Exception:
+                rolled_back = False
+            if not rolled_back and fs.exists(jtarget) and not fs.exists(jtmp):
+                fs.delete(jbak, True)
+                return
             raise OSError(f"rename {jtmp} -> {target_path} failed")
         crashpoint("after_commit_rename")
         # Step 5: post-commit cleanup.
@@ -463,17 +716,27 @@ def merge_upsert_partitioned(
     part_col: str,
     lock_ttl_sec: float = 600.0,
     lock_wait_sec: float = 60.0,
+    _crash: str | None = None,
 ) -> None:
     """MERGE INTO a parquet target partitioned by ``part_col``:
-    partition-pruned read of only the touched partitions, one dynamic
-    partition overwrite write.  Writers take the same lease as
-    :func:`merge_upsert` — two concurrent dynamic overwrites touching
-    the same partition would interleave at the file-commit level.
+    partition-pruned read of only the touched partitions, staged
+    partitioned write, per-partition atomic rename swap (module doc,
+    "Commit protocol (partitioned path)").  Untouched partitions are
+    never read or written — a MERGE touching one day of a
+    year-partitioned 100 TB table costs one day, not the table.
+    Writers take the same lease as :func:`merge_upsert`.
 
     Assumes ``part_col`` is stable per key (a row never migrates
     between partitions) — the standard partitioned-MERGE contract.
     ``part_col`` must be bounded-cardinality (it's a partition column),
-    so collecting the touched-partition values is driver-safe.
+    so collecting the touched-partition values is driver-safe, and the
+    per-partition swap loop is a bounded sequence of metadata renames.
+
+    ``_crash`` names a protocol step to die at (:class:`SimulatedCrash`,
+    same semantics as :func:`merge_upsert`): ``"after_stage_write"``,
+    ``"after_plan_write"``, ``"after_backup_rename:<i>"``,
+    ``"after_commit_rename:<i>"``, ``"after_bak_delete:<i>"``,
+    ``"before_ptmp_delete"``.
 
     On a Delta target the same touched-partition predicate goes into
     the MERGE condition, so Delta's file pruning skips untouched
@@ -494,15 +757,59 @@ def merge_upsert_partitioned(
             .execute()
         )
         return
+
+    def crashpoint(step: str) -> None:
+        if _crash == step:
+            raise SimulatedCrash(step)
+
     token = _acquire_lock(spark, target_path, lock_ttl_sec, lock_wait_sec)
     try:
+        # Step 1: heal any prior crash before reading the target.
+        recover_table_partitioned(spark, target_path)
+        fs, jtarget, mk, jptmp, jplan, _ = _ppaths(spark, target_path)
         target = spark.read.parquet(target_path).filter(F.col(part_col).isin(touched))
         merged = _merged_frame(target, source, key)
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(part_col)
-            .parquet(target_path)
+        # Step 2: stage the merged TOUCHED partitions off to the side —
+        # the live table is not written until the rename swaps.
+        merged.write.mode("overwrite").partitionBy(part_col).parquet(jptmp.toString())
+        crashpoint("after_stage_write")
+        # Step 3: the plan — the staged partition dir names, taken from
+        # the filesystem (not re-encoded from values, so the names are
+        # exactly what Spark's partitioning layer wrote).
+        plan = sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(jptmp)
+            if st.isDirectory() and st.getPath().getName().startswith(part_col + "=")
         )
+        out = fs.create(jplan, True)
+        out.write(bytearray("\n".join(plan).encode()))
+        out.close()
+        crashpoint("after_plan_write")
+        # Step 4: per-partition atomic swap.  The lease is re-verified
+        # (and its TTL re-armed) before the first destructive rename
+        # and on every iteration — ms-cost metadata reads against a
+        # swap loop that must never interleave with a takeover's.
+        for i, d in enumerate(plan):
+            if not _hold_lease(spark, target_path, token):
+                raise MergeLockTimeout(
+                    f"merge lease on {target_path} lost during the "
+                    f"partition swap (step {i}/{len(plan)}); aborting — "
+                    "recovery resumes the swap from the plan file"
+                )
+            jsrc = mk(jptmp.toString() + "/" + d)
+            jdst = mk(jtarget.toString() + "/" + d)
+            jbak = mk(jtarget.toString() + "/" + _BAK_PREFIX + d)
+            if fs.exists(jdst):
+                if not fs.rename(jdst, jbak):
+                    raise OSError(f"rename {jdst} -> {jbak} failed")
+            crashpoint(f"after_backup_rename:{i}")
+            if not fs.rename(jsrc, jdst):
+                raise OSError(f"rename {jsrc} -> {jdst} failed")
+            crashpoint(f"after_commit_rename:{i}")
+            fs.delete(jbak, True)
+            crashpoint(f"after_bak_delete:{i}")
+        # Step 5: plan consumed — post-commit cleanup.
+        crashpoint("before_ptmp_delete")
+        fs.delete(jptmp, True)
     finally:
         _release_lock(spark, target_path, token)

@@ -340,3 +340,154 @@ def test_concurrent_readers_race_recovery_without_error(spark, tmp_path):
         assert not errs, errs
         assert results == [{1: 1.0, 2: 2.0}] * 2
         assert recover_table(spark, path) == "committed"
+
+
+def test_merge_partitioned_crash_at_every_step_never_torn(spark, tmp_path):
+    """Kill the PARTITIONED merge writer at every protocol step and
+    assert recovery (read_table's ptmp probe) yields either the
+    complete OLD table (crash before the plan write) or the complete
+    NEW table (any later step) — per partition never torn — and that
+    the untouched partition's files stay byte-identical throughout."""
+    import pathlib
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import (
+        SimulatedCrash,
+        merge_upsert_partitioned,
+        recover_table_partitioned,
+    )
+
+    old = {1: (1, 10.0), 2: (2, 20.0), 3: (3, 30.0)}
+    new = {1: (1, 10.0), 2: (2, 99.0), 3: (3, 30.0), 4: (3, 44.0), 5: (4, 55.0)}
+    steps = {
+        "after_stage_write": old,  # plan not yet written: roll back
+        "after_plan_write": new,  # plan + _SUCCESS: roll forward
+        "after_backup_rename:0": new,
+        "after_commit_rename:0": new,
+        "after_bak_delete:0": new,
+        "after_backup_rename:1": new,
+        "after_commit_rename:1": new,
+        "before_ptmp_delete": new,
+    }
+    for step, expected in steps.items():
+        path = str(tmp_path / f"pcrash_{step.replace(':', '_')}")
+        spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in old.items()], "id long, p int, v double"
+        ).write.partitionBy("p").parquet(path)
+        untouched_before = {
+            f.name: f.read_bytes() for f in pathlib.Path(f"{path}/p=1").glob("*.parquet")
+        }
+        # touches p=2 (update), p=3 (insert), p=4 (new partition)
+        src = spark.createDataFrame(
+            [(2, 2, 99.0), (4, 3, 44.0), (5, 4, 55.0)], "id long, p int, v double"
+        )
+        with pytest.raises(SimulatedCrash):
+            merge_upsert_partitioned(spark, path, src, "id", "p", _crash=step)
+        got = {r.id: (r.p, r.v) for r in read_table(spark, path).collect()}
+        assert got == expected, (step, got)
+        # recovery idempotent, debris gone, untouched partition intact
+        recover_table_partitioned(spark, path)
+        assert not [
+            n for n in os.listdir(tmp_path) if "__merge_" in n
+        ], step
+        assert not [
+            n for n in os.listdir(path) if n.startswith("_merge_bak_")
+        ], step
+        untouched_after = {
+            f.name: f.read_bytes() for f in pathlib.Path(f"{path}/p=1").glob("*.parquet")
+        }
+        assert untouched_after == untouched_before, step
+        # the normal retry lands the full merged state
+        merge_upsert_partitioned(spark, path, src, "id", "p")
+        got = {r.id: (r.p, r.v) for r in read_table(spark, path).collect()}
+        assert got == new, step
+
+
+def test_merge_partitioned_recovery_discards_incomplete_stage(spark, tmp_path):
+    """A ptmp dir WITHOUT the plan+_SUCCESS pair is an unfinished stage:
+    recovery must discard it and leave the old table intact (no swap
+    ever started by protocol)."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import (
+        recover_table_partitioned,
+    )
+
+    path = str(tmp_path / "pincomplete")
+    spark.createDataFrame(
+        [(1, 1, 10.0), (2, 2, 20.0)], "id long, p int, v double"
+    ).write.partitionBy("p").parquet(path)
+    os.makedirs(path + "__merge_ptmp/p=2")
+    with open(path + "__merge_ptmp/p=2/part-00000.parquet", "wb") as fh:
+        fh.write(b"torn stage")
+    assert recover_table_partitioned(spark, path) == "rolled_back"
+    assert not os.path.exists(path + "__merge_ptmp")
+    got = {r.id: r.v for r in read_table(spark, path).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+
+
+def test_read_table_skips_partitioned_recovery_under_live_lease(spark, tmp_path):
+    """A FRESH lock + ptmp dir = a live writer mid-stage/mid-swap: the
+    reader must leave the ptmp alone (read proceeds on the live table).
+    Once the lease is gone, the same read heals the crash state."""
+    path = str(tmp_path / "plive")
+    spark.createDataFrame(
+        [(1, 1, 10.0)], "id long, p int, v double"
+    ).write.partitionBy("p").parquet(path)
+    os.makedirs(path + "__merge_ptmp")
+    with open(path + "__merge_lock", "w") as fh:
+        fh.write("live-writer")  # fresh mtime = live lease
+    got = {r.id: r.v for r in read_table(spark, path).collect()}
+    assert got == {1: 10.0}
+    assert os.path.exists(path + "__merge_ptmp")  # untouched
+    os.remove(path + "__merge_lock")
+    read_table(spark, path)  # no live lease: the probe heals now
+    assert not os.path.exists(path + "__merge_ptmp")
+
+
+def test_hold_lease_heartbeat_fallback_when_settimes_refused(spark, tmp_path, monkeypatch):
+    """On stores where setTimes is a no-op/refused, _hold_lease must
+    re-arm the lease via the heartbeat sidecar instead — a long-staging
+    LIVE writer's lease then stays takeover-proof even with an ancient
+    lock mtime; without the heartbeat the same lock ages out."""
+    import ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge as mm
+
+    def refuse(fs, jpath, now_ms):
+        raise RuntimeError("setTimes unsupported on this store")
+
+    monkeypatch.setattr(mm, "_set_times", refuse)
+    path = str(tmp_path / "hb")
+    _seed(spark, path, [(1, 1.0)])
+    token = _acquire_lock(spark, path, lock_ttl_sec=60.0, lock_wait_sec=1.0)
+    lock = path + "__merge_lock"
+    os.utime(lock, (1_000_000_000, 1_000_000_000))  # ancient mtime
+    assert mm._hold_lease(spark, path, token) is True
+    assert os.path.exists(lock + ".hb")  # heartbeat written
+    # fresh heartbeat ⇒ the lease reads LIVE: no takeover, timeout
+    with pytest.raises(MergeLockTimeout):
+        _acquire_lock(spark, path, lock_ttl_sec=60.0, lock_wait_sec=0.5)
+    # heartbeat gone ⇒ the ancient lock mtime decides: takeover wins
+    # (drop the ChecksumFileSystem .crc sidecar too — os.remove bypasses
+    # the Hadoop FS layer that would sweep it)
+    os.remove(lock + ".hb")
+    crc = os.path.join(os.path.dirname(lock), "." + os.path.basename(lock) + ".hb.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    token2 = _acquire_lock(spark, path, lock_ttl_sec=60.0, lock_wait_sec=5.0)
+    _release_lock(spark, path, token2)
+    assert not os.path.exists(lock)
+    assert not [n for n in os.listdir(tmp_path) if "__merge_lock" in n]
+
+
+def test_release_lock_restores_foreign_lease(spark, tmp_path):
+    """Releasing with a token the lock does NOT hold (a TTL takeover
+    landed) must put the new owner's lock back untouched — the
+    rename-claim release closes the read-then-delete TOCTOU that could
+    delete the new owner's lease."""
+    path = str(tmp_path / "fr")
+    _seed(spark, path, [(1, 1.0)])
+    lock = path + "__merge_lock"
+    with open(lock, "w") as fh:
+        fh.write("new-owner-token")
+    _release_lock(spark, path, "our-stale-token")
+    with open(lock) as fh:
+        assert fh.read() == "new-owner-token"
+    assert not [n for n in os.listdir(tmp_path) if ".rel-" in n]
+    os.remove(lock)
