@@ -51,132 +51,124 @@ engine.load_all()
 # These rotate to the back of queries(); keys never driver-checked
 # sort directly after the window.
 _DRIVER_VERIFIED = {
-    "agg_approx_distinct", "agg_approx_quantile", "agg_bool", "agg_collect",
-    "agg_corr_moments", "agg_count_distinct", "agg_cube", "agg_empty_check",
-    "agg_exact_quantile_grouped", "agg_group_sum", "agg_grouping_sets",
-    "agg_having", "agg_heavy_hitters_exact", "agg_incremental_rollup",
-    "agg_min_max_by", "agg_percentile", "agg_rollup", "agg_sketch_hll_merge",
-    "agg_stats", "array_ops", "cast_types", "cond_case_when",
-    "corpus_mix_weights", "corpus_quality_pipeline",
+    "agg_approx_distinct", "agg_approx_quantile", "agg_bitmap_distinct",
+    "agg_bool", "agg_cms_portable", "agg_collect", "agg_corr_moments",
+    "agg_count_distinct", "agg_cube", "agg_empty_check",
+    "agg_exact_median_twopass", "agg_exact_quantile_grouped",
+    "agg_group_sum", "agg_grouping_sets", "agg_having",
+    "agg_heavy_hitters_exact", "agg_histogram_fixed",
+    "agg_incremental_rollup", "agg_min_max_by", "agg_mode_top_freq",
+    "agg_percentile", "agg_rollup", "agg_sketch_hll_merge", "agg_stats",
+    "array_ops", "cast_types", "cond_case_when", "corpus_mix_weights",
     "corpus_quality_weighted_sample", "corpus_sample_stratified",
     "corpus_shuffle_shard", "date_arith", "date_format_tz",
-    "dedup_cluster_cc", "dedup_containment", "dedup_distinct_rows",
+    "date_series_gapfill", "dedup_cluster_cc", "dedup_containment",
+    "dedup_distinct_rows", "dedup_edit_distance_blocked",
     "dedup_embedding_cosine", "dedup_exact_hash",
     "dedup_minhash_dup_witness", "dedup_minhash_pipeline_witness",
     "dedup_minhash_portable", "dedup_ngram_jaccard",
-    "dedup_simhash_portable", "dedup_simhash_stats", "dedup_subset_keyed",
-    "dq_expectations", "events_ab_ttest", "events_attribution_lasttouch",
-    "events_changepoint_cusum", "events_dau_wau_mau",
-    "events_forecast_snaive", "events_markov_transitions",
+    "dedup_simhash_portable", "dedup_subset_keyed", "dq_expectations",
+    "events_ab_ttest", "events_anomaly_zscore",
+    "events_attribution_lasttouch", "events_changepoint_cusum",
+    "events_dau_wau_mau", "events_ewma", "events_forecast_snaive",
+    "events_markov_transitions", "events_resample_ohlc",
+    "events_rolling_distinct", "events_sequence_pattern",
     "events_session_stats", "events_trend_ols", "events_user_features",
     "events_user_retention", "explode_lateral", "filter_between_date",
-    "filter_comparison", "filter_in_set", "filter_like", "filter_null",
-    "flagship_q3_topk", "geo_grid_nearest", "graph_bfs_reachability",
-    "graph_label_propagation", "graph_link_prediction",
+    "filter_comparison", "filter_exists_subquery", "filter_in_set",
+    "filter_like", "filter_null", "flagship_q3_topk", "funnel_conversion",
+    "geo_grid_nearest", "graph_bfs_reachability",
+    "graph_label_propagation", "graph_link_prediction", "graph_pagerank",
     "graph_triangle_count", "hash_funcs", "ingest_pipeline",
-    "join_asof_latest", "join_asof_nearest", "join_broadcast_dim",
-    "join_bucketed", "join_cross", "join_interval_overlap",
-    "join_lateral_topn", "join_left_anti", "join_left_semi",
-    "join_multikey_chain", "join_null_safe_eq", "join_null_skew_split",
-    "join_outer_full", "join_outer_left", "join_runtime_bloom",
-    "join_scd2_pointintime", "join_shuffle_large", "join_skew_salted",
-    "join_theta_range", "limit_n", "map_json_ops", "math_expr",
-    "multimodal_binary_meta", "multimodal_chunk_binary",
+    "join_asof_latest", "join_asof_nearest", "join_asof_next_within",
+    "join_broadcast_dim", "join_cross", "join_interval_banded",
+    "join_interval_overlap", "join_lateral_topn", "join_left_anti",
+    "join_left_semi", "join_multikey_chain", "join_null_safe_eq",
+    "join_outer_full", "join_outer_left", "join_scd2_pointintime",
+    "join_shuffle_large", "join_theta_range", "limit_n", "map_json_ops",
+    "math_expr", "multimodal_binary_meta", "multimodal_embed_ann",
     "multimodal_frame_sample", "multimodal_resize_meta",
     "orders_benford_digits", "orders_cohort_ltv", "orders_open_backlog",
     "orders_pareto_abc", "orders_rfm_segments", "pivot_wide",
-    "project_rename_drop", "project_select", "scan_binaryfile",
-    "scan_csv_malformed", "scan_csv_schema", "scan_datasource_sharepoint",
-    "scan_json_lines", "scan_manifest", "scan_observe_metrics",
-    "scan_parquet", "scan_parquet_nested", "scan_partition_pruned",
+    "project_rename_drop", "project_select", "scalar_subquery",
+    "scan_binaryfile", "scan_csv_malformed", "scan_csv_schema",
+    "scan_datasource_sharepoint", "scan_json_lines", "scan_manifest",
+    "scan_observe_metrics", "scan_parquet", "scan_parquet_nested",
     "scan_schema_evolution", "scan_table_stats", "set_except",
     "set_intersect", "set_union_all", "set_union_distinct",
-    "sim_grouped_centroid", "sim_kmeans_build", "sim_lsh_dup_witness",
-    "sim_pq_adc_topk", "sim_radius_search", "sim_topk_bruteforce",
-    "sim_topk_ivfpq", "sim_topk_lsh_portable", "sim_vector_quantize_int8",
+    "sim_grouped_centroid", "sim_lsh_dup_witness", "sim_mmr_diversify",
+    "sim_radius_search", "sim_topk_bruteforce", "sim_vector_quantize_int8",
     "sink_csv_export", "sink_parquet", "sink_partitioned",
-    "sink_snapshot_diff", "sort_multi_nulls", "sql_api_parameterized",
-    "sql_api_q1", "sql_api_q10", "sql_api_q11", "sql_api_q12", "sql_api_q13",
-    "sql_api_q14", "sql_api_q15", "sql_api_q16", "sql_api_q17",
-    "sql_api_q18", "sql_api_q19", "sql_api_q2", "sql_api_q20", "sql_api_q21",
-    "sql_api_q22", "sql_api_q4", "sql_api_q5", "sql_api_q6", "sql_api_q7",
-    "sql_api_q8", "sql_api_q9", "str_basic", "str_regex",
-    "stream_additive_state_merge", "stream_datasource_sharepoint",
-    "stream_dedup", "stream_foreach_sink", "stream_session",
-    "stream_session_live", "stream_sliding", "stream_stateful_custom",
-    "stream_static_join", "stream_stream_join", "stream_stream_outer_join",
-    "stream_tumbling", "stream_tumbling_live", "stream_watermark_late",
-    "string_agg_ordered", "text_chunk_overlap", "text_dataset_split",
-    "text_decontaminate", "text_duplicate_spans", "text_feature_hashing",
-    "text_fingerprint", "text_lang_filter", "text_langid_ngram",
-    "text_ngram_entropy", "text_pack_sequences", "text_pii_scrub",
-    "text_quality_score", "text_repetition_filter", "text_stats",
-    "text_token_count", "tfidf_top_terms", "topk_per_group",
-    "udaf_pandas_grouped", "udf_cogrouped_asof", "udf_pandas_cosine",
-    "udf_pandas_scalar", "udf_python_scalar", "udtf_lateral_python",
-    "udtf_map_in_pandas", "unpivot_long", "vocab_bpe_merges",
-    "vocab_pmi_collocations", "vocab_topk", "vocab_zipf_fit",
-    "win_cumulative_distinct", "win_first_last", "win_gaps_islands",
+    "sink_scd2_merge", "sink_snapshot_diff", "sort_multi_nulls",
+    "sql_api_parameterized", "sql_api_q1", "sql_api_q10", "sql_api_q12",
+    "sql_api_q13", "sql_api_q14", "sql_api_q15", "sql_api_q16",
+    "sql_api_q17", "sql_api_q18", "sql_api_q19", "sql_api_q20",
+    "sql_api_q21", "sql_api_q22", "sql_api_q4", "sql_api_q5", "sql_api_q6",
+    "sql_api_q7", "sql_api_q8", "sql_api_q9", "str_basic", "str_regex",
+    "stream_datasource_sharepoint", "stream_session", "stream_sliding",
+    "stream_tumbling", "string_agg_ordered", "text_bpe_tokenize",
+    "text_chunk_overlap", "text_dataset_split", "text_decontaminate",
+    "text_duplicate_spans", "text_feature_hashing", "text_fingerprint",
+    "text_lang_filter", "text_langid_ngram", "text_ngram_entropy",
+    "text_pack_sequences", "text_pii_scrub", "text_quality_score",
+    "text_repetition_filter", "text_stats", "text_token_count",
+    "tfidf_top_terms", "topk_per_group", "udaf_pandas_grouped",
+    "udf_cogrouped_asof", "udf_pandas_cosine", "udf_pandas_scalar",
+    "udf_python_scalar", "udtf_lateral_python", "udtf_map_in_pandas",
+    "unpivot_long", "vocab_bpe_merges", "vocab_pmi_collocations",
+    "vocab_topk", "vocab_zipf_fit", "win_cumulative_distinct",
+    "win_distribution", "win_first_last", "win_gaps_islands",
     "win_lag_lead", "win_moving_avg", "win_ntile_bucketize",
-    "win_rank_dense", "win_row_number", "win_running_sum",
+    "win_range_interval", "win_rank_dense", "win_row_number",
+    "win_running_sum",
 }
 
-# Round 12's 50-slot window, per the round-11 verdict's asks #2-#4 and
-# this round's changes:
-# (a) the SEVEN keys whose implementation changed this round re-earn:
-# sink_delta_merge / sink_merge_partitioned / sink_scd2_merge (MERGE
-# writer lease + reader-recovery isolation in plans/merge.py),
-# dedup_jaccard_prefix (broadcast hint now gated on the staged
-# pa_rows scalar, shuffle fallback above the cap, artifact bumped to
-# jp_prefix_v4), graph_pagerank (driver loop converts contributions
-# via repr() — Java's shortest-round-trip double->decimal — per
-# ADVICE), and the two NEW checkpoint-resume witness keys
-# stream_watermark_resume / stream_dedup_resume (ask #8);
-# (b) SHARED-INFRA STALING RULE (ask #3, now standing policy — see
-# the module docstring): round 11 changed core.py's staging layer
-# (read_staged LRU sidecar, stamp_staging STAGING_EVENTS), which is
-# implementation surface for every staged-index consumer; the 22
-# staged-index keys whose latest verdicts PREDATE that change re-earn
-# here: agg_incremental_merge, corpus_dedup_keep_best,
-# corpus_dedup_pipeline, dedup_edit_distance_blocked,
-# dedup_fuzzy_minhash, dedup_incremental_minhash, dedup_lsh_eval,
-# dedup_simhash, events_cooccurrence_lift,
-# join_dynamic_partition_pruned, scan_rowgroup_skipping, search_bm25,
-# search_hybrid_rrf, sim_ivf_probe, sim_ivf_recall_eval,
-# sim_ivf_partition_pruned, sim_lsh_recall_eval, sim_topk_lsh,
-# sink_compact_small_files, sink_zorder_layout, text_boilerplate_ratio,
-# text_lm_quality (staged consumers verified IN r11 — kmeans/ivfpq/
-# adc/jaccard/pmi/q2/q11/sinks — already ran on the new layer);
-# (c) VERDICT-AGE ROTATION (ask #4): the remaining 21 slots take the
-# oldest verdicts — all five r05 keys (date_series_gapfill,
-# funnel_conversion, scalar_subquery, win_distribution,
-# win_range_interval), the three the verdict called out by name
-# (text_bpe_tokenize r06, sim_mmr_diversify r07, multimodal_embed_ann
-# r07), and thirteen more r06 keys.  Window arithmetic: 7+22+21 = 50.
-# The infra re-earn outranks pure age rotation, so ~20 r06 and the
-# r07 cohort still ride old-but-valid verdicts after this round; they
-# are the head of round 13's rotation queue (min latest-verdict
-# reaches r08 over rounds 12-13, not in one 50-slot window).
+# Round 13's 50-slot window, per the round-12 verdict's asks #1-#3:
+# (a) SHARED-INFRA STALING RULE (standing policy, module docstring
+# rule 2): this round's staging-hardening bundle edits core.py's
+# staging layer itself (staged_build lease serialization of artifact
+# builds; read_staged superseded-entry eviction), restructures every
+# fingerprint-gated build site onto the new context manager
+# (layout/flagship/similarity/dedup/corpus/search/analytics/
+# aggregates/text/sinks/streams), and reworks plans/merge.py (lease
+# deadline/release/heartbeat fixes + the partitioned crash-atomic
+# commit protocol).  The consumer set was enumerated MECHANICALLY by
+# tools/enumerate_consumers.py (runs all 257 keys with the staging +
+# MERGE entry points instrumented; cross-checked against BENCH_FULL's
+# cold map — its one extra key, dedup_edit_distance_blocked, uses
+# localCheckpoint, not the edited staging surface): 46 staging/merge
+# consumer keys re-earn here, including all 12 stage_event_files
+# streaming consumers and both MERGE sinks.
+# (b) VERDICT-AGE ROTATION (r12 verdict "What's wrong" #1): the 46
+# infra pins leave only 4 spare slots, taken by the oldest r06
+# verdicts (join_null_skew_split, join_runtime_bloom,
+# join_skew_salted, multimodal_chunk_binary).  corpus_quality_pipeline
+# (r07) is both a consumer and a rotation, so 44 r06/r07 keys remain
+# after r13; the >=r08 floor needs the r14 window (the bundle's 46-key
+# consumer set outranked pure age rotation, per the r12 verdict's own
+# priority order).  All 257 keys were pre-validated locally this
+# round: full sf0.01 oracle sweep on final code with /tmp staging
+# WIPED (cold builds through the new lease path), 257/257 green.
 _WINDOW_50 = [
-    "sink_delta_merge", "sink_merge_partitioned", "sink_scd2_merge",
-    "dedup_jaccard_prefix", "graph_pagerank", "stream_watermark_resume",
-    "stream_dedup_resume", "agg_incremental_merge", "corpus_dedup_keep_best",
-    "corpus_dedup_pipeline", "dedup_edit_distance_blocked",
-    "dedup_fuzzy_minhash", "dedup_incremental_minhash", "dedup_lsh_eval",
-    "dedup_simhash", "events_cooccurrence_lift",
-    "join_dynamic_partition_pruned", "scan_rowgroup_skipping", "search_bm25",
-    "search_hybrid_rrf", "sim_ivf_probe", "sim_ivf_recall_eval",
-    "sim_ivf_partition_pruned", "sim_lsh_recall_eval", "sim_topk_lsh",
-    "sink_compact_small_files", "sink_zorder_layout",
-    "text_boilerplate_ratio", "text_lm_quality", "date_series_gapfill",
-    "funnel_conversion", "scalar_subquery", "win_distribution",
-    "win_range_interval", "text_bpe_tokenize", "sim_mmr_diversify",
-    "multimodal_embed_ann", "agg_bitmap_distinct", "agg_cms_portable",
-    "agg_exact_median_twopass", "agg_histogram_fixed", "agg_mode_top_freq",
-    "events_anomaly_zscore", "events_ewma", "events_resample_ohlc",
-    "events_rolling_distinct", "events_sequence_pattern",
-    "filter_exists_subquery", "join_asof_next_within",
-    "join_interval_banded",
+    "agg_incremental_merge", "corpus_dedup_keep_best",
+    "corpus_dedup_pipeline", "corpus_quality_pipeline",
+    "dedup_fuzzy_minhash", "dedup_incremental_minhash",
+    "dedup_jaccard_prefix", "dedup_lsh_eval", "dedup_simhash",
+    "dedup_simhash_stats", "events_cooccurrence_lift", "join_bucketed",
+    "join_dynamic_partition_pruned", "scan_partition_pruned",
+    "scan_rowgroup_skipping", "search_bm25", "search_hybrid_rrf",
+    "sim_ivf_partition_pruned", "sim_ivf_probe", "sim_ivf_recall_eval",
+    "sim_kmeans_build", "sim_lsh_recall_eval", "sim_pq_adc_topk",
+    "sim_topk_ivfpq", "sim_topk_lsh", "sim_topk_lsh_portable",
+    "sink_compact_small_files", "sink_delta_merge",
+    "sink_merge_partitioned", "sink_zorder_layout", "sql_api_q11",
+    "sql_api_q2", "stream_additive_state_merge", "stream_dedup",
+    "stream_dedup_resume", "stream_foreach_sink", "stream_session_live",
+    "stream_stateful_custom", "stream_static_join", "stream_stream_join",
+    "stream_stream_outer_join", "stream_tumbling_live",
+    "stream_watermark_late", "stream_watermark_resume",
+    "text_boilerplate_ratio", "text_lm_quality", "join_null_skew_split",
+    "join_runtime_bloom", "join_skew_salted", "multimodal_chunk_binary",
 ]
 
 

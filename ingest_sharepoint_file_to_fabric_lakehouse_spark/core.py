@@ -28,6 +28,7 @@ import os
 import textwrap
 import time
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -270,7 +271,13 @@ def read_staged(spark: SparkSession, path: str) -> DataFrame:
     cache miss; an unstamped path falls through to a plain read with
     no memoization.  Saves the ~100 ms schema-inference cost on every
     steady-state index read (the staged operators read 1-3 layouts
-    per run)."""
+    per run).
+
+    A cache miss for a path that HAS older entries means the layout
+    was rebuilt (new stamp): the superseded entries are evicted —
+    without that, every rebuild would leave the old py4j DataFrame
+    handles pinned in the memo for the session's lifetime (a bounded
+    but pointless driver-side leak)."""
     stamp = os.path.join(path, "_SG_FINGERPRINT")
     try:
         st = os.stat(stamp)
@@ -281,9 +288,70 @@ def read_staged(spark: SparkSession, path: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, path, token, st.st_mtime_ns)
     cached = _STAGED_CACHE.get(key)
     if cached is None:
+        for stale in [
+            k for k in _STAGED_CACHE if k[0] == key[0] and k[1] == key[1]
+        ]:
+            del _STAGED_CACHE[stale]
         _STAGED_CACHE[key] = cached = spark.read.parquet(path)
     _touch_lastuse(path)
     return cached
+
+
+@contextmanager
+def staged_build(spark: SparkSession, token: str, *paths: str):
+    """Serialize cross-process builders of one staged artifact group.
+
+    The fingerprint gate alone is check-then-act: two processes racing
+    the same UNBUILT artifact both see "not staged" and both run
+    ``mode=overwrite`` writes into the same directory — B's
+    delete-before-write can tear A's in-flight files.  This wraps the
+    build in the MERGE writer lease (plans/merge.py — atomic
+    create-if-absent, TTL takeover for crashed builders), with the
+    double-checked gate re-probed UNDER the lease so the loser of the
+    race reuses the winner's artifact instead of rebuilding it.
+
+    Usage (the build block writes the artifacts; stamping is
+    centralized here so it can be fenced)::
+
+        with staged_build(spark, token, path_a, path_b) as need:
+            if need:
+                ...write path_a, path_b...
+
+    On clean exit after a build, ownership is re-verified before the
+    artifacts are stamped — a build that outlived the lease TTL (its
+    lock taken over, the thief rebuilding) must NOT stamp its possibly
+    interleaved bytes as current; it raises and the thief's stamp is
+    the one readers trust.  Residual (documented, not closed): the
+    zombie's in-flight DATA writes themselves are unfenced — fencing
+    writes needs transactional storage (the Delta dispatch); the TTL
+    (600 s vs single-digit-second builds) bounds the exposure.
+    """
+    if all(staging_current(p, token) for p in paths):
+        yield False
+        return
+    from .plans.merge import MergeLockTimeout, _acquire_lock, _hold_lease, _release_lock
+
+    # Lease against a pseudo-target NAMED for the artifact: the lock
+    # file is `<paths[0]>__build__merge_lock`, a sibling of the
+    # artifact dir (never inside it — the overwrite would delete it).
+    lockbase = paths[0].rstrip("/") + "__build"
+    parent = os.path.dirname(lockbase)
+    if parent and "://" not in lockbase:
+        os.makedirs(parent, exist_ok=True)  # local lock needs its parent
+    lease = _acquire_lock(spark, lockbase, lock_ttl_sec=600.0, lock_wait_sec=600.0)
+    try:
+        need = not all(staging_current(p, token) for p in paths)
+        yield need
+        if need:
+            if not _hold_lease(spark, lockbase, lease):
+                raise MergeLockTimeout(
+                    f"staged build of {paths[0]} outlived its lease "
+                    "(taken over by another builder); not stamping"
+                )
+            for p in paths:
+                stamp_staging(p, token)
+    finally:
+        _release_lock(spark, lockbase, lease)
 
 
 def dec(col: str | Column, precision: int = 18, scale: int = 4) -> Column:

@@ -286,20 +286,20 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture rebuilds via the gate).
     import os as _os
 
-    from ..core import source_fingerprint, stamp_staging, staging_current
+    from ..core import source_fingerprint, staged_build
 
     docbg_path = (
         f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/lm_docbg_v1"
     )
     token = source_fingerprint(sf_dir, "documents")
-    if not staging_current(docbg_path, token):
-        (
-            bg.groupBy("doc_id", "w1", "w2")
-            .agg(F.count("*").alias("n"))
-            .write.mode("overwrite")
-            .parquet(docbg_path)
-        )
-        stamp_staging(docbg_path, token)
+    with staged_build(spark, token, docbg_path) as need:
+        if need:
+            (
+                bg.groupBy("doc_id", "w1", "w2")
+                .agg(F.count("*").alias("n"))
+                .write.mode("overwrite")
+                .parquet(docbg_path)
+            )
     docbg = read_staged(spark, docbg_path)
     bi = docbg.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
     # unigram counts roll up from the bigram table (c1 = Σ_w2 c2):
@@ -411,33 +411,32 @@ def boiler_shingle_layouts(
     Returns ``(sh, dfreq)``."""
     import os as _os
 
-    from ..core import source_fingerprint, stamp_staging, staging_current
+    from ..core import source_fingerprint, staged_build
     from ..operators.dedup import shingles
 
     base = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}"
     sh_path, df_path = f"{base}/boiler_sh3_v1", f"{base}/boiler_df3_v1"
     token = source_fingerprint(sf_dir, "documents")
-    if not all(staging_current(p, token) for p in (sh_path, df_path)):
-        d = docs(spark, sf_dir)
-        (
-            d.select(
-                "doc_id",
-                F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias(
-                    "shingle"
-                ),
+    with staged_build(spark, token, sh_path, df_path) as need:
+        if need:
+            d = docs(spark, sf_dir)
+            (
+                d.select(
+                    "doc_id",
+                    F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias(
+                        "shingle"
+                    ),
+                )
+                .write.mode("overwrite")
+                .parquet(sh_path)
             )
-            .write.mode("overwrite")
-            .parquet(sh_path)
-        )
-        (
-            spark.read.parquet(sh_path)
-            .groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .write.mode("overwrite")
-            .parquet(df_path)
-        )
-        for p in (sh_path, df_path):
-            stamp_staging(p, token)
+            (
+                spark.read.parquet(sh_path)
+                .groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .write.mode("overwrite")
+                .parquet(df_path)
+            )
     return read_staged(spark, sh_path), read_staged(spark, df_path)
 
 

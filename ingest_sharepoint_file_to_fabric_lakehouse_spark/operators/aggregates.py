@@ -594,7 +594,7 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from ..core import source_fingerprint, staging_current, stamp_staging
+    from ..core import source_fingerprint, staged_build
 
     cutoff = "1997-01-01"
 
@@ -607,11 +607,11 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     path = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/incr_agg_state"
     token = source_fingerprint(sf_dir, "orders") + f"|cutoff={cutoff}|v1"
-    if not staging_current(path, token):
-        state(o.filter(F.col("o_orderdate") < cutoff)).write.mode(
-            "overwrite"
-        ).parquet(path)
-        stamp_staging(path, token)
+    with staged_build(spark, token, path) as need:
+        if need:
+            state(o.filter(F.col("o_orderdate") < cutoff)).write.mode(
+                "overwrite"
+            ).parquet(path)
     base = spark.read.parquet(path)
     delta = state(o.filter(F.col("o_orderdate") >= cutoff))
     merged = base.unionByName(delta).groupBy("o_orderpriority").agg(

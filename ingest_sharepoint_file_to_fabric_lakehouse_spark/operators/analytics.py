@@ -764,7 +764,7 @@ def events_cooccurrence_lift(
     from ..core import (
         read_staged,
         source_fingerprint,
-        stamp_staging,
+        staged_build,
         staging_current,
     )
 
@@ -793,9 +793,12 @@ def events_cooccurrence_lift(
             .limit(50)
         )
 
-    scored_pairs = _cooccur_scored_pairs(spark, sf_dir, min_support, max_basket_items)
-    scored_pairs.write.mode("overwrite").parquet(idx_path)
-    stamp_staging(idx_path, token)
+    with staged_build(spark, token, idx_path) as need:
+        if need:
+            scored_pairs = _cooccur_scored_pairs(
+                spark, sf_dir, min_support, max_basket_items
+            )
+            scored_pairs.write.mode("overwrite").parquet(idx_path)
     return (
         read_staged(spark, idx_path)
         # exact integral arithmetic end-to-end (decimal(38,0) floor

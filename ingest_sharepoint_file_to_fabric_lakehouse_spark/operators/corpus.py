@@ -394,42 +394,41 @@ def _dedup_cluster_components(
     # shingle is the pipeline's dominant map-side cost).
     import os as _os
 
-    from ..core import source_fingerprint, stamp_staging, staging_current
+    from ..core import source_fingerprint, staged_build
 
     base = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}"
     canon_path, sig_path = f"{base}/cdp_canon_v1", f"{base}/cdp_sigs_v1"
     token = source_fingerprint(sf_dir, "documents")
-    if not all(staging_current(p, token) for p in (canon_path, sig_path)):
-        # 1. exact dedup: canonical = min doc_id per content digest
-        # (feeds both the survivor slice and the final funnel)
-        (
-            d.groupBy(F.md5("text").alias("h"))
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id")
-            .write.mode("overwrite")
-            .parquet(canon_path)
-        )
-
-        # 2. portable minhash signatures over the survivors (map-side)
-        def _mh(k: int):
-            return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
-
-        sh = (
-            d.join(spark.read.parquet(canon_path), "doc_id")
-            .select("doc_id", shingles(F.col("text"), 3).alias("sh"))
-        )
-        (
-            sh.select(
-                "doc_id",
-                F.array(
-                    *[F.array_min(F.transform("sh", _mh(k))) for k in range(n_hashes)]
-                ).alias("sig"),
+    with staged_build(spark, token, canon_path, sig_path) as need:
+        if need:
+            # 1. exact dedup: canonical = min doc_id per content digest
+            # (feeds both the survivor slice and the final funnel)
+            (
+                d.groupBy(F.md5("text").alias("h"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+                .write.mode("overwrite")
+                .parquet(canon_path)
             )
-            .write.mode("overwrite")
-            .parquet(sig_path)
-        )
-        for p in (canon_path, sig_path):
-            stamp_staging(p, token)
+
+            # 2. portable minhash signatures over the survivors (map-side)
+            def _mh(k: int):
+                return lambda s: F.md5(F.concat(F.lit(f"{k}:"), s))
+
+            sh = (
+                d.join(spark.read.parquet(canon_path), "doc_id")
+                .select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+            )
+            (
+                sh.select(
+                    "doc_id",
+                    F.array(
+                        *[F.array_min(F.transform("sh", _mh(k))) for k in range(n_hashes)]
+                    ).alias("sig"),
+                )
+                .write.mode("overwrite")
+                .parquet(sig_path)
+            )
     canon = read_staged(spark, canon_path)
     dd = d.join(canon, "doc_id")
     sig = read_staged(spark, sig_path)

@@ -552,15 +552,17 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entirely and a regenerated fixture rebuilds via the gate).
     import os as _os
 
-    from ..core import source_fingerprint, stamp_staging, staging_current
+    from ..core import source_fingerprint, staged_build
 
     sig_path = (
         f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/minhash_sigs_v1"
     )
     token = source_fingerprint(sf_dir, "documents")
-    if not staging_current(sig_path, token):
-        _mh_xxhash_signatures(d, n_hashes).write.mode("overwrite").parquet(sig_path)
-        stamp_staging(sig_path, token)
+    with staged_build(spark, token, sig_path) as need:
+        if need:
+            _mh_xxhash_signatures(d, n_hashes).write.mode("overwrite").parquet(
+                sig_path
+            )
     sig = read_staged(spark, sig_path)
     banded = _mh_xxhash_banded(sig, bands, rows_per_band)
     cand = (
@@ -778,7 +780,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os as _os
 
-    from ..core import source_fingerprint, stamp_staging, staging_current
+    from ..core import source_fingerprint, staged_build
 
     # The banded signature relation is a pure function of the corpus —
     # a production SimHash dedup maintains it as its index — so it is
@@ -788,42 +790,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/simhash_sigs_v1"
     )
     token = source_fingerprint(sf_dir, "documents")
-    if not staging_current(sig_path, token):
-        d = docs(spark, sf_dir)
-        toks = d.select(
-            "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-        )
-        h = toks.withColumn("h", F.xxhash64("tok"))
-        # SQL-string expressions for the same reason as the portable
-        # twin: 64 column-API vote aggregates + the 64-term signature
-        # sum cost seconds of driver py4j time per cold build.
-        votes = h.groupBy("doc_id").agg(
-            *[
-                F.expr(
-                    f"SUM(CASE WHEN (shiftright(h, {b}) & 1) = 1"
-                    f" THEN 1 ELSE -1 END) AS b{b}"
-                )
+    with staged_build(spark, token, sig_path) as need:
+        if need:
+            d = docs(spark, sf_dir)
+            toks = d.select(
+                "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+            )
+            h = toks.withColumn("h", F.xxhash64("tok"))
+            # SQL-string expressions for the same reason as the portable
+            # twin: 64 column-API vote aggregates + the 64-term signature
+            # sum cost seconds of driver py4j time per cold build.
+            votes = h.groupBy("doc_id").agg(
+                *[
+                    F.expr(
+                        f"SUM(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+                        f" THEN 1 ELSE -1 END) AS b{b}"
+                    )
+                    for b in range(64)
+                ]
+            )
+            sig_expr = " + ".join(
+                f"(CASE WHEN b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b})"
+                " ELSE 0L END)"
                 for b in range(64)
-            ]
-        )
-        sig_expr = " + ".join(
-            f"(CASE WHEN b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b})"
-            " ELSE 0L END)"
-            for b in range(64)
-        )
-        sig = votes.selectExpr("doc_id", f"({sig_expr}) AS simhash")
-        bands = ", ".join(
-            f"named_struct('band', {i}, 'bucket',"
-            f" shiftrightunsigned(simhash, {i * 16}) & {0xFFFF})"
-            for i in range(4)
-        )
-        (
-            sig.selectExpr("doc_id", "simhash", f"explode(array({bands})) AS bb")
-            .select("doc_id", "simhash", "bb.band", "bb.bucket")
-            .write.mode("overwrite")
-            .parquet(sig_path)
-        )
-        stamp_staging(sig_path, token)
+            )
+            sig = votes.selectExpr("doc_id", f"({sig_expr}) AS simhash")
+            bands = ", ".join(
+                f"named_struct('band', {i}, 'bucket',"
+                f" shiftrightunsigned(simhash, {i * 16}) & {0xFFFF})"
+                for i in range(4)
+            )
+            (
+                sig.selectExpr("doc_id", "simhash", f"explode(array({bands})) AS bb")
+                .select("doc_id", "simhash", "bb.band", "bb.bucket")
+                .write.mode("overwrite")
+                .parquet(sig_path)
+            )
     # both sides of the self-join read the staged banded signatures —
     # a block read, never a recompute of the vote aggregate
     banded = read_staged(spark, sig_path)
@@ -1275,7 +1277,7 @@ def dedup_jaccard_prefix(
     # (measured 6s -> 60s on the same code+data).
     import os as _os
 
-    from ..core import source_fingerprint, stamp_staging, staging_current
+    from ..core import source_fingerprint, staged_build
 
     base = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}"
     # Three staged artifacts — the whole steady-state read set:
@@ -1312,112 +1314,108 @@ def dedup_jaccard_prefix(
         f"{base}/jp_docsets_v2_c{large_doc_cap}",
     )
     token = source_fingerprint(sf_dir, "documents")
-    staged = all(
-        staging_current(p, token) for p in (pfx_path, se_path, ds_path)
-    )
-    if not staged:
-        sh = d.select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles(F.col("text"), 2))).alias("shingle"),
-        ).localCheckpoint(eager=True)
-        # Document frequency: the per-(shingle) counts double as the
-        # vocabulary (they feed the dictionary encode below), so the
-        # groupBy materializes ONCE — vocab-sized, partial-aggregated
-        # (map-side combine absorbs any hot shingle before the
-        # exchange).
-        dfrel = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .localCheckpoint(eager=True)
-        )
-        based, _used_fallback = _attach_shingle_df(sh, dfrel, skew_df_threshold)
-        ranked = (
-            based.withColumn(
-                "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
-            ).withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("doc_id").orderBy("df", "shingle")
-                ),
+    with staged_build(spark, token, pfx_path, se_path, ds_path) as need:
+        if need:
+            sh = d.select(
+                "doc_id",
+                F.explode(F.array_distinct(shingles(F.col("text"), 2))).alias("shingle"),
+            ).localCheckpoint(eager=True)
+            # Document frequency: the per-(shingle) counts double as the
+            # vocabulary (they feed the dictionary encode below), so the
+            # groupBy materializes ONCE — vocab-sized, partial-aggregated
+            # (map-side combine absorbs any hot shingle before the
+            # exchange).
+            dfrel = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("df"))
+                .localCheckpoint(eager=True)
             )
-        )
-        # Probe prefix (the longer one) feeds both sides of the
-        # candidate join; the index prefix is a filter over it (pa ⊆ pb
-        # since ceil(8n/9) >= ceil(4n/5)), so the window subtree runs
-        # once.  Integer-exact ceil(tau*n) everywhere: float 0.8*n
-        # overshoots on exact multiples (0.8*5 ->
-        # 4.0000000000000002 -> ceil 5), which would shorten a prefix
-        # below the lossless bound and silently drop
-        # exactly-at-threshold pairs.
-        pb_build = (
-            ranked.filter(
-                F.col("rn") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
+            based, _used_fallback = _attach_shingle_df(sh, dfrel, skew_df_threshold)
+            ranked = (
+                based.withColumn(
+                    "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+                ).withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("doc_id").orderBy("df", "shingle")
+                    ),
+                )
             )
-            .select("doc_id", "shingle", "rn", "n_sh")
-            .localCheckpoint(eager=True)
-        )
-        # Dictionary-encode shingles to dense ints for the verification
-        # arrays: on the adversarially dense corpus the candidate
-        # filters retain ~667k pairs for 256 true matches (tiny
-        # vocabulary ⇒ no shingle is rare ⇒ prefix/position filters
-        # can't bite), so the per-pair array_intersect dominates — int
-        # arrays instead of ~20-byte strings measured 4.45 s → 3.63 s
-        # for the verify stage and cut the broadcast size ~3x.  The
-        # intersection count over injective ids equals the count over
-        # strings (EXACT, unlike a 64-bit hash whose collisions would
-        # break the oracle).  The row_number window is vocabulary-sized
-        # and runs only here, at build; at 100 TB dictionary assignment
-        # is the standard distributed encode (sort or hash-partition
-        # the vocab), not a single-partition window.
-        vocab = dfrel.select("shingle").withColumn(
-            "sid", F.row_number().over(Window.orderBy("shingle"))
-        )
-        shi_build = sh.join(F.broadcast(vocab), "shingle").select("doc_id", "sid")
-        # The stored prefix probes the dictionary id too — the
-        # candidate self-join is the hottest steady-state stage, and
-        # an int key halves it vs the string form.
-        (
-            pb_build.join(F.broadcast(vocab), "shingle")
-            .select("doc_id", "sid", "rn", "n_sh")
-            .write.mode("overwrite")
-            .parquet(pfx_path)
-        )
-        shi_build.write.mode("overwrite").parquet(se_path)
-        # Control-plane scalar for the large-doc gate, stamped at build
-        # so steady-state runs read a file instead of running a job.
-        import json as _json
+            # Probe prefix (the longer one) feeds both sides of the
+            # candidate join; the index prefix is a filter over it (pa ⊆ pb
+            # since ceil(8n/9) >= ceil(4n/5)), so the window subtree runs
+            # once.  Integer-exact ceil(tau*n) everywhere: float 0.8*n
+            # overshoots on exact multiples (0.8*5 ->
+            # 4.0000000000000002 -> ceil 5), which would shorten a prefix
+            # below the lossless bound and silently drop
+            # exactly-at-threshold pairs.
+            pb_build = (
+                ranked.filter(
+                    F.col("rn") <= F.col("n_sh") - F.expr("(4 * n_sh + 4) div 5") + 1
+                )
+                .select("doc_id", "shingle", "rn", "n_sh")
+                .localCheckpoint(eager=True)
+            )
+            # Dictionary-encode shingles to dense ints for the verification
+            # arrays: on the adversarially dense corpus the candidate
+            # filters retain ~667k pairs for 256 true matches (tiny
+            # vocabulary ⇒ no shingle is rare ⇒ prefix/position filters
+            # can't bite), so the per-pair array_intersect dominates — int
+            # arrays instead of ~20-byte strings measured 4.45 s → 3.63 s
+            # for the verify stage and cut the broadcast size ~3x.  The
+            # intersection count over injective ids equals the count over
+            # strings (EXACT, unlike a 64-bit hash whose collisions would
+            # break the oracle).  The row_number window is vocabulary-sized
+            # and runs only here, at build; at 100 TB dictionary assignment
+            # is the standard distributed encode (sort or hash-partition
+            # the vocab), not a single-partition window.
+            vocab = dfrel.select("shingle").withColumn(
+                "sid", F.row_number().over(Window.orderBy("shingle"))
+            )
+            shi_build = sh.join(F.broadcast(vocab), "shingle").select("doc_id", "sid")
+            # The stored prefix probes the dictionary id too — the
+            # candidate self-join is the hottest steady-state stage, and
+            # an int key halves it vs the string form.
+            (
+                pb_build.join(F.broadcast(vocab), "shingle")
+                .select("doc_id", "sid", "rn", "n_sh")
+                .write.mode("overwrite")
+                .parquet(pfx_path)
+            )
+            shi_build.write.mode("overwrite").parquet(se_path)
+            # Control-plane scalar for the large-doc gate, stamped at build
+            # so steady-state runs read a file instead of running a job.
+            import json as _json
 
-        max_nsh_build = pb_build.agg(F.max("n_sh")).first()[0] or 0
-        # Second control-plane scalar: the INDEX-prefix (pa) row count,
-        # stamped so the steady-state read can decide broadcast-vs-
-        # shuffle for the candidate join without running a count job.
-        pa_rows_build = pb_build.filter(
-            F.col("rn") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1
-        ).count()
-        with open(f"{pfx_path}/_SG_META", "w") as fh:
-            _json.dump(
-                {"max_nsh": int(max_nsh_build), "pa_rows": int(pa_rows_build)}, fh
+            max_nsh_build = pb_build.agg(F.max("n_sh")).first()[0] or 0
+            # Second control-plane scalar: the INDEX-prefix (pa) row count,
+            # stamped so the steady-state read can decide broadcast-vs-
+            # shuffle for the candidate join without running a count job.
+            pa_rows_build = pb_build.filter(
+                F.col("rn") <= F.col("n_sh") - F.expr("(8 * n_sh + 8) div 9") + 1
+            ).count()
+            with open(f"{pfx_path}/_SG_META", "w") as fh:
+                _json.dump(
+                    {"max_nsh": int(max_nsh_build), "pa_rows": int(pa_rows_build)}, fh
+                )
+            # Small-doc semi-join BEFORE the collect_list: the cap guard is
+            # about never materializing a pathological doc's array, so the
+            # filter must precede the aggregation buffer, not prune its
+            # output.
+            small_build = (
+                pb_build.select("doc_id", "n_sh")
+                .distinct()
+                .filter(F.col("n_sh") <= large_doc_cap)
+                .select("doc_id")
             )
-        # Small-doc semi-join BEFORE the collect_list: the cap guard is
-        # about never materializing a pathological doc's array, so the
-        # filter must precede the aggregation buffer, not prune its
-        # output.
-        small_build = (
-            pb_build.select("doc_id", "n_sh")
-            .distinct()
-            .filter(F.col("n_sh") <= large_doc_cap)
-            .select("doc_id")
-        )
-        (
-            spark.read.parquet(se_path)
-            .join(small_build, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_list("sid").alias("shs"), F.count("*").alias("n_sh"))
-            .write.mode("overwrite")
-            .parquet(ds_path)
-        )
-        for p in (pfx_path, se_path, ds_path):
-            stamp_staging(p, token)
+            (
+                spark.read.parquet(se_path)
+                .join(small_build, "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.collect_list("sid").alias("shs"), F.count("*").alias("n_sh"))
+                .write.mode("overwrite")
+                .parquet(ds_path)
+            )
     pb = read_staged(spark, pfx_path)
     # ASYMMETRIC prefixes (PPJoin indexing prefix; Xiao et al.,
     # "Efficient Similarity Joins for Near Duplicate Detection",
@@ -1803,7 +1801,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os as _os
 
-    from ..core import source_fingerprint, stamp_staging, staging_current
+    from ..core import source_fingerprint, staged_build
 
     d = docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
     base = d.filter(F.col("doc_id") % 10 != 0)
@@ -1811,9 +1809,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx_path = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/minhash_index_v1"
     token = source_fingerprint(sf_dir, "documents")
-    if not staging_current(idx_path, token):
-        _mh_banded(_mh_signature(base)).write.mode("overwrite").parquet(idx_path)
-        stamp_staging(idx_path, token)
+    with staged_build(spark, token, idx_path) as need:
+        if need:
+            _mh_banded(_mh_signature(base)).write.mode("overwrite").parquet(idx_path)
     index = read_staged(spark, idx_path)
 
     delta_banded = _mh_banded(_mh_signature(delta).localCheckpoint(eager=True))
@@ -1932,39 +1930,43 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derived indexes.
     import os as _os
 
-    from ..core import source_fingerprint, stamp_staging, staging_current
+    from ..core import source_fingerprint, staged_build
 
     truth_path = (
         f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/lsh_eval_truth_v1"
     )
     token = source_fingerprint(sf_dir, "documents")
-    if not staging_current(truth_path, token):
-        sh = d.select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("shingle"),
-        )
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-        a, b = sh.alias("a"), sh.alias("b")
-        inter = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+    with staged_build(spark, token, truth_path) as need:
+        if need:
+            sh = d.select(
+                "doc_id",
+                F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias(
+                    "shingle"
+                ),
             )
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("i"))
-        )
-        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-        (
-            inter.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
-            .filter(5 * F.col("i") >= 2 * (F.col("na") + F.col("nb") - F.col("i")))
-            .select("doc_a", "doc_b")
-            .write.mode("overwrite")
-            .parquet(truth_path)
-        )
-        stamp_staging(truth_path, token)
+            sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+            a, b = sh.alias("a"), sh.alias("b")
+            inter = (
+                a.join(
+                    b,
+                    (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .groupBy(
+                    F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+                )
+                .agg(F.count("*").alias("i"))
+            )
+            sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+            sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+            (
+                inter.join(F.broadcast(sa), "doc_a")
+                .join(F.broadcast(sb), "doc_b")
+                .filter(5 * F.col("i") >= 2 * (F.col("na") + F.col("nb") - F.col("i")))
+                .select("doc_a", "doc_b")
+                .write.mode("overwrite")
+                .parquet(truth_path)
+            )
     truth = read_staged(spark, truth_path)
     banded = _mh_banded(_mh_signature(d)).select("doc_id", "band", "bucket")
     cand = (

@@ -86,12 +86,7 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
     import json as _json
     import os as _os
 
-    from ..core import (
-        read_staged,
-        source_fingerprint,
-        stamp_staging,
-        staging_current,
-    )
+    from ..core import read_staged, source_fingerprint, staged_build
 
     base = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}"
     tf_path, df_path, dl_path = (
@@ -100,40 +95,39 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
         f"{base}/bm25_dl_v1",
     )
     token = source_fingerprint(sf_dir, "documents")
-    if not all(staging_current(pp, token) for pp in (tf_path, df_path, dl_path)):
-        d = docs(spark, sf_dir)
-        toks = F.split("text", " ")
-        dl_b = d.select("doc_id", F.size(toks).alias("dl"))
-        tf_b = (
-            d.select("doc_id", F.explode(toks).alias("token"))
-            .groupBy("doc_id", "token")
-            .agg(F.count("*").alias("tf"))
-        )
-        (
-            tf_b.repartitionByRange(8, "token")
-            .sortWithinPartitions("token")
-            .write.mode("overwrite")
-            .parquet(tf_path)
-        )
-        # df derives from the STORED postings (one vocab-sized agg at
-        # build; steady state broadcasts the table)
-        (
-            spark.read.parquet(tf_path)
-            .groupBy("token")
-            .agg(F.count("*").alias("df"))
-            .write.mode("overwrite")
-            .parquet(df_path)
-        )
-        dl_b.write.mode("overwrite").parquet(dl_path)
-        stats = dl_b.agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-        ).first()
-        with open(f"{dl_path}/_SG_META", "w") as fh:
-            _json.dump(
-                {"n_docs": int(stats["n_docs"]), "sum_dl": int(stats["sum_dl"])}, fh
+    with staged_build(spark, token, tf_path, df_path, dl_path) as need:
+        if need:
+            d = docs(spark, sf_dir)
+            toks = F.split("text", " ")
+            dl_b = d.select("doc_id", F.size(toks).alias("dl"))
+            tf_b = (
+                d.select("doc_id", F.explode(toks).alias("token"))
+                .groupBy("doc_id", "token")
+                .agg(F.count("*").alias("tf"))
             )
-        for pp in (tf_path, df_path, dl_path):
-            stamp_staging(pp, token)
+            (
+                tf_b.repartitionByRange(8, "token")
+                .sortWithinPartitions("token")
+                .write.mode("overwrite")
+                .parquet(tf_path)
+            )
+            # df derives from the STORED postings (one vocab-sized agg at
+            # build; steady state broadcasts the table)
+            (
+                spark.read.parquet(tf_path)
+                .groupBy("token")
+                .agg(F.count("*").alias("df"))
+                .write.mode("overwrite")
+                .parquet(df_path)
+            )
+            dl_b.write.mode("overwrite").parquet(dl_path)
+            stats = dl_b.agg(
+                F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+            ).first()
+            with open(f"{dl_path}/_SG_META", "w") as fh:
+                _json.dump(
+                    {"n_docs": int(stats["n_docs"]), "sum_dl": int(stats["sum_dl"])}, fh
+                )
     with open(f"{dl_path}/_SG_META") as fh:
         meta = _json.load(fh)
     return (

@@ -24,7 +24,7 @@ from ..core import (
     query,
     read_staged,
     source_fingerprint,
-    stamp_staging,
+    staged_build,
     staging_current,
     t,
 )
@@ -180,9 +180,9 @@ def _staged_banded(
 
     path = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/{name}"
     token = source_fingerprint(sf_dir, "embeddings")
-    if not staging_current(path, token):
-        build().write.mode("overwrite").parquet(path)
-        stamp_staging(path, token)
+    with staged_build(spark, token, path) as need:
+        if need:
+            build().write.mode("overwrite").parquet(path)
     return read_staged(spark, path)
 
 
@@ -582,21 +582,21 @@ def _staged_ivf_cells(spark: SparkSession, sf_dir: str, best_cells) -> DataFrame
 
     path = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/ivf_cells"
     token = source_fingerprint(sf_dir, "embeddings")
-    if not staging_current(path, token):
-        e = t(spark, sf_dir, "embeddings").select(
-            "vec_id", as_double("embedding").alias("v")
-        )
-        (
-            e.select(
-                "vec_id",
-                "v",
-                F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id"),
+    with staged_build(spark, token, path) as need:
+        if need:
+            e = t(spark, sf_dir, "embeddings").select(
+                "vec_id", as_double("embedding").alias("v")
             )
-            .write.mode("overwrite")
-            .partitionBy("cell_id")
-            .parquet(path)
-        )
-        stamp_staging(path, token)
+            (
+                e.select(
+                    "vec_id",
+                    "v",
+                    F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("cell_id")
+                .parquet(path)
+            )
     return read_staged(spark, path)
 
 
@@ -865,25 +865,27 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/lsh_recall_truth_v1"
     )
     token = source_fingerprint(sf_dir, "embeddings")
-    if not staging_current(truth_path, token):
-        e = t(spark, sf_dir, "embeddings").select(
-            "vec_id", as_double("embedding").alias("v")
-        )
-        q = e.filter(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
-        )
-        pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
-            "q_id", "vec_id", cosine(F.col("q_vec"), F.col("v")).alias("sim")
-        )
-        w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-        (
-            pairs.select("q_id", "vec_id", F.row_number().over(w).alias("rnk"))
-            .filter(F.col("rnk") <= 10)
-            .select("q_id", "vec_id")
-            .write.mode("overwrite")
-            .parquet(truth_path)
-        )
-        stamp_staging(truth_path, token)
+    with staged_build(spark, token, truth_path) as need:
+        if need:
+            e = t(spark, sf_dir, "embeddings").select(
+                "vec_id", as_double("embedding").alias("v")
+            )
+            q = e.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+            )
+            pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+                "q_id", "vec_id", cosine(F.col("q_vec"), F.col("v")).alias("sim")
+            )
+            w = Window.partitionBy("q_id").orderBy(
+                F.col("sim").desc(), F.col("vec_id")
+            )
+            (
+                pairs.select("q_id", "vec_id", F.row_number().over(w).alias("rnk"))
+                .filter(F.col("rnk") <= 10)
+                .select("q_id", "vec_id")
+                .write.mode("overwrite")
+                .parquet(truth_path)
+            )
     truth = read_staged(spark, truth_path)
     cand = _portable_lsh_candidates(spark, sf_dir).select("q_id", "vec_id")
     cand = cand.localCheckpoint(eager=True)
@@ -1049,38 +1051,40 @@ def _kmeans_body(spark: SparkSession, sf_dir: str, k: int, iters: int) -> DataFr
         f"/kmeans_codebook_v1_k{k}_i{iters}"
     )
     token = source_fingerprint(sf_dir, "embeddings")
-    if staging_current(code_path, token):
-        cents = lit_cents(
-            [r.asDict() for r in read_staged(spark, code_path).collect()]
-        )
-    else:
-        rows = (
-            e.orderBy("vec_id")
-            .limit(k)
-            .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("centroid"))
-            .collect()
-        )
-        for _ in range(iters):
-            assigned = assign(lit_cents(rows))
-            means = (
-                assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
-                .groupBy("cell_id", "pos")
-                .agg(
-                    (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("m")
-                )
-            )
+    trained = None
+    with staged_build(spark, token, code_path) as need:
+        if need:
             rows = (
-                means.groupBy("cell_id")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                .select("cell_id", F.col("pm.m").alias("centroid"))
+                e.orderBy("vec_id")
+                .limit(k)
+                .select(F.col("vec_id").cast("int").alias("cell_id"), F.col("v").alias("centroid"))
                 .collect()
             )
-        # k rows x dims doubles — one file, exact float64 round-trip
-        spark.createDataFrame(
-            rows, "cell_id int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(code_path)
-        stamp_staging(code_path, token)
-        cents = lit_cents(rows)
+            for _ in range(iters):
+                assigned = assign(lit_cents(rows))
+                means = (
+                    assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
+                    .groupBy("cell_id", "pos")
+                    .agg(
+                        (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("m")
+                    )
+                )
+                rows = (
+                    means.groupBy("cell_id")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                    .select("cell_id", F.col("pm.m").alias("centroid"))
+                    .collect()
+                )
+            # k rows x dims doubles — one file, exact float64 round-trip
+            spark.createDataFrame(
+                rows, "cell_id int, centroid array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(code_path)
+            trained = lit_cents(rows)
+    cents = (
+        trained
+        if trained is not None
+        else lit_cents([r.asDict() for r in read_staged(spark, code_path).collect()])
+    )
     final = assign(cents)
     scored = final.select(
         "cell_id",
@@ -1253,39 +1257,43 @@ def _pq_train(spark: SparkSession, sf_dir: str, sv: DataFrame) -> list:
         with open(cb_file) as fh:
             _PQ_CB_CACHE[ck] = _json.load(fh)
         return _PQ_CB_CACHE[ck]
-    rows = _collect_centroids(spark, sf_dir)
-    cb = [
-        {
-            "m": m,
-            "code": int(r["label"]),
-            "sub": [float(x) for x in r["centroid"][m * 8 : (m + 1) * 8]],
-        }
-        for r in rows
-        for m in range(8)
-    ]
-    for _ in range(2):
-        assigned = sv.withColumn("code", _pq_assign_code(spark, cb))
-        means = (
-            assigned.select("m", "code", F.posexplode("sub").alias("pos", "x"))
-            .groupBy("m", "code", "pos")
-            .agg(
-                (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("x")
-            )
-        )
-        cb = [
-            {"m": r["m"], "code": r["code"], "sub": [float(x) for x in r["sub"]]}
-            for r in means.groupBy("m", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
-            .select("m", "code", F.col("px.x").alias("sub"))
-            .collect()
-        ]
-    _PQ_CB_CACHE[ck] = sorted(cb, key=lambda c: (c["m"], c["code"]))
-    _os.makedirs(cb_dir, exist_ok=True)
-    with open(cb_file, "w") as fh:
-        _json.dump(_PQ_CB_CACHE[ck], fh)
-    # staging_current requires the parquet-style completion marker
-    open(f"{cb_dir}/_SUCCESS", "w").close()
-    stamp_staging(cb_dir, ck[1])
+    with staged_build(spark, ck[1], cb_dir) as need:
+        if need:
+            rows = _collect_centroids(spark, sf_dir)
+            cb = [
+                {
+                    "m": m,
+                    "code": int(r["label"]),
+                    "sub": [float(x) for x in r["centroid"][m * 8 : (m + 1) * 8]],
+                }
+                for r in rows
+                for m in range(8)
+            ]
+            for _ in range(2):
+                assigned = sv.withColumn("code", _pq_assign_code(spark, cb))
+                means = (
+                    assigned.select("m", "code", F.posexplode("sub").alias("pos", "x"))
+                    .groupBy("m", "code", "pos")
+                    .agg(
+                        (F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count("*")).alias("x")
+                    )
+                )
+                cb = [
+                    {"m": r["m"], "code": r["code"], "sub": [float(x) for x in r["sub"]]}
+                    for r in means.groupBy("m", "code")
+                    .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+                    .select("m", "code", F.col("px.x").alias("sub"))
+                    .collect()
+                ]
+            _PQ_CB_CACHE[ck] = sorted(cb, key=lambda c: (c["m"], c["code"]))
+            _os.makedirs(cb_dir, exist_ok=True)
+            with open(cb_file, "w") as fh:
+                _json.dump(_PQ_CB_CACHE[ck], fh)
+            # staging_current requires the parquet-style completion marker
+            open(f"{cb_dir}/_SUCCESS", "w").close()
+    if ck not in _PQ_CB_CACHE:  # raced: another builder won the lease
+        with open(cb_file) as fh:
+            _PQ_CB_CACHE[ck] = _json.load(fh)
     return _PQ_CB_CACHE[ck]
 
 
@@ -1403,39 +1411,39 @@ def _pq_code_index(
 
     path = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}/pq_codes_v2"
     token = source_fingerprint(sf_dir, "embeddings")
-    if not staging_current(path, token):
-        best_cells = _ivf_best_cells(spark, sf_dir)
-        codes = F.array(
-            *[
-                F.struct(
-                    F.lit(m).alias("m"),
-                    _pq_assign_code_for_m(
-                        spark, cb, m, F.slice("v", m * 8 + 1, 8)
-                    ).alias("code"),
+    with staged_build(spark, token, path) as need:
+        if need:
+            best_cells = _ivf_best_cells(spark, sf_dir)
+            codes = F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        _pq_assign_code_for_m(
+                            spark, cb, m, F.slice("v", m * 8 + 1, 8)
+                        ).alias("code"),
+                    )
+                    for m in range(8)
+                ]
+            )
+            (
+                e.select(
+                    "vec_id",
+                    F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id"),
+                    codes.alias("codes"),
                 )
-                for m in range(8)
-            ]
-        )
-        (
-            e.select(
-                "vec_id",
-                F.element_at(best_cells(F.col("v"), 1), 1).alias("cell_id"),
-                codes.alias("codes"),
+                .select("vec_id", "cell_id", F.explode("codes").alias("s"))
+                .select(
+                    "vec_id", "cell_id", F.col("s.m").alias("m"), F.col("s.code").alias("code")
+                )
+                # cell-keyed inverted-file layout: one write task per cell
+                # (at 100 TB: N files per cell sized to ~128 MB), so a
+                # probed query physically reads nprobe/k of the index via
+                # partition pruning — the IVF in IVF-PQ
+                .repartition("cell_id")
+                .write.mode("overwrite")
+                .partitionBy("cell_id")
+                .parquet(path)
             )
-            .select("vec_id", "cell_id", F.explode("codes").alias("s"))
-            .select(
-                "vec_id", "cell_id", F.col("s.m").alias("m"), F.col("s.code").alias("code")
-            )
-            # cell-keyed inverted-file layout: one write task per cell
-            # (at 100 TB: N files per cell sized to ~128 MB), so a
-            # probed query physically reads nprobe/k of the index via
-            # partition pruning — the IVF in IVF-PQ
-            .repartition("cell_id")
-            .write.mode("overwrite")
-            .partitionBy("cell_id")
-            .parquet(path)
-        )
-        stamp_staging(path, token)
     return read_staged(spark, path)
 
 

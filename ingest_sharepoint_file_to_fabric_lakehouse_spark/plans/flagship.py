@@ -903,30 +903,25 @@ def _supply_view(spark: SparkSession, sf_dir: str) -> None:
     """
     import os as _os
 
-    from ..core import (
-        read_staged,
-        source_fingerprint,
-        stamp_staging,
-        staging_current,
-    )
+    from ..core import read_staged, source_fingerprint, staged_build
 
     base = f"/tmp/sgdata/{_os.path.basename(sf_dir.rstrip('/'))}"
     path = f"{base}/tpch_supply_v1"
     token = source_fingerprint(sf_dir, "lineitem")
-    if not staging_current(path, token):
-        t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-        # sortWithinPartitions on the probe key: consumers join /
-        # aggregate on ps_partkey, and the sorted layout gives parquet
-        # rowgroup min/max pruning on any partkey-sliced read.  The
-        # groupBy's own hash partitioning is kept (at 100 TB this is
-        # the bucketed-by-key partsupp table); no re-shuffle at build.
-        (
-            spark.sql(_SUPPLY_BODY)
-            .sortWithinPartitions("ps_partkey", "ps_suppkey")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-        stamp_staging(path, token)
+    with staged_build(spark, token, path) as need:
+        if need:
+            t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+            # sortWithinPartitions on the probe key: consumers join /
+            # aggregate on ps_partkey, and the sorted layout gives parquet
+            # rowgroup min/max pruning on any partkey-sliced read.  The
+            # groupBy's own hash partitioning is kept (at 100 TB this is
+            # the bucketed-by-key partsupp table); no re-shuffle at build.
+            (
+                spark.sql(_SUPPLY_BODY)
+                .sortWithinPartitions("ps_partkey", "ps_suppkey")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
     read_staged(spark, path).createOrReplaceTempView("supply")
 
 _Q2_SELECT = """

@@ -19,7 +19,7 @@ from ..core import (
     money,
     query,
     source_fingerprint,
-    stamp_staging,
+    staged_build,
     staging_current,
     t,
 )
@@ -74,11 +74,26 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         token = f"buckets=8|key={key}|cols={','.join(cols)}|" + source_fingerprint(
             sf_dir, src
         )
-        if spark.catalog.tableExists(tbl):
-            if staging_current(path, token):
-                return
-            spark.sql(f"DROP TABLE {tbl}")
-        elif staging_current(path, token):
+        if spark.catalog.tableExists(tbl) and staging_current(path, token):
+            return
+        with staged_build(spark, token, path) as need:
+            if need:
+                # stale layout (older spec or regenerated fixture):
+                # drop the catalog entry and rebuild the files
+                if spark.catalog.tableExists(tbl):
+                    spark.sql(f"DROP TABLE {tbl}")
+                shutil.rmtree(path, ignore_errors=True)
+                (
+                    t(spark, sf_dir, src)
+                    .select(*cols)
+                    .write.bucketBy(8, key)
+                    .sortBy(key)
+                    .format("parquet")
+                    .saveAsTable(tbl)
+                )
+        if not spark.catalog.tableExists(tbl):
+            # layout current on disk, catalog cold (new session):
+            # re-attach metadata-only over the existing LOCATION
             schema = spark.read.parquet(path).schema
             ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema)
             spark.sql(
@@ -86,17 +101,6 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
                 f"LOCATION '{path}'"
             )
-            return
-        shutil.rmtree(path, ignore_errors=True)
-        (
-            t(spark, sf_dir, src)
-            .select(*cols)
-            .write.bucketBy(8, key)
-            .sortBy(key)
-            .format("parquet")
-            .saveAsTable(tbl)
-        )
-        stamp_staging(path, token)
 
     ensure_bucketed(li_tbl, "lineitem", ["l_orderkey", "l_quantity"], "l_orderkey")
     ensure_bucketed(
@@ -128,15 +132,15 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan lists exactly one partition (verified in tests)."""
     path = f"{_staging(sf_dir)}/orders_by_year"
     token = source_fingerprint(sf_dir, "orders")
-    if not staging_current(path, token):
-        (
-            t(spark, sf_dir, "orders")
-            .withColumn("order_year", F.year("o_orderdate"))
-            .write.mode("overwrite")
-            .partitionBy("order_year")
-            .parquet(path)
-        )
-        stamp_staging(path, token)
+    with staged_build(spark, token, path) as need:
+        if need:
+            (
+                t(spark, sf_dir, "orders")
+                .withColumn("order_year", F.year("o_orderdate"))
+                .write.mode("overwrite")
+                .partitionBy("order_year")
+                .parquet(path)
+            )
     back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
     return back.agg(
         F.count("*").alias("n_orders"),
@@ -173,15 +177,15 @@ def scan_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = f"{_staging(sf_dir)}/orders_by_date_sorted"
     token = source_fingerprint(sf_dir, "orders")
-    if not staging_current(path, token):
-        (
-            t(spark, sf_dir, "orders")
-            .repartitionByRange(8, "o_orderdate")
-            .sortWithinPartitions("o_orderdate")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-        stamp_staging(path, token)
+    with staged_build(spark, token, path) as need:
+        if need:
+            (
+                t(spark, sf_dir, "orders")
+                .repartitionByRange(8, "o_orderdate")
+                .sortWithinPartitions("o_orderdate")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
     back = spark.read.parquet(path).filter(
         (F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-09-01").cast("timestamp"))
@@ -223,15 +227,15 @@ def join_dynamic_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
 
     path = f"{_staging(sf_dir)}/orders_by_year"
     token = source_fingerprint(sf_dir, "orders")
-    if not staging_current(path, token):
-        (
-            t(spark, sf_dir, "orders")
-            .withColumn("order_year", F.year("o_orderdate"))
-            .write.mode("overwrite")
-            .partitionBy("order_year")
-            .parquet(path)
-        )
-        stamp_staging(path, token)
+    with staged_build(spark, token, path) as need:
+        if need:
+            (
+                t(spark, sf_dir, "orders")
+                .withColumn("order_year", F.year("o_orderdate"))
+                .write.mode("overwrite")
+                .partitionBy("order_year")
+                .parquet(path)
+            )
     fact = spark.read.parquet(path)
     # The dim must be a real TABLE carrying all years plus an audit
     # tag, with the tag filtered in the query — two DPP planner-rule
@@ -244,20 +248,20 @@ def join_dynamic_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
     # side never knows which members survive the dim filter until
     # runtime.
     dim_path = f"{_staging(sf_dir)}/year_dim"
-    if not staging_current(dim_path, "year-dim-v2"):
-        spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "y": list(range(1992, 2003)),
-                    "tag": [
-                        "audit" if y in (1996, 1997) else "skip"
-                        for y in range(1992, 2003)
-                    ],
-                }
-            ),
-            "y int, tag string",
-        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
-        stamp_staging(dim_path, "year-dim-v2")
+    with staged_build(spark, "year-dim-v2", dim_path) as need:
+        if need:
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "y": list(range(1992, 2003)),
+                        "tag": [
+                            "audit" if y in (1996, 1997) else "skip"
+                            for y in range(1992, 2003)
+                        ],
+                    }
+                ),
+                "y int, tag string",
+            ).coalesce(1).write.mode("overwrite").parquet(dim_path)
     dim = spark.read.parquet(dim_path).filter(F.col("tag") == "audit").select("y")
     return (
         fact.join(F.broadcast(dim), fact["order_year"] == dim["y"])
@@ -327,26 +331,30 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     min_c, max_c, min_p, max_p = (int(x) for x in lo)
     w_c, w_p = max_c - min_c + 1, max_p - min_p + 1
-    if not staging_current(path, token):
-        bc = F.least(((F.col("o_custkey") - min_c) * 256 / w_c).cast("bigint"), F.lit(255))
-        bp = F.least(((F.col("cents") - min_p) * 256 / w_p).cast("bigint"), F.lit(255))
-        zb = sum(
-            [
-                F.shiftleft(F.shiftright(bc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-                + F.shiftleft(F.shiftright(bp, i).bitwiseAND(F.lit(1)), 2 * i)
-                for i in range(8)
-            ],
-            F.lit(0),
-        )
-        (
-            o.withColumn("z", zb)
-            .repartitionByRange(16, "z")
-            .sortWithinPartitions("z")
-            .select("o_orderkey", "o_custkey", "o_totalprice", "z")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-        stamp_staging(path, token)
+    with staged_build(spark, token, path) as need:
+        if need:
+            bc = F.least(
+                ((F.col("o_custkey") - min_c) * 256 / w_c).cast("bigint"), F.lit(255)
+            )
+            bp = F.least(
+                ((F.col("cents") - min_p) * 256 / w_p).cast("bigint"), F.lit(255)
+            )
+            zb = sum(
+                [
+                    F.shiftleft(F.shiftright(bc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+                    + F.shiftleft(F.shiftright(bp, i).bitwiseAND(F.lit(1)), 2 * i)
+                    for i in range(8)
+                ],
+                F.lit(0),
+            )
+            (
+                o.withColumn("z", zb)
+                .repartitionByRange(16, "z")
+                .sortWithinPartitions("z")
+                .select("o_orderkey", "o_custkey", "o_totalprice", "z")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
     lo_c, hi_c = min_c + w_c * 7 // 16, min_c + w_c * 9 // 16
     lo_p, hi_p = min_p + w_p * 7 // 16, min_p + w_p * 9 // 16
     back = spark.read.parquet(path)

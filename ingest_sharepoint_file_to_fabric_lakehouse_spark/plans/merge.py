@@ -132,6 +132,8 @@ Concurrency
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -274,6 +276,13 @@ def _acquire_lock(
     fs, _ = _fs(spark, target_path)
     jlock = _lock_path(spark, target_path)
     local = fs.getUri().getScheme() == "file"
+    if local:
+        # POSIX O_CREAT needs the parent dir; a lease can legitimately
+        # precede the target's first write (seed-under-lease flow).
+        # HDFS-style fs.create creates parents itself.
+        parent = os.path.dirname(jlock.toUri().getPath())
+        if parent:
+            os.makedirs(parent, exist_ok=True)
     token = uuid.uuid4().hex
     deadline = time.monotonic() + lock_wait_sec
     while True:
@@ -413,6 +422,25 @@ def _release_lock(spark: SparkSession, target_path: str, token: str) -> None:
                 fs.delete(jrel, False)  # fresh lock already there
         except Exception:
             pass
+
+
+@contextmanager
+def merge_lease(
+    spark: SparkSession,
+    target_path: str,
+    lock_ttl_sec: float = 600.0,
+    lock_wait_sec: float = 60.0,
+):
+    """Hold the target's writer lease across a MULTI-STEP sequence —
+    e.g. seed-write + MERGE + stamp as one serialized unit.  Yields
+    the owner token; pass it to :func:`merge_upsert` via
+    ``_held_token`` so the merge runs under THIS lease instead of
+    acquiring its own (same path ⇒ self-deadlock otherwise)."""
+    token = _acquire_lock(spark, target_path, lock_ttl_sec, lock_wait_sec)
+    try:
+        yield token
+    finally:
+        _release_lock(spark, target_path, token)
 
 
 class SimulatedCrash(RuntimeError):
@@ -600,6 +628,7 @@ def merge_upsert(
     lock_wait_sec: float = 60.0,
     _between_backup_and_commit=None,
     _after_stage=None,
+    _held_token: str | None = None,
 ) -> None:
     """MERGE INTO an *unpartitioned* target (see module doc: staged
     write + the documented atomic-rename commit protocol; idempotent
@@ -638,7 +667,13 @@ def merge_upsert(
         if _crash == step:
             raise SimulatedCrash(step)
 
-    token = _acquire_lock(spark, target_path, lock_ttl_sec, lock_wait_sec)
+    # ``_held_token``: the caller already holds this target's lease
+    # (via :func:`merge_lease`) — run under it, don't re-acquire (the
+    # same-path second acquire would deadlock until timeout) and don't
+    # release on exit (the lease outlives this call by design).
+    token = _held_token or _acquire_lock(
+        spark, target_path, lock_ttl_sec, lock_wait_sec
+    )
     try:
         # Step 1: heal any prior crash before reading the target.
         state = recover_table(spark, target_path)
@@ -705,7 +740,8 @@ def merge_upsert(
         # Step 5: post-commit cleanup.
         fs.delete(jbak, True)
     finally:
-        _release_lock(spark, target_path, token)
+        if _held_token is None:
+            _release_lock(spark, target_path, token)
 
 
 def merge_upsert_partitioned(
@@ -717,6 +753,7 @@ def merge_upsert_partitioned(
     lock_ttl_sec: float = 600.0,
     lock_wait_sec: float = 60.0,
     _crash: str | None = None,
+    _held_token: str | None = None,
 ) -> None:
     """MERGE INTO a parquet target partitioned by ``part_col``:
     partition-pruned read of only the touched partitions, staged
@@ -762,7 +799,9 @@ def merge_upsert_partitioned(
         if _crash == step:
             raise SimulatedCrash(step)
 
-    token = _acquire_lock(spark, target_path, lock_ttl_sec, lock_wait_sec)
+    token = _held_token or _acquire_lock(
+        spark, target_path, lock_ttl_sec, lock_wait_sec
+    )
     try:
         # Step 1: heal any prior crash before reading the target.
         recover_table_partitioned(spark, target_path)
@@ -812,4 +851,5 @@ def merge_upsert_partitioned(
         crashpoint("before_ptmp_delete")
         fs.delete(jptmp, True)
     finally:
-        _release_lock(spark, target_path, token)
+        if _held_token is None:
+            _release_lock(spark, target_path, token)

@@ -24,11 +24,13 @@ from ..core import (
     money,
     query,
     source_fingerprint,
-    stamp_staging,
+    staged_build,
     staging_current,
+    stamp_staging,
     t,
 )
 from ..plans.merge import (
+    merge_lease,
     merge_upsert,
     merge_upsert_partitioned,
     read_table,
@@ -133,19 +135,25 @@ def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yields the identical table.  The measured operation stays the
     # real MERGE; only the bench-artifact full seed rewrite is skipped.
     token = source_fingerprint(sf_dir, "orders")
-    if not staging_current(path, token):
-        target = orders.filter(
-            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-        )
-        write_table(target, path)
     source = (
         orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
     )
-    merge_upsert(spark, path, source, "o_orderkey")
-    # stamp AFTER the merge: merge_upsert swaps directories, which
-    # drops any marker written before it
-    stamp_staging(path, token)
+    # One lease across seed + MERGE + stamp: without it two processes
+    # racing an unbuilt target both run the overwrite seed (torn
+    # files), or one re-seeds the target out from under the other's
+    # in-flight merge.  merge_upsert runs under the SAME lease via
+    # _held_token (a second same-path acquire would self-deadlock).
+    # The stamp stays AFTER the merge: merge_upsert swaps directories,
+    # which drops any marker written before it.
+    with merge_lease(spark, path) as held:
+        if not staging_current(path, token):
+            target = orders.filter(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+            )
+            write_table(target, path)
+        merge_upsert(spark, path, source, "o_orderkey", _held_token=held)
+        stamp_staging(path, token)
     back = read_table(spark, path)
     return back.agg(
         F.count("*").alias("n_rows"),
@@ -193,17 +201,21 @@ def sink_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # artifact, not part of the measured MERGE — runs only when the
     # source data actually changed
     token = source_fingerprint(sf_dir, "orders")
-    if not staging_current(path, token):
-        target = orders.filter(
-            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-        )
-        write_table(target, path, part_col="order_year")
     source = (
         orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
     )
-    merge_upsert_partitioned(spark, path, source, "o_orderkey", "order_year")
-    stamp_staging(path, token)
+    # seed + MERGE + stamp under one lease — see sink_delta_merge
+    with merge_lease(spark, path) as held:
+        if not staging_current(path, token):
+            target = orders.filter(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+            )
+            write_table(target, path, part_col="order_year")
+        merge_upsert_partitioned(
+            spark, path, source, "o_orderkey", "order_year", _held_token=held
+        )
+        stamp_staging(path, token)
     back = read_table(spark, path)
     return back.groupBy(F.col("order_year").cast("int").alias("order_year")).agg(
         F.count("*").alias("n_orders"),
@@ -265,9 +277,11 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     frag = f"{_staging(sf_dir)}/orders_fragmented"
     token = source_fingerprint(sf_dir, "orders")
-    if not staging_current(frag, token):
-        t(spark, sf_dir, "orders").repartition(64).write.mode("overwrite").parquet(frag)
-        stamp_staging(frag, token)
+    with staged_build(spark, token, frag) as need:
+        if need:
+            t(spark, sf_dir, "orders").repartition(64).write.mode(
+                "overwrite"
+            ).parquet(frag)
     compacted = f"{_staging(sf_dir)}/orders_compacted"
     spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compacted)
     back = spark.read.parquet(compacted)

@@ -96,40 +96,40 @@ def stage_event_files(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str
     isdir): a regenerated events fixture must rebuild the feed, or
     every streaming key would silently stream stale data — the same
     staleness class core.source_fingerprint guards everywhere else."""
-    from ..core import source_fingerprint, stamp_staging, staging_current
+    from ..core import source_fingerprint, staged_build
 
     src_dir = _staging(sf_dir, "stream_shared_input_v2")
     token = source_fingerprint(sf_dir, "events")
-    if not staging_current(src_dir, token):
-        shutil.rmtree(src_dir, ignore_errors=True)
-        from pyspark.sql import Window
+    with staged_build(spark, token, src_dir) as need:
+        if need:
+            shutil.rmtree(src_dir, ignore_errors=True)
+            from pyspark.sql import Window
 
-        stage = f"{src_dir}/_stage"
-        ranked = t(spark, sf_dir, "events").withColumn(
-            "_b", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
-        )
-        # materialize the (one-off, fixture-scale) global sort once,
-        # then carve the N batch files out of it with cheap filters.
-        ranked.write.mode("overwrite").parquet(stage)
-        for b in range(1, n_files + 1):
-            bdir = f"{src_dir}/_b{b}"
-            (
-                spark.read.parquet(stage)
-                .filter(F.col("_b") == b)
-                .drop("_b")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(bdir)
+            stage = f"{src_dir}/_stage"
+            ranked = t(spark, sf_dir, "events").withColumn(
+                "_b", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
             )
-            part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
-            os.replace(f"{bdir}/{part}", f"{src_dir}/batch_{b - 1:02d}.parquet")
-            shutil.rmtree(bdir)
-            # arrival order = batch order, explicitly.
-            os.utime(f"{src_dir}/batch_{b - 1:02d}.parquet", (1_000_000_000 + b, 1_000_000_000 + b))
-        shutil.rmtree(stage)
-        # staging_current requires the completeness marker too
-        open(f"{src_dir}/_SUCCESS", "w").close()
-        stamp_staging(src_dir, token)
+            # materialize the (one-off, fixture-scale) global sort once,
+            # then carve the N batch files out of it with cheap filters.
+            ranked.write.mode("overwrite").parquet(stage)
+            for b in range(1, n_files + 1):
+                bdir = f"{src_dir}/_b{b}"
+                (
+                    spark.read.parquet(stage)
+                    .filter(F.col("_b") == b)
+                    .drop("_b")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(bdir)
+                )
+                part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+                os.replace(f"{bdir}/{part}", f"{src_dir}/batch_{b - 1:02d}.parquet")
+                shutil.rmtree(bdir)
+                # arrival order = batch order, explicitly.
+                os.utime(f"{src_dir}/batch_{b - 1:02d}.parquet", (1_000_000_000 + b, 1_000_000_000 + b))
+            shutil.rmtree(stage)
+            # staging_current requires the completeness marker too
+            open(f"{src_dir}/_SUCCESS", "w").close()
     return src_dir
 
 

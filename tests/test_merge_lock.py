@@ -491,3 +491,16 @@ def test_release_lock_restores_foreign_lease(spark, tmp_path):
         assert fh.read() == "new-owner-token"
     assert not [n for n in os.listdir(tmp_path) if ".rel-" in n]
     os.remove(lock)
+
+
+def test_acquire_lock_creates_missing_parent_dir(spark, tmp_path):
+    """A lease can precede the target's first write (seed-under-lease):
+    acquiring against a target whose PARENT directory does not exist
+    yet must create it, not spin to MergeLockTimeout on O_CREAT."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import merge_lease
+
+    path = str(tmp_path / "newdir" / "table")
+    with merge_lease(spark, path, lock_wait_sec=5.0) as held:
+        assert held
+        spark.createDataFrame([(1, 1.0)], "id long, v double").write.parquet(path)
+    assert not [n for n in os.listdir(tmp_path / "newdir") if "__merge_" in n]

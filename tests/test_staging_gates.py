@@ -107,3 +107,112 @@ def test_ingest_gate_rebuilds_cold_and_resumes_warm(spark, sf_dir):
     mtime = os.stat(stamp).st_mtime_ns
     again = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert again == first and os.stat(stamp).st_mtime_ns == mtime
+
+
+def test_staged_build_serializes_racing_builders(spark, tmp_path):
+    """Two threads race the same UNBUILT artifact: exactly one runs the
+    build (the loser re-probes the gate under the lease and reuses the
+    winner's artifact), the artifact ends stamped, and no lock debris
+    remains.  Without the lease both would mode=overwrite the same dir
+    concurrently — the round-12 COVERAGE defect this round closes."""
+    import threading
+    import time
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        read_staged,
+        staged_build,
+        staging_current,
+    )
+
+    path = str(tmp_path / "artifact")
+    token = "tok-v1"
+    builds: list[str] = []
+    errs: list[Exception] = []
+
+    def builder(name):
+        try:
+            with staged_build(spark, token, path) as need:
+                if need:
+                    builds.append(name)  # GIL-atomic
+                    time.sleep(0.2)  # widen the race window
+                    spark.range(10).write.mode("overwrite").parquet(path)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=builder, args=(f"b{i}",)) for i in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert len(builds) == 1, builds  # exactly one build ran
+    assert staging_current(path, token)
+    assert read_staged(spark, path).count() == 10
+    assert not [n for n in os.listdir(tmp_path) if "lock" in n.lower()]
+
+
+def test_staged_build_skips_when_current_and_rebuilds_on_new_token(spark, tmp_path):
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        staged_build,
+        staging_current,
+    )
+
+    path = str(tmp_path / "artifact2")
+    with staged_build(spark, "v1", path) as need:
+        assert need
+        spark.range(3).write.mode("overwrite").parquet(path)
+    # current: no build needed, lock never taken (fast path)
+    with staged_build(spark, "v1", path) as need:
+        assert not need
+    # fingerprint changed (regenerated fixture): rebuild
+    with staged_build(spark, "v2", path) as need:
+        assert need
+        spark.range(5).write.mode("overwrite").parquet(path)
+    assert staging_current(path, "v2") and not staging_current(path, "v1")
+
+
+def test_staged_build_exception_leaves_artifact_unstamped(spark, tmp_path):
+    import pytest as _pytest
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        staged_build,
+        staging_current,
+    )
+
+    path = str(tmp_path / "artifact3")
+    with _pytest.raises(RuntimeError, match="boom"):
+        with staged_build(spark, "v1", path) as need:
+            assert need
+            spark.range(3).write.mode("overwrite").parquet(path)
+            raise RuntimeError("boom")
+    # failed build is not stamped: the next builder rebuilds
+    assert not staging_current(path, "v1")
+    with staged_build(spark, "v1", path) as need:
+        assert need
+        spark.range(3).write.mode("overwrite").parquet(path)
+    assert staging_current(path, "v1")
+    # the failed holder's lock was released
+    assert not [n for n in os.listdir(tmp_path) if "lock" in n.lower()]
+
+
+def test_read_staged_evicts_superseded_memo_entries(spark, tmp_path):
+    """A rebuilt layout (new stamp) must evict the superseded cache
+    entries for that path — the round-12 COVERAGE leak: old stamp keys
+    pinned py4j DataFrame handles for the session's lifetime."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        _STAGED_CACHE,
+        read_staged,
+        staged_build,
+    )
+
+    path = str(tmp_path / "artifact4")
+    with staged_build(spark, "v1", path) as need:
+        if need:
+            spark.range(4).write.mode("overwrite").parquet(path)
+    assert read_staged(spark, path).count() == 4
+    with staged_build(spark, "v2", path) as need:
+        if need:
+            spark.range(6).write.mode("overwrite").parquet(path)
+    assert read_staged(spark, path).count() == 6
+    mine = [k for k in _STAGED_CACHE if k[1] == path]
+    assert len(mine) == 1 and mine[0][2] == "v2"
