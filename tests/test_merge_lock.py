@@ -504,3 +504,41 @@ def test_acquire_lock_creates_missing_parent_dir(spark, tmp_path):
         assert held
         spark.createDataFrame([(1, 1.0)], "id long, v double").write.parquet(path)
     assert not [n for n in os.listdir(tmp_path / "newdir") if "__merge_" in n]
+
+
+def test_seed_and_merge_under_one_lease_serialize_across_racers(spark, tmp_path):
+    """The sink flow: seed-if-unbuilt + MERGE + stamp under ONE
+    merge_lease (merge_upsert runs with _held_token).  Two racers on an
+    unbuilt target must serialize end-to-end: exactly one seeds, both
+    merges land, and the lease survives merge_upsert (held-token mode
+    must not release the caller's lease mid-sequence)."""
+    import threading
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import merge_lease
+
+    path = str(tmp_path / "seeded")
+    seeds: list[str] = []
+    errs: list[Exception] = []
+
+    def racer(name, rows):
+        try:
+            with merge_lease(spark, path, lock_wait_sec=120.0) as held:
+                if not os.path.exists(path):
+                    seeds.append(name)
+                    _seed(spark, path, [(1, 1.0)])
+                src = spark.createDataFrame(rows, "id long, v double")
+                merge_upsert(spark, path, src, "id", _held_token=held)
+                # the lease must still be OURS after the held-token merge
+                with open(path + "__merge_lock") as fh:
+                    assert fh.read() == held
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ta = threading.Thread(target=racer, args=("a", [(2, 2.0)]))
+    tb = threading.Thread(target=racer, args=("b", [(3, 3.0)]))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errs, errs
+    assert len(seeds) == 1, seeds
+    got = {r.id: r.v for r in read_table(spark, path).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    assert not [n for n in os.listdir(tmp_path) if "__merge_" in n]
