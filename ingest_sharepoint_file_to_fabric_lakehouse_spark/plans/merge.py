@@ -163,14 +163,20 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     table must NOT be read as bare parquet (stale versions' files
     would double-count), so the format is detected, not assumed.
 
-    Recovery runs ONLY when the target path is missing (one metadata
-    ``exists`` probe when nothing is wrong): a present target is by
-    protocol a complete committed table, and running the stray-dir
-    sweep against it would race a LIVE writer — deleting its
+    UNPARTITIONED recovery runs ONLY when the target path is missing
+    (one metadata ``exists`` probe when nothing is wrong): a present
+    target is by protocol a complete committed table, and running the
+    stray-dir sweep against it would race a LIVE writer — deleting its
     in-progress ``tmp`` between steps 2-3, or freeing its ``bak``
     between 3-4.  Stray-dir cleanup after a crash is merge_upsert's
     step-1 job, not the reader's.  A reader arriving after a mid-swap
-    crash (target missing) still heals and sees a complete table."""
+    crash (target missing) still heals and sees a complete table.
+
+    PARTITIONED recovery is additionally probed via the ``ptmp`` dir
+    (a crashed partitioned merge leaves the target PRESENT but
+    possibly missing mid-swap partitions) and — because that state is
+    indistinguishable from a live writer's in-progress stage — runs
+    only under the lease; a live lease defers healing to the writer."""
     if HAVE_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         return spark.read.format("delta").load(path)
     fs, jtarget = _fs(spark, path)
@@ -451,6 +457,32 @@ class SimulatedCrash(RuntimeError):
     to the filesystem)."""
 
 
+def _sweep_lock_debris(
+    spark: SparkSession, target_path: str, min_age_sec: float = 3600.0
+) -> None:
+    """Remove crashed-release/takeover remnants: a kill between the
+    release's rename-claim and its delete leaves ``<lock>.rel-<tok>``
+    (likewise ``.stale-<tok>`` for takeover) — inert files no live
+    protocol step ever reads again, but debris forever otherwise.
+    Age-gated well past any lock_wait so a LIVE release/takeover's
+    in-flight claim file is never swept from under it.  Called from
+    recovery (writer step 1 / reader heal), where a listing is already
+    amortized — never on the per-read fast path."""
+    import time
+
+    fs, _ = _fs(spark, target_path)
+    jlock = _lock_path(spark, target_path)
+    mk = spark._jvm.org.apache.hadoop.fs.Path
+    now_ms = time.time() * 1000.0
+    for pat in (".rel-*", ".stale-*"):
+        try:
+            for st in fs.globStatus(mk(jlock.toString() + pat)) or []:
+                if now_ms - st.getModificationTime() > min_age_sec * 1000.0:
+                    fs.delete(st.getPath(), False)
+        except Exception:
+            pass  # listing/delete races are benign here
+
+
 def _paths(spark: SparkSession, target_path: str):
     fs, jtarget = _fs(spark, target_path)
     mk = spark._jvm.org.apache.hadoop.fs.Path
@@ -470,6 +502,7 @@ def recover_table(spark: SparkSession, target_path: str) -> str:
     every exit leaves a state where re-running is a no-op.
     """
     fs, jtarget, jtmp, jbak, jtmp_ok = _paths(spark, target_path)
+    _sweep_lock_debris(spark, target_path)
     if fs.exists(jtarget):
         fs.delete(jtmp, True)
         fs.delete(jbak, True)
@@ -547,6 +580,7 @@ def recover_table_partitioned(spark: SparkSession, target_path: str) -> str:
     or ``"rolled_forward"`` (swap loop resumed to completion — new
     data live in every planned partition)."""
     fs, jtarget, mk, jptmp, jplan, jptmp_ok = _ppaths(spark, target_path)
+    _sweep_lock_debris(spark, target_path)
     if not fs.exists(jptmp):
         _heal_baks(fs, jtarget, mk)
         return "committed"

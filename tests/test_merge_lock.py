@@ -542,3 +542,25 @@ def test_seed_and_merge_under_one_lease_serialize_across_racers(spark, tmp_path)
     got = {r.id: r.v for r in read_table(spark, path).collect()}
     assert got == {1: 1.0, 2: 2.0, 3: 3.0}
     assert not [n for n in os.listdir(tmp_path) if "__merge_" in n]
+
+
+def test_recovery_sweeps_aged_lock_debris_only(spark, tmp_path):
+    """A crash between the release's rename-claim and its delete leaves
+    a ``.rel-<token>`` file (takeover: ``.stale-<token>``).  Recovery
+    sweeps those once they age past the guard; FRESH claim files (a
+    live release mid-flight) are left alone."""
+    path = str(tmp_path / "debris")
+    _seed(spark, path, [(1, 1.0)])
+    lock = path + "__merge_lock"
+    old = 1_000_000_000
+    for suffix in (".rel-deadbeef", ".stale-cafe"):
+        with open(lock + suffix, "w") as fh:
+            fh.write("x")
+        os.utime(lock + suffix, (old, old))
+    with open(lock + ".rel-fresh", "w") as fh:
+        fh.write("y")  # fresh: in-flight release claim, must survive
+    assert recover_table(spark, path) == "committed"
+    assert not os.path.exists(lock + ".rel-deadbeef")
+    assert not os.path.exists(lock + ".stale-cafe")
+    assert os.path.exists(lock + ".rel-fresh")
+    os.remove(lock + ".rel-fresh")
