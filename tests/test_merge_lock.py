@@ -564,3 +564,61 @@ def test_recovery_sweeps_aged_lock_debris_only(spark, tmp_path):
     assert not os.path.exists(lock + ".stale-cafe")
     assert os.path.exists(lock + ".rel-fresh")
     os.remove(lock + ".rel-fresh")
+
+
+def test_merge_partitioned_randomized_crash_recovery_model(spark, tmp_path):
+    """Randomized partitioned-MERGE crash property: random seed table,
+    random source (random touched partitions incl. brand-new ones),
+    crash at a random protocol step, heal via read_table, then assert
+    the table equals the dict model — complete OLD if the crash
+    preceded the plan write, complete NEW after — and a retry always
+    lands NEW.  Complements the fixed kill-matrix with state-space
+    coverage (partition counts, new-partition mixes, step indices)."""
+    import random as _random
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import (
+        SimulatedCrash,
+        merge_upsert_partitioned,
+        recover_table_partitioned,
+    )
+
+    for seed in range(6):
+        rnd = _random.Random(7000 + seed)
+        old = {
+            k: (rnd.randint(1, 3), float(rnd.randint(0, 99)))
+            for k in rnd.sample(range(40), rnd.randint(3, 10))
+        }
+        src = {
+            k: (rnd.randint(1, 5), float(rnd.randint(100, 199)))
+            for k in rnd.sample(range(40), rnd.randint(2, 8))
+        }
+        # partitioned-MERGE contract: part_col stable per key — matched
+        # keys keep their target partition
+        for k in src:
+            if k in old:
+                src[k] = (old[k][0], src[k][1])
+        new = {**old, **src}
+        n_touched = len({p for p, _ in src.values()})
+        step = rnd.choice(
+            ["after_stage_write", "after_plan_write", "before_ptmp_delete"]
+            + [f"after_backup_rename:{i}" for i in range(n_touched)]
+            + [f"after_commit_rename:{i}" for i in range(n_touched)]
+            + [f"after_bak_delete:{i}" for i in range(n_touched)]
+        )
+        expected = old if step == "after_stage_write" else new
+        path = str(tmp_path / f"pr_{seed}")
+        spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in old.items()], "id long, p int, v double"
+        ).write.partitionBy("p").parquet(path)
+        srcdf = spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in src.items()], "id long, p int, v double"
+        )
+        with pytest.raises(SimulatedCrash):
+            merge_upsert_partitioned(spark, path, srcdf, "id", "p", _crash=step)
+        got = {r.id: (r.p, r.v) for r in read_table(spark, path).collect()}
+        assert got == expected, (seed, step, got)
+        recover_table_partitioned(spark, path)  # idempotent
+        merge_upsert_partitioned(spark, path, srcdf, "id", "p")
+        got = {r.id: (r.p, r.v) for r in read_table(spark, path).collect()}
+        assert got == new, (seed, step)
+        assert not [n for n in os.listdir(tmp_path) if "__merge_" in n], step
