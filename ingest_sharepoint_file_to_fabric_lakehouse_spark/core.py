@@ -329,7 +329,13 @@ def staged_build(spark: SparkSession, token: str, *paths: str):
     if all(staging_current(p, token) for p in paths):
         yield False
         return
-    from .plans.merge import MergeLockTimeout, _acquire_lock, _hold_lease, _release_lock
+    from .plans.merge import (
+        MergeLockTimeout,
+        _acquire_lock,
+        _hold_lease,
+        _release_lock,
+        _sweep_lock_debris,
+    )
 
     # Lease against a pseudo-target NAMED for the artifact: the lock
     # file is `<paths[0]>__build__merge_lock`, a sibling of the
@@ -339,6 +345,9 @@ def staged_build(spark: SparkSession, token: str, *paths: str):
     if parent and "://" not in lockbase:
         os.makedirs(parent, exist_ok=True)  # local lock needs its parent
     lease = _acquire_lock(spark, lockbase, lock_ttl_sec=600.0, lock_wait_sec=600.0)
+    # builds are rare; piggyback the aged claim-file sweep here (the
+    # MERGE targets get theirs in recovery)
+    _sweep_lock_debris(spark, lockbase)
     try:
         need = not all(staging_current(p, token) for p in paths)
         yield need

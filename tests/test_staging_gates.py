@@ -216,3 +216,50 @@ def test_read_staged_evicts_superseded_memo_entries(spark, tmp_path):
     assert read_staged(spark, path).count() == 6
     mine = [k for k in _STAGED_CACHE if k[1] == path]
     assert len(mine) == 1 and mine[0][2] == "v2"
+
+
+def test_staged_build_serializes_across_real_processes(tmp_path):
+    """The round-12 defect was cross-PROCESS: two independent JVMs
+    racing the same unbuilt artifact.  Launch two real subprocesses,
+    each with its own SparkSession, both building the same artifact
+    with a deliberately slow build; exactly one build may run, both
+    must exit clean, and the artifact must be complete and stamped."""
+    import subprocess
+    import sys
+
+    art = str(tmp_path / "xproc_artifact")
+    marker_dir = str(tmp_path / "builds")
+    os.makedirs(marker_dir)
+    worker = f"""
+import os, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("xproc-" + sys.argv[1]).getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import staged_build, staging_current
+with staged_build(spark, "xp-v1", {art!r}) as need:
+    if need:
+        open(os.path.join({marker_dir!r}, sys.argv[1]), "w").close()
+        time.sleep(3)  # hold the lease across the other's gate check
+        spark.range(7).write.mode("overwrite").parquet({art!r})
+assert staging_current({art!r}, "xp-v1")
+assert spark.read.parquet({art!r}).count() == 7
+print("WORKER_OK", sys.argv[1])
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, name],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for name in ("p1", "p2")
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+        assert "WORKER_OK" in out, out[-2000:]
+    assert len(os.listdir(marker_dir)) == 1  # exactly one build ran
+    assert not [n for n in os.listdir(tmp_path) if "lock" in n.lower()]

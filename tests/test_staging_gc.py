@@ -95,3 +95,31 @@ def test_read_staged_bumps_lastuse(spark, tmp_path):
     os.utime(lu, (1000.0, 1000.0))
     core.read_staged(spark, path)
     assert os.stat(lu).st_mtime > 1000.0
+
+
+def test_gc_sweeps_evicted_artifacts_aged_build_lock_siblings(tmp_path):
+    """Evicting an artifact must also remove a crashed builder's aged
+    lease files sitting BESIDE the dir (`<name>__build__merge_lock`
+    and its .hb/.rel-/.stale- remnants) — but never a FRESH lock (an
+    in-flight rebuild's lease)."""
+    import time
+
+    a = _mk_artifact(tmp_path, "sf0.1", "idx_locky", 100, 1000.0)
+    old_ts = 1000.0
+    aged = [a + "__build__merge_lock", a + "__build__merge_lock.hb",
+            a + "__build__merge_lock.rel-dead"]
+    for fp in aged:
+        with open(fp, "w") as fh:
+            fh.write("t")
+        os.utime(fp, (old_ts, old_ts))
+    # a FRESH lock beside the same evicted artifact = a live rebuild's
+    # lease mid-flight; the age gate must leave it alone
+    fresh = a + "__build__merge_lock.stale-live"
+    with open(fresh, "w") as fh:
+        fh.write("live")
+    _mk_artifact(tmp_path, "sf0.1", "idx_keep", 100, time.time())
+    report = staging_gc.gc(str(tmp_path), max_age_days=1.0)
+    assert [e["path"] for e in report["evicted"]] == [a]
+    for fp in aged:
+        assert not os.path.exists(fp), fp
+    assert os.path.exists(fresh)  # fresh lease file untouched

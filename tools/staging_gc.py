@@ -109,6 +109,25 @@ def gc(
     for a in evict:
         if not dry_run:
             shutil.rmtree(a.path, ignore_errors=True)
+            # a crashed builder's lease files are SIBLINGS of the
+            # artifact dir (core.staged_build: `<path>__build__merge_lock`
+            # plus .hb/.rel-/.stale- remnants); evicting the artifact
+            # should not strand them.  Age-gated past any live lease
+            # TTL so an in-flight rebuild's lock is never swept.
+            prefix = os.path.basename(a.path.rstrip("/")) + "__build__merge_lock"
+            parent = os.path.dirname(a.path.rstrip("/"))
+            try:
+                for name in os.listdir(parent):
+                    if not name.startswith(prefix):
+                        continue
+                    fp = os.path.join(parent, name)
+                    try:
+                        if now - os.stat(fp).st_mtime > 3600:
+                            os.unlink(fp)
+                    except OSError:
+                        pass
+            except OSError:
+                pass
     # prune now-empty fixture dirs so the tree doesn't accrete husks
     if not dry_run:
         for root, dirs, files in list(os.walk(base, topdown=False)):
