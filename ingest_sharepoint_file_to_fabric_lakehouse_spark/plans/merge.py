@@ -591,7 +591,11 @@ def recover_table_partitioned(spark: SparkSession, target_path: str) -> str:
         fs.delete(jptmp, True)
         return "rolled_back"
     stream = fs.open(jplan)
-    plan = bytes(stream.readAllBytes()).decode().split()
+    # newline-separated, and ONLY newline: partition dir names can
+    # contain spaces (Hive path escaping leaves them bare), while
+    # newlines are always %0A-escaped — so splitlines() is lossless
+    # where split() would shred "p=new york".
+    plan = [d for d in bytes(stream.readAllBytes()).decode().splitlines() if d]
     stream.close()
     for d in plan:
         _swap_partition(fs, mk, jtarget, jptmp, d)

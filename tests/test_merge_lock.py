@@ -622,3 +622,27 @@ def test_merge_partitioned_randomized_crash_recovery_model(spark, tmp_path):
         got = {r.id: (r.p, r.v) for r in read_table(spark, path).collect()}
         assert got == new, (seed, step)
         assert not [n for n in os.listdir(tmp_path) if "__merge_" in n], step
+
+
+def test_merge_partitioned_handles_partition_values_with_spaces(spark, tmp_path):
+    """Hive path escaping leaves SPACES bare in partition dir names
+    (`p=new york`), so the recovery plan must be newline-parsed, never
+    whitespace-split.  Crash after the plan write, heal, and the
+    space-named partition must roll forward whole."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.plans.merge import (
+        SimulatedCrash,
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "spacey")
+    spark.createDataFrame(
+        [(1, "new york", 10.0), (2, "la", 20.0)], "id long, p string, v double"
+    ).write.partitionBy("p").parquet(path)
+    src = spark.createDataFrame(
+        [(1, "new york", 99.0), (3, "new york", 30.0)], "id long, p string, v double"
+    )
+    with pytest.raises(SimulatedCrash):
+        merge_upsert_partitioned(spark, path, src, "id", "p", _crash="after_plan_write")
+    got = {r.id: (r.p, r.v) for r in read_table(spark, path).collect()}
+    assert got == {1: ("new york", 99.0), 2: ("la", 20.0), 3: ("new york", 30.0)}
+    assert not [n for n in os.listdir(tmp_path) if "__merge_" in n]
