@@ -802,10 +802,14 @@ def merge_upsert_partitioned(
     Writers take the same lease as :func:`merge_upsert`.
 
     Assumes ``part_col`` is stable per key (a row never migrates
-    between partitions) — the standard partitioned-MERGE contract.
-    ``part_col`` must be bounded-cardinality (it's a partition column),
-    so collecting the touched-partition values is driver-safe, and the
-    per-partition swap loop is a bounded sequence of metadata renames.
+    between partitions) and NON-NULL — ``isin(touched)`` never matches
+    SQL NULL, so a null-partitioned target row would be invisible to
+    the merge and then replaced by the swap (the prior
+    dynamic-overwrite path had the identical blind spot; both are the
+    standard partitioned-MERGE contract).  ``part_col`` must be
+    bounded-cardinality (it's a partition column), so collecting the
+    touched-partition values is driver-safe, and the per-partition
+    swap loop is a bounded sequence of metadata renames.
 
     ``_crash`` names a protocol step to die at (:class:`SimulatedCrash`,
     same semantics as :func:`merge_upsert`): ``"after_stage_write"``,
