@@ -288,10 +288,14 @@ def read_staged(spark: SparkSession, path: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, path, token, st.st_mtime_ns)
     cached = _STAGED_CACHE.get(key)
     if cached is None:
-        for stale in [
-            k for k in _STAGED_CACHE if k[0] == key[0] and k[1] == key[1]
-        ]:
-            del _STAGED_CACHE[stale]
+        # snapshot first (list() is one atomic C-level pass under the
+        # GIL): concurrent staged operators — a pattern staged_build
+        # explicitly supports — may insert while we sweep, and
+        # iterating the live dict would raise RuntimeError;
+        # pop(..., None) likewise tolerates a racing eviction.
+        for stale in list(_STAGED_CACHE):
+            if stale[0] == key[0] and stale[1] == key[1]:
+                _STAGED_CACHE.pop(stale, None)
         _STAGED_CACHE[key] = cached = spark.read.parquet(path)
     _touch_lastuse(path)
     return cached
@@ -333,6 +337,7 @@ def staged_build(spark: SparkSession, token: str, *paths: str):
         MergeLockTimeout,
         _acquire_lock,
         _hold_lease,
+        _lease_keeper,
         _release_lock,
         _sweep_lock_debris,
     )
@@ -340,25 +345,29 @@ def staged_build(spark: SparkSession, token: str, *paths: str):
     # Lease against a pseudo-target NAMED for the artifact: the lock
     # file is `<paths[0]>__build__merge_lock`, a sibling of the
     # artifact dir (never inside it — the overwrite would delete it).
+    # _acquire_lock creates the missing parent dir itself on the local
+    # scheme (a lease can precede the artifact's first write).
     lockbase = paths[0].rstrip("/") + "__build"
-    parent = os.path.dirname(lockbase)
-    if parent and "://" not in lockbase:
-        os.makedirs(parent, exist_ok=True)  # local lock needs its parent
     lease = _acquire_lock(spark, lockbase, lock_ttl_sec=600.0, lock_wait_sec=600.0)
     # builds are rare; piggyback the aged claim-file sweep here (the
     # MERGE targets get theirs in recovery)
     _sweep_lock_debris(spark, lockbase)
     try:
-        need = not all(staging_current(p, token) for p in paths)
-        yield need
-        if need:
-            if not _hold_lease(spark, lockbase, lease):
-                raise MergeLockTimeout(
-                    f"staged build of {paths[0]} outlived its lease "
-                    "(taken over by another builder); not stamping"
-                )
-            for p in paths:
-                stamp_staging(p, token)
+        # the keeper re-arms the TTL for the build's whole duration, so
+        # an arbitrarily long index build keeps its lease (takeover
+        # then only fires on real builder death) — the post-build
+        # ownership check below stays as defense in depth
+        with _lease_keeper(spark, lockbase, lease, 600.0):
+            need = not all(staging_current(p, token) for p in paths)
+            yield need
+            if need:
+                if not _hold_lease(spark, lockbase, lease):
+                    raise MergeLockTimeout(
+                        f"staged build of {paths[0]} outlived its lease "
+                        "(taken over by another builder); not stamping"
+                    )
+                for p in paths:
+                    stamp_staging(p, token)
     finally:
         _release_lock(spark, lockbase, lease)
 

@@ -1258,7 +1258,12 @@ def _pq_train(spark: SparkSession, sf_dir: str, sv: DataFrame) -> list:
             _PQ_CB_CACHE[ck] = _json.load(fh)
         return _PQ_CB_CACHE[ck]
     with staged_build(spark, ck[1], cb_dir) as need:
-        if need:
+        # `or not isfile`: a stamped dir whose codebook.json was
+        # externally removed must retrain (the pre-staged_build code
+        # had this defense; the gate alone only checks the stamp).
+        # In that freak state the artifact is already stamped current,
+        # so re-writing the json under the build lease repairs it.
+        if need or not _os.path.isfile(cb_file):
             rows = _collect_centroids(spark, sf_dir)
             cb = [
                 {

@@ -187,12 +187,19 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         # A crashed PARTITIONED merge leaves the target present but
         # possibly missing mid-swap partitions; heal it — unless a
         # LIVE writer owns the lease (fresh lock ⇒ the ptmp is its
-        # in-progress stage; a zero-ish wait keeps readers lock-free
-        # on the happy path and non-blocking on this one).  A crashed
-        # writer's still-fresh lock defers healing for up to the TTL —
-        # the same availability window every lease protocol has.  (The
-        # 1s wait exists so a STALE lock still reaches the takeover
-        # branch; a live writer costs the reader at most that poll.)
+        # in-progress stage, which healing would DELETE from under it;
+        # the writer's _lease_keeper re-arms the TTL continuously, so
+        # fresh means live and stale means dead).  Honest contract for
+        # the deferred case: a writer killed mid-swap leaves the swap
+        # gap VISIBLE — this read returns the table without the
+        # partition that was mid-rename (wrong results for that slice,
+        # not unavailability) until the lease ages out (≤ TTL) or the
+        # next writer heals it.  The mid-swap window is a handful of
+        # metadata renames (~ms), and cross-partition snapshot
+        # isolation on plain directories is exactly what the Delta
+        # dispatch exists for.  (The 1s wait exists so a STALE lock
+        # still reaches the takeover branch; a live writer costs the
+        # reader at most that poll.)
         try:
             tok = _acquire_lock(spark, path, lock_ttl_sec=600.0, lock_wait_sec=1.0)
         except MergeLockTimeout:
@@ -431,6 +438,46 @@ def _release_lock(spark: SparkSession, target_path: str, token: str) -> None:
 
 
 @contextmanager
+def _lease_keeper(
+    spark: SparkSession, target_path: str, token: str, lock_ttl_sec: float
+):
+    """Background TTL re-arm for a long-running leased section.
+
+    The mtime/heartbeat refresh used to happen only at discrete
+    checkpoints (post-stage, per swap iteration), which left the
+    LONGEST phase — the stage write itself — un-refreshed: a stage
+    outliving ``lock_ttl_sec`` made the lease takeover-eligible, and
+    ``read_table``'s ptmp probe (or a rival writer) could steal it and
+    delete the LIVE writer's in-flight stage.  A daemon thread now
+    beats ``_hold_lease`` every ttl/10 for the section's duration, so
+    a fresh lease means a LIVE holder and a stale one means a DEAD
+    one — takeover only ever fires on real process death.  If the
+    beat observes ownership lost (a takeover raced an extreme stall),
+    it stops silently; the owner still aborts at its next explicit
+    checkpoint.  The checkpoints stay — defense in depth."""
+    import threading
+
+    interval = max(0.5, lock_ttl_sec / 10.0)
+    stop = threading.Event()
+
+    def beat() -> None:
+        while not stop.wait(interval):
+            try:
+                if not _hold_lease(spark, target_path, token):
+                    return
+            except Exception:  # pragma: no cover - py4j teardown races
+                return
+
+    th = threading.Thread(target=beat, daemon=True, name="merge-lease-keeper")
+    th.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        th.join(timeout=5.0)
+
+
+@contextmanager
 def merge_lease(
     spark: SparkSession,
     target_path: str,
@@ -441,10 +488,13 @@ def merge_lease(
     e.g. seed-write + MERGE + stamp as one serialized unit.  Yields
     the owner token; pass it to :func:`merge_upsert` via
     ``_held_token`` so the merge runs under THIS lease instead of
-    acquiring its own (same path ⇒ self-deadlock otherwise)."""
+    acquiring its own (same path ⇒ self-deadlock otherwise).  A
+    :func:`_lease_keeper` re-arms the TTL for the whole section, so an
+    arbitrarily long seed write never ages the lease out."""
     token = _acquire_lock(spark, target_path, lock_ttl_sec, lock_wait_sec)
     try:
-        yield token
+        with _lease_keeper(spark, target_path, token, lock_ttl_sec):
+            yield token
     finally:
         _release_lock(spark, target_path, token)
 
@@ -709,74 +759,82 @@ def merge_upsert(
     # (via :func:`merge_lease`) — run under it, don't re-acquire (the
     # same-path second acquire would deadlock until timeout) and don't
     # release on exit (the lease outlives this call by design).
+    from contextlib import nullcontext
+
     token = _held_token or _acquire_lock(
         spark, target_path, lock_ttl_sec, lock_wait_sec
     )
+    keeper = (
+        _lease_keeper(spark, target_path, token, lock_ttl_sec)
+        if _held_token is None
+        else nullcontext()  # the outer merge_lease runs the keeper
+    )
     try:
-        # Step 1: heal any prior crash before reading the target.
-        state = recover_table(spark, target_path)
-        if state == "missing":
-            raise FileNotFoundError(f"merge target does not exist: {target_path}")
-        fs, jtarget, jtmp, jbak, _ = _paths(spark, target_path)
-        target = spark.read.parquet(target_path)
-        merged = _merged_frame(target, source, key)
+        with keeper:
+            # Step 1: heal any prior crash before reading the target.
+            state = recover_table(spark, target_path)
+            if state == "missing":
+                raise FileNotFoundError(f"merge target does not exist: {target_path}")
+            fs, jtarget, jtmp, jbak, _ = _paths(spark, target_path)
+            target = spark.read.parquet(target_path)
+            merged = _merged_frame(target, source, key)
 
-        # Step 2: stage the merged table (Spark drops tmp/_SUCCESS on
-        # completion — the roll-forward witness).
-        merged.write.mode("overwrite").parquet(jtmp.toString())
-        crashpoint("after_stage_write")
-        if _after_stage is not None:  # test-only interleave
-            _after_stage()
-        # Lease checkpoint: the stage write is the long pole, and a
-        # stage outliving lock_ttl_sec makes the lease stealable.
-        # Verify ownership (and re-arm the TTL) BEFORE the destructive
-        # renames — losing the lease here must abort, not interleave.
-        if not _hold_lease(spark, target_path, token):
-            raise MergeLockTimeout(
-                f"merge lease on {target_path} lost during staging "
-                f"(stage outlived lock_ttl_sec={lock_ttl_sec}); aborting "
-                "before commit — another writer owns the table now"
-            )
-        # Step 3: move the old table aside (commit in flight).
-        if not fs.rename(jtarget, jbak):
-            raise OSError(f"rename {target_path} -> {jbak} failed")
-        crashpoint("after_backup_rename")
-        if _between_backup_and_commit is not None:  # test-only interleave
-            _between_backup_and_commit()
-        # Step 4: THE commit point.  A failed rename may RAISE rather
-        # than return false (RawLocalFileSystem's copy fallback throws
-        # FileNotFoundException on a vanished source) — both shapes
-        # mean "rename didn't happen", so both fall into the re-probe.
-        try:
-            committed = fs.rename(jtmp, jtarget)
-        except Exception:
-            committed = False
-        if not committed:
-            # A lock-free READER arriving between steps 3 and 4 sees a
-            # missing target and ROLLS OUR COMPLETE STAGE FORWARD
-            # itself (read_table → recover_table).  Re-probe: target
-            # present with tmp gone means OUR commit landed — finish
-            # cleanup and succeed rather than raising over a merge
-            # that actually committed.
-            if fs.exists(jtarget) and not fs.exists(jtmp):
-                fs.delete(jbak, True)
-                return
-            # roll back (same rule recovery applies).  The rollback
-            # rename itself can lose to a reader's roll-forward landing
-            # AFTER the re-probe above — so on rollback failure,
-            # re-probe ONCE MORE: target present with tmp gone means
-            # the merge actually committed; report success, not error.
+            # Step 2: stage the merged table (Spark drops tmp/_SUCCESS on
+            # completion — the roll-forward witness).
+            merged.write.mode("overwrite").parquet(jtmp.toString())
+            crashpoint("after_stage_write")
+            if _after_stage is not None:  # test-only interleave
+                _after_stage()
+            # Lease checkpoint: the stage write is the long pole, and a
+            # stage outliving lock_ttl_sec makes the lease stealable.
+            # Verify ownership (and re-arm the TTL) BEFORE the destructive
+            # renames — losing the lease here must abort, not interleave.
+            if not _hold_lease(spark, target_path, token):
+                raise MergeLockTimeout(
+                    f"merge lease on {target_path} lost during staging "
+                    f"(stage outlived lock_ttl_sec={lock_ttl_sec}); aborting "
+                    "before commit — another writer owns the table now"
+                )
+            # Step 3: move the old table aside (commit in flight).
+            if not fs.rename(jtarget, jbak):
+                raise OSError(f"rename {target_path} -> {jbak} failed")
+            crashpoint("after_backup_rename")
+            if _between_backup_and_commit is not None:  # test-only interleave
+                _between_backup_and_commit()
+            # Step 4: THE commit point.  A failed rename may RAISE rather
+            # than return false (RawLocalFileSystem's copy fallback throws
+            # FileNotFoundException on a vanished source) — both shapes
+            # mean "rename didn't happen", so both fall into the re-probe.
             try:
-                rolled_back = fs.rename(jbak, jtarget)
+                committed = fs.rename(jtmp, jtarget)
             except Exception:
-                rolled_back = False
-            if not rolled_back and fs.exists(jtarget) and not fs.exists(jtmp):
-                fs.delete(jbak, True)
-                return
-            raise OSError(f"rename {jtmp} -> {target_path} failed")
-        crashpoint("after_commit_rename")
-        # Step 5: post-commit cleanup.
-        fs.delete(jbak, True)
+                committed = False
+            if not committed:
+                # A lock-free READER arriving between steps 3 and 4 sees a
+                # missing target and ROLLS OUR COMPLETE STAGE FORWARD
+                # itself (read_table → recover_table).  Re-probe: target
+                # present with tmp gone means OUR commit landed — finish
+                # cleanup and succeed rather than raising over a merge
+                # that actually committed.
+                if fs.exists(jtarget) and not fs.exists(jtmp):
+                    fs.delete(jbak, True)
+                    return
+                # roll back (same rule recovery applies).  The rollback
+                # rename itself can lose to a reader's roll-forward landing
+                # AFTER the re-probe above — so on rollback failure,
+                # re-probe ONCE MORE: target present with tmp gone means
+                # the merge actually committed; report success, not error.
+                try:
+                    rolled_back = fs.rename(jbak, jtarget)
+                except Exception:
+                    rolled_back = False
+                if not rolled_back and fs.exists(jtarget) and not fs.exists(jtmp):
+                    fs.delete(jbak, True)
+                    return
+                raise OSError(f"rename {jtmp} -> {target_path} failed")
+            crashpoint("after_commit_rename")
+            # Step 5: post-commit cleanup.
+            fs.delete(jbak, True)
     finally:
         if _held_token is None:
             _release_lock(spark, target_path, token)
@@ -823,14 +881,17 @@ def merge_upsert_partitioned(
     """
     touched = [r[0] for r in source.select(part_col).distinct().collect()]
     if HAVE_DELTA and DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
-        in_list = ", ".join(repr(v) for v in touched)
+        # Column-built condition, not an f-string IN-list: repr() of a
+        # date/decimal partition value is not SQL (repr(date(1997,1,1))
+        # == 'datetime.date(1997, 1, 1)'), while isin() literal-encodes
+        # every Spark-supported type correctly.
+        cond = F.col(f"t.{part_col}").isin(touched) & (
+            F.col(f"t.{key}") == F.col(f"s.{key}")
+        )
         (
             DeltaTable.forPath(spark, target_path)
             .alias("t")
-            .merge(
-                source.alias("s"),
-                f"t.{part_col} IN ({in_list}) AND t.{key} = s.{key}",
-            )
+            .merge(source.alias("s"), cond)
             .whenMatchedUpdateAll()
             .whenNotMatchedInsertAll()
             .execute()
@@ -841,57 +902,74 @@ def merge_upsert_partitioned(
         if _crash == step:
             raise SimulatedCrash(step)
 
+    from contextlib import nullcontext
+
     token = _held_token or _acquire_lock(
         spark, target_path, lock_ttl_sec, lock_wait_sec
     )
+    keeper = (
+        _lease_keeper(spark, target_path, token, lock_ttl_sec)
+        if _held_token is None
+        else nullcontext()  # the outer merge_lease runs the keeper
+    )
     try:
-        # Step 1: heal any prior crash before reading the target.
-        recover_table_partitioned(spark, target_path)
-        fs, jtarget, mk, jptmp, jplan, _ = _ppaths(spark, target_path)
-        target = spark.read.parquet(target_path).filter(F.col(part_col).isin(touched))
-        merged = _merged_frame(target, source, key)
-        # Step 2: stage the merged TOUCHED partitions off to the side —
-        # the live table is not written until the rename swaps.
-        merged.write.mode("overwrite").partitionBy(part_col).parquet(jptmp.toString())
-        crashpoint("after_stage_write")
-        # Step 3: the plan — the staged partition dir names, taken from
-        # the filesystem (not re-encoded from values, so the names are
-        # exactly what Spark's partitioning layer wrote).
-        plan = sorted(
-            st.getPath().getName()
-            for st in fs.listStatus(jptmp)
-            if st.isDirectory() and st.getPath().getName().startswith(part_col + "=")
-        )
-        out = fs.create(jplan, True)
-        out.write(bytearray("\n".join(plan).encode()))
-        out.close()
-        crashpoint("after_plan_write")
-        # Step 4: per-partition atomic swap.  The lease is re-verified
-        # (and its TTL re-armed) before the first destructive rename
-        # and on every iteration — ms-cost metadata reads against a
-        # swap loop that must never interleave with a takeover's.
-        for i, d in enumerate(plan):
-            if not _hold_lease(spark, target_path, token):
-                raise MergeLockTimeout(
-                    f"merge lease on {target_path} lost during the "
-                    f"partition swap (step {i}/{len(plan)}); aborting — "
-                    "recovery resumes the swap from the plan file"
-                )
-            jsrc = mk(jptmp.toString() + "/" + d)
-            jdst = mk(jtarget.toString() + "/" + d)
-            jbak = mk(jtarget.toString() + "/" + _BAK_PREFIX + d)
-            if fs.exists(jdst):
-                if not fs.rename(jdst, jbak):
-                    raise OSError(f"rename {jdst} -> {jbak} failed")
-            crashpoint(f"after_backup_rename:{i}")
-            if not fs.rename(jsrc, jdst):
-                raise OSError(f"rename {jsrc} -> {jdst} failed")
-            crashpoint(f"after_commit_rename:{i}")
-            fs.delete(jbak, True)
-            crashpoint(f"after_bak_delete:{i}")
-        # Step 5: plan consumed — post-commit cleanup.
-        crashpoint("before_ptmp_delete")
-        fs.delete(jptmp, True)
+        with keeper:
+            # Step 1: heal any prior crash before reading the target.
+            recover_table_partitioned(spark, target_path)
+            fs, jtarget, mk, jptmp, jplan, _ = _ppaths(spark, target_path)
+            target = spark.read.parquet(target_path).filter(F.col(part_col).isin(touched))
+            merged = _merged_frame(target, source, key)
+            # Step 2: stage the merged TOUCHED partitions off to the side —
+            # the live table is not written until the rename swaps.
+            merged.write.mode("overwrite").partitionBy(part_col).parquet(jptmp.toString())
+            crashpoint("after_stage_write")
+            # Step 3: the plan — the staged partition dir names, taken from
+            # the filesystem (not re-encoded from values, so the names are
+            # exactly what Spark's partitioning layer wrote).  Written to a
+            # temp name and RENAMED into place: plan presence is the
+            # roll-forward authorization, so it must appear atomically — an
+            # in-place write crashed mid-flush would leave a TRUNCATED plan
+            # that recovery would treat as complete, rolling forward only a
+            # prefix of the touched partitions (a mixed old/new table).
+            plan = sorted(
+                st.getPath().getName()
+                for st in fs.listStatus(jptmp)
+                if st.isDirectory() and st.getPath().getName().startswith(part_col + "=")
+            )
+            jplan_tmp = mk(jplan.toString() + ".tmp")
+            out = fs.create(jplan_tmp, True)
+            out.write(bytearray("\n".join(plan).encode()))
+            out.close()
+            crashpoint("after_plan_tmp_write")
+            if not fs.rename(jplan_tmp, jplan):
+                raise OSError(f"rename {jplan_tmp} -> {jplan} failed")
+            crashpoint("after_plan_write")
+            # Step 4: per-partition atomic swap.  The lease is re-verified
+            # (and its TTL re-armed) before the first destructive rename
+            # and on every iteration — ms-cost metadata reads against a
+            # swap loop that must never interleave with a takeover's.
+            for i, d in enumerate(plan):
+                if not _hold_lease(spark, target_path, token):
+                    raise MergeLockTimeout(
+                        f"merge lease on {target_path} lost during the "
+                        f"partition swap (step {i}/{len(plan)}); aborting — "
+                        "recovery resumes the swap from the plan file"
+                    )
+                jsrc = mk(jptmp.toString() + "/" + d)
+                jdst = mk(jtarget.toString() + "/" + d)
+                jbak = mk(jtarget.toString() + "/" + _BAK_PREFIX + d)
+                if fs.exists(jdst):
+                    if not fs.rename(jdst, jbak):
+                        raise OSError(f"rename {jdst} -> {jbak} failed")
+                crashpoint(f"after_backup_rename:{i}")
+                if not fs.rename(jsrc, jdst):
+                    raise OSError(f"rename {jsrc} -> {jdst} failed")
+                crashpoint(f"after_commit_rename:{i}")
+                fs.delete(jbak, True)
+                crashpoint(f"after_bak_delete:{i}")
+            # Step 5: plan consumed — post-commit cleanup.
+            crashpoint("before_ptmp_delete")
+            fs.delete(jptmp, True)
     finally:
         if _held_token is None:
             _release_lock(spark, target_path, token)

@@ -146,7 +146,10 @@ def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _held_token (a second same-path acquire would self-deadlock).
     # The stamp stays AFTER the merge: merge_upsert swaps directories,
     # which drops any marker written before it.
-    with merge_lease(spark, path) as held:
+    # lock_wait matches staged_build's 600s: a rival's COLD seed (a
+    # full-table rewrite) can far outlast the default 60s writer wait,
+    # and the right behavior is to queue behind it, not fail.
+    with merge_lease(spark, path, lock_wait_sec=600.0) as held:
         if not staging_current(path, token):
             target = orders.filter(
                 F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -206,7 +209,8 @@ def sink_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
     )
     # seed + MERGE + stamp under one lease — see sink_delta_merge
-    with merge_lease(spark, path) as held:
+    # (600s wait: queue behind a rival's cold seed, don't fail)
+    with merge_lease(spark, path, lock_wait_sec=600.0) as held:
         if not staging_current(path, token):
             target = orders.filter(
                 F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")

@@ -207,7 +207,11 @@ def test_delta_dispatch_routes_merge_through_deltatable(spark, tmp_path, monkeyp
     src2 = spark.createDataFrame([(1, 1.0, "a")], "id long, v double, p string")
     mm.merge_upsert_partitioned(spark, path, src2, "id", "p")
     conds = [c for c in _FakeDeltaTable.calls if c[0] == "merge"]
-    assert conds and "t.p IN ('a')" in conds[0][1] and "t.id = s.id" in conds[0][1]
+    # the condition is a Column (isin literal-encodes dates/decimals
+    # correctly where a repr()-built IN-list would not be SQL); its
+    # string form must carry the partition prune AND the key equality
+    cond_str = str(conds[0][1])
+    assert conds and "in(t.p, 'a')" in cond_str and "=(t.id, s.id)" in cond_str
     assert ("execute",) in _FakeDeltaTable.calls
 
 
@@ -360,6 +364,11 @@ def test_merge_partitioned_crash_at_every_step_never_torn(spark, tmp_path):
     new = {1: (1, 10.0), 2: (2, 99.0), 3: (3, 30.0), 4: (3, 44.0), 5: (4, 55.0)}
     steps = {
         "after_stage_write": old,  # plan not yet written: roll back
+        # plan staged to .tmp but not yet renamed into place: still no
+        # roll-forward authorization — recovery must discard (the
+        # atomic rename is what makes a truncated in-place plan write
+        # impossible)
+        "after_plan_tmp_write": old,
         "after_plan_write": new,  # plan + _SUCCESS: roll forward
         "after_backup_rename:0": new,
         "after_commit_rename:0": new,
@@ -645,4 +654,40 @@ def test_merge_partitioned_handles_partition_values_with_spaces(spark, tmp_path)
         merge_upsert_partitioned(spark, path, src, "id", "p", _crash="after_plan_write")
     got = {r.id: (r.p, r.v) for r in read_table(spark, path).collect()}
     assert got == {1: ("new york", 99.0), 2: ("la", 20.0), 3: ("new york", 30.0)}
+    assert not [n for n in os.listdir(tmp_path) if "__merge_" in n]
+
+
+def test_lease_keeper_defends_long_stage_from_takeover(spark, tmp_path):
+    """A stage/section outliving lock_ttl_sec must NOT lose its lease
+    while the writer is alive: the background keeper re-arms the TTL,
+    so a rival polling with the same ttl times out instead of taking
+    over (without the keeper this exact sequence steals the lock and
+    the live writer aborts)."""
+    import threading
+    import time as _time
+
+    path = str(tmp_path / "keeper")
+    _seed(spark, path, [(1, 1.0)])
+    result: dict = {}
+
+    def writer():
+        try:
+            src = spark.createDataFrame([(2, 2.0)], "id long, v double")
+            merge_upsert(
+                spark, path, src, "id",
+                lock_ttl_sec=2.0,
+                _after_stage=lambda: _time.sleep(5.0),  # stage >> ttl
+            )
+            result["ok"] = True
+        except Exception as e:  # pragma: no cover - failure reporting
+            result["err"] = e
+
+    th = threading.Thread(target=writer)
+    th.start()
+    _time.sleep(3.0)  # well past the 2s ttl, writer still staging
+    with pytest.raises(MergeLockTimeout):
+        _acquire_lock(spark, path, lock_ttl_sec=2.0, lock_wait_sec=0.6)
+    th.join()
+    assert result.get("ok"), result.get("err")
+    assert {r.id: r.v for r in read_table(spark, path).collect()} == {1: 1.0, 2: 2.0}
     assert not [n for n in os.listdir(tmp_path) if "__merge_" in n]
