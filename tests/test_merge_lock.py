@@ -691,3 +691,17 @@ def test_lease_keeper_defends_long_stage_from_takeover(spark, tmp_path):
     assert result.get("ok"), result.get("err")
     assert {r.id: r.v for r in read_table(spark, path).collect()} == {1: 1.0, 2: 2.0}
     assert not [n for n in os.listdir(tmp_path) if "__merge_" in n]
+
+
+def test_lease_keeper_threads_do_not_leak(spark, tmp_path):
+    """Every leased section joins its keeper on exit — a merge must not
+    leave merge-lease-keeper threads running (a long bench session
+    would otherwise accumulate hundreds of beat loops)."""
+    import threading
+
+    path = str(tmp_path / "keeper_leak")
+    _seed(spark, path, [(1, 1.0)])
+    src = spark.createDataFrame([(2, 2.0)], "id long, v double")
+    merge_upsert(spark, path, src, "id")
+    alive = [t.name for t in threading.enumerate() if "merge-lease-keeper" in t.name]
+    assert not alive, alive

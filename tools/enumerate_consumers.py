@@ -10,6 +10,13 @@ already-bound module-level names.
 
 Output: JSON {"staging": [keys...], "merge": [keys...]} on stdout.
 Usage: python tools/enumerate_consumers.py [sf_dir]
+       python tools/enumerate_consumers.py --window [sf_dir]
+
+``--window`` additionally proposes the NEXT driver window: the
+enumerated consumer set (only needed if this round edited the shared
+staging/MERGE surface — drop them otherwise) padded to 50 slots with
+the oldest driver verdicts from CORRECTNESS_r*.json (the verdict-age
+rotation queue, oldest first).
 """
 
 from __future__ import annotations
@@ -99,8 +106,39 @@ def main() -> int:
         "merge": sorted(merge_consumers),
         "errors": errs,
     }
+    if "--window" in sys.argv:
+        out["window_proposal"] = _propose_window(
+            sorted(staging_consumers | merge_consumers), list(engine.QUERIES)
+        )
     print(json.dumps(out, indent=1))
     return 0
+
+
+def _propose_window(consumers: list[str], all_keys: list[str]) -> dict:
+    """Consumers first (pin only if the shared surface was edited this
+    round), then the oldest driver verdicts until 50 slots are full."""
+    import glob
+    import re
+
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        for k in json.load(open(f)):
+            latest[k] = max(latest.get(k, 0), rnd)
+    rotation = sorted(
+        (k for k in all_keys if k not in set(consumers)),
+        key=lambda k: (latest.get(k, 0), k),
+    )
+    window = (consumers + rotation)[:50]
+    return {
+        "window_50": window,
+        "consumer_slots": min(len(consumers), 50),
+        "rotation_slots": max(0, 50 - len(consumers)),
+        "oldest_remaining": [
+            {"key": k, "latest_verdict_round": latest.get(k, 0)}
+            for k in rotation[max(0, 50 - len(consumers)):][:10]
+        ],
+    }
 
 
 if __name__ == "__main__":
