@@ -132,10 +132,13 @@ Concurrency
 
 from __future__ import annotations
 
+import logging
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 try:  # pragma: no cover - delta not installed here
     from delta.tables import DeltaTable  # noqa: F401
@@ -199,7 +202,10 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         # isolation on plain directories is exactly what the Delta
         # dispatch exists for.  (The 1s wait exists so a STALE lock
         # still reaches the takeover branch; a live writer costs the
-        # reader at most that poll.)
+        # reader at most that poll.)  The fixed 600s staleness bar is
+        # safe against ANY writer-configured TTL because _lease_keeper
+        # caps its beat interval at 60s: a LIVE writer's lease mtime is
+        # always an order of magnitude fresher than this bar.
         try:
             tok = _acquire_lock(spark, path, lock_ttl_sec=600.0, lock_wait_sec=1.0)
         except MergeLockTimeout:
@@ -437,6 +443,14 @@ def _release_lock(spark: SparkSession, target_path: str, token: str) -> None:
             pass
 
 
+def _keeper_interval(lock_ttl_sec: float) -> float:
+    """The keeper's beat period: ``ttl/10`` capped at 60 s (so a live
+    lease is always fresh against ``read_table``'s fixed 600 s
+    staleness bar, whatever TTL the writer configured) and floored at
+    0.5 s (tests use single-digit TTLs)."""
+    return max(0.5, min(lock_ttl_sec / 10.0, 60.0))
+
+
 @contextmanager
 def _lease_keeper(
     spark: SparkSession, target_path: str, token: str, lock_ttl_sec: float
@@ -453,19 +467,47 @@ def _lease_keeper(
     a fresh lease means a LIVE holder and a stale one means a DEAD
     one — takeover only ever fires on real process death.  If the
     beat observes ownership lost (a takeover raced an extreme stall),
-    it stops silently; the owner still aborts at its next explicit
-    checkpoint.  The checkpoints stay — defense in depth."""
+    it stops — with a WARNING naming the path and token, so a
+    takeover-under-stall is post-hoc diagnosable from the log rather
+    than only from the owner's later abort; the owner still aborts at
+    its next explicit checkpoint.  The checkpoints stay — defense in
+    depth.
+
+    The beat interval is ``ttl/10`` CAPPED AT 60 s: ``read_table``'s
+    ptmp-heal path judges a lease stale against its own fixed 600 s
+    TTL, so an uncapped interval under a writer configured with
+    ``lock_ttl_sec > 6000`` would leave >600 s beat gaps — long enough
+    for a concurrent reader to judge the LIVE writer dead and delete
+    its in-flight ptmp stage.  The cap keeps every live lease's mtime
+    under ~60 s + one stall, an order of magnitude inside the reader's
+    staleness bar, for ANY configured TTL.  (All in-repo callers use
+    the 600 s default, where ``min(60, 60)`` is the same interval as
+    before.)"""
     import threading
 
-    interval = max(0.5, lock_ttl_sec / 10.0)
+    interval = _keeper_interval(lock_ttl_sec)
     stop = threading.Event()
 
     def beat() -> None:
         while not stop.wait(interval):
             try:
                 if not _hold_lease(spark, target_path, token):
+                    _LOG.warning(
+                        "merge lease keeper stopping: ownership of %s lost "
+                        "(token %s taken over under stall); the holder will "
+                        "abort at its next checkpoint",
+                        target_path,
+                        token,
+                    )
                     return
             except Exception:  # pragma: no cover - py4j teardown races
+                _LOG.warning(
+                    "merge lease keeper stopping: beat on %s failed "
+                    "(token %s; gateway teardown?)",
+                    target_path,
+                    token,
+                    exc_info=True,
+                )
                 return
 
     th = threading.Thread(target=beat, daemon=True, name="merge-lease-keeper")
@@ -862,9 +904,15 @@ def merge_upsert_partitioned(
     Assumes ``part_col`` is stable per key (a row never migrates
     between partitions) and NON-NULL — ``isin(touched)`` never matches
     SQL NULL, so a null-partitioned target row would be invisible to
-    the merge and then replaced by the swap (the prior
-    dynamic-overwrite path had the identical blind spot; both are the
-    standard partitioned-MERGE contract).  ``part_col`` must be
+    the merge and then replaced by the swap: the source's null rows
+    would stage into ``__HIVE_DEFAULT_PARTITION__``, enter the swap
+    plan, and silently DELETE the target's existing null-partition
+    rows (the prior dynamic-overwrite path had the identical blind
+    spot; both are the standard partitioned-MERGE contract).  The
+    non-null half is ENFORCED, not just assumed: ``touched`` is
+    already collected on the driver, so a source containing a null
+    ``part_col`` raises :class:`ValueError` before any write — loudly,
+    where the silent-loss path used to begin.  ``part_col`` must be
     bounded-cardinality (it's a partition column), so collecting the
     touched-partition values is driver-safe, and the per-partition
     swap loop is a bounded sequence of metadata renames.
@@ -880,6 +928,14 @@ def merge_upsert_partitioned(
     partitions exactly like the parquet path's pruned read.
     """
     touched = [r[0] for r in source.select(part_col).distinct().collect()]
+    if any(v is None for v in touched):
+        raise ValueError(
+            f"partitioned MERGE into {target_path}: source rows with NULL "
+            f"{part_col} are not mergeable — isin() can never match SQL "
+            "NULL, so the swap would replace the target's null partition "
+            "without merging its rows (silent data loss); filter or "
+            "default the null keys first"
+        )
     if HAVE_DELTA and DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
         # Column-built condition, not an f-string IN-list: repr() of a
         # date/decimal partition value is not SQL (repr(date(1997,1,1))
