@@ -1257,13 +1257,24 @@ def _pq_train(spark: SparkSession, sf_dir: str, sv: DataFrame) -> list:
         with open(cb_file) as fh:
             _PQ_CB_CACHE[ck] = _json.load(fh)
         return _PQ_CB_CACHE[ck]
+    if not _os.path.isfile(cb_file):
+        # Stamped-current but codebook.json externally removed: the
+        # repair MUST run under the build lease, and staged_build's
+        # fast path would skip the lock when every stamp is current —
+        # the prior `need or not isfile(cb_file)` body condition then
+        # let two processes in this state interleave cb_file writes
+        # unserialized (ADVICE r13).  Un-stamp first: this build is
+        # forced onto the leased path, the gate is re-probed UNDER the
+        # lock, and a racer that blocks behind the winner sees the
+        # fresh stamp and reuses the repaired file.  (Stamp-current
+        # implies cb_file exists once stamping is reached, so `need`
+        # alone now decides the body — no unserialized branch left.)
+        try:
+            _os.remove(f"{cb_dir}/_SG_FINGERPRINT")
+        except OSError:
+            pass  # never stamped, or a racing repair already un-stamped
     with staged_build(spark, ck[1], cb_dir) as need:
-        # `or not isfile`: a stamped dir whose codebook.json was
-        # externally removed must retrain (the pre-staged_build code
-        # had this defense; the gate alone only checks the stamp).
-        # In that freak state the artifact is already stamped current,
-        # so re-writing the json under the build lease repairs it.
-        if need or not _os.path.isfile(cb_file):
+        if need:
             rows = _collect_centroids(spark, sf_dir)
             cb = [
                 {

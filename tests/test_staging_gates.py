@@ -263,3 +263,131 @@ print("WORKER_OK", sys.argv[1])
         assert "WORKER_OK" in out, out[-2000:]
     assert len(os.listdir(marker_dir)) == 1  # exactly one build ran
     assert not [n for n in os.listdir(tmp_path) if "lock" in n.lower()]
+
+
+def test_pq_codebook_repair_runs_under_build_lease(spark, sf_dir, monkeypatch):
+    """Stamped-current dir whose codebook.json was externally removed:
+    the repair must go through staged_build's LEASED path (ADVICE r13 —
+    the prior `need or not isfile` body condition retrained on the
+    lock-free fast path, so two repairers could interleave cb_file
+    writes).  _pq_train now un-stamps first; assert the rebuild enters
+    staged_build with need=True, restores the identical codebook, and
+    re-stamps."""
+    import json
+
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        staged_build as real_staged_build,
+        staging_current,
+    )
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.operators import (
+        similarity as sim,
+    )
+
+    engine.load_all()
+    engine.QUERIES["sim_pq_adc_topk"](spark, sf_dir).count()  # build once
+    cb_dir = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}/pq_codebook_v1"
+    cb_file = f"{cb_dir}/codebook.json"
+    assert os.path.isfile(cb_file)
+    with open(cb_file) as fh:
+        before = json.load(fh)
+    os.remove(cb_file)  # the freak state: stamp current, payload gone
+    sim._PQ_CB_CACHE.clear()
+
+    seen: list[tuple[str, bool]] = []
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def recording_staged_build(spark_, token, *paths):
+        with real_staged_build(spark_, token, *paths) as need:
+            seen.append((paths[0], need))
+            yield need
+
+    monkeypatch.setattr(sim, "staged_build", recording_staged_build)
+    engine.QUERIES["sim_pq_adc_topk"](spark, sf_dir).count()
+    # the query stages other (still-current) artifacts too; the
+    # codebook's own build is the one that must re-enter LEASED
+    assert (cb_dir, True) in seen, (
+        "the repair must take the leased build path, not the lock-free "
+        f"fast path (saw {seen})"
+    )
+    assert os.path.isfile(cb_file)
+    with open(cb_file) as fh:
+        assert json.load(fh) == before, "repair must reproduce the codebook"
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        source_fingerprint,
+    )
+
+    assert staging_current(cb_dir, source_fingerprint(sf_dir, "embeddings"))
+
+
+def test_staged_build_stamp_kill_matrix(spark, tmp_path, monkeypatch):
+    """Kill-at-step coverage of staged_build's stamp sequence on a
+    MULTI-PATH group (r13 verdict ask #6, mirroring the MERGE crash
+    matrix): die (a) after the artifact writes but before any stamp,
+    (b) between the stamps of the group.  In every crash state a
+    reader's group gate — all(staging_current(p, token)) — must be
+    False (a half-stamped group is never served as current), and the
+    next builder must rebuild and complete the whole group.
+
+    Exception-without-stamp and process death are indistinguishable to
+    the stamp files; the builder lease is released by the in-process
+    `finally` here, while real process death leaves it to the TTL
+    takeover (covered by test_stale_lease_takeover in the MERGE
+    suite — same lock code)."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark import core
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        staged_build,
+        staging_current,
+    )
+
+    class Die(RuntimeError):
+        pass
+
+    def build_group(pa, pb):
+        spark.range(4).write.mode("overwrite").parquet(pa)
+        spark.range(6).write.mode("overwrite").parquet(pb)
+
+    # --- (a) crash after artifact writes, before the stamp loop ---
+    pa, pb = str(tmp_path / "ga"), str(tmp_path / "gb")
+    import pytest as _pytest
+
+    with _pytest.raises(Die):
+        with staged_build(spark, "v1", pa, pb) as need:
+            assert need
+            build_group(pa, pb)
+            raise Die("after_artifact_write")
+    assert not staging_current(pa, "v1") and not staging_current(pb, "v1")
+
+    # --- (b) crash BETWEEN the stamps of the group ---
+    real_stamp = core.stamp_staging
+    stamped: list[str] = []
+
+    def stamp_then_die(path, token):
+        if stamped:  # second stamp of the group: die before writing it
+            raise Die("between_stamps")
+        real_stamp(path, token)
+        stamped.append(path)
+
+    monkeypatch.setattr(core, "stamp_staging", stamp_then_die)
+    with _pytest.raises(Die):
+        with staged_build(spark, "v1", pa, pb) as need:
+            assert need
+            build_group(pa, pb)
+    monkeypatch.setattr(core, "stamp_staging", real_stamp)
+    # exactly one stamp landed — the READER-FACING invariant: the
+    # group-level gate is False, so no consumer serves the torn group
+    assert stamped == [pa]
+    assert staging_current(pa, "v1") and not staging_current(pb, "v1")
+    assert not all(staging_current(p, "v1") for p in (pa, pb))
+
+    # --- recovery: the next builder rebuilds and completes the group ---
+    rebuilt: list[bool] = []
+    with staged_build(spark, "v1", pa, pb) as need:
+        rebuilt.append(need)
+        if need:
+            build_group(pa, pb)
+    assert rebuilt == [True], "a half-stamped group must trigger a rebuild"
+    assert staging_current(pa, "v1") and staging_current(pb, "v1")
+    # no lock debris from any of the three builders
+    assert not [n for n in os.listdir(tmp_path) if "lock" in n.lower()]
