@@ -14,6 +14,109 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def interleaved_reruns(
+    keys: list,
+    measure,
+    probe,
+    *,
+    passes: int = 2,
+    probe_every: int = 20,
+    episode_factor: float = 2.0,
+    log=None,
+):
+    """Stall-robust rerun sampler (protocol v10's variance guard).
+
+    v9 took a key's two reruns BACK-TO-BACK, so its three samples were
+    maximally time-correlated: one contiguous multi-minute host stall
+    episode during the rerun phase inflated BOTH reruns of every key it
+    covered, and the "stall-robust" median became the stall (the r13
+    driver run: rerun ranks ~24-55 inflated 2-6x on samples 2 AND 3
+    while every first-pass sample matched the quiet-host run).  Two
+    independent defenses here:
+
+    * **Pass interleaving** — all keys take sample 2, then all keys
+      take sample 3.  A contiguous episode now hits each key in at most
+      ONE pass, so the median of three keeps two clean samples.
+    * **Episode guard** — a cheap fixed machine-speed probe runs every
+      ``probe_every`` measurements; when a window's closing probe
+      exceeds ``episode_factor`` x the baseline (min of 3 pre-phase
+      probes — min, because the baseline must be the QUIET speed), every
+      sample measured inside that window is re-measured once after the
+      passes finish, each resample bracketed by its own probe so a
+      still-stalled host is recorded in the artifact rather than
+      laundered into the medians.
+
+    ``measure(key) -> float`` times one execution; ``probe() -> float``
+    times the fixed reference job.  Returns ``(samples, errors, meta)``:
+    ``samples[key]`` is one float per completed pass (resampled values
+    replacing flagged ones), ``errors[key]`` the first exception (the
+    key takes no further samples), ``meta`` the guard's audit trail
+    (baseline, probe log, flagged/resampled/still-hot counts).
+    """
+    log = log or (lambda m: None)
+    baseline = min(probe() for _ in range(3))
+    probe_log: list[float] = []
+    samples: dict = {k: [] for k in keys}
+    errors: dict = {}
+    flagged: list = []  # (key, pass_idx) measured inside a hot window
+    window: list = []  # (key, pass_idx) since the last probe
+
+    def checkpoint() -> None:
+        nonlocal window
+        if not window:
+            return
+        p = probe()
+        probe_log.append(p)
+        if p > episode_factor * baseline:
+            flagged.extend(window)
+            log(
+                f"# episode guard: probe {p:.3f}s > {episode_factor}x baseline "
+                f"{baseline:.3f}s — {len(window)} samples queued for resample"
+            )
+        window = []
+
+    for pi in range(passes):
+        for key in keys:
+            if key in errors:
+                continue
+            try:
+                samples[key].append(measure(key))
+            except Exception as ex:
+                errors[key] = ex
+                continue
+            window.append((key, pi))
+            if len(window) >= probe_every:
+                checkpoint()
+        checkpoint()  # close the pass's tail window at the pass boundary
+    still_hot = 0
+    for key, pi in flagged:
+        if key in errors:
+            continue
+        try:
+            v = measure(key)
+        except Exception as ex:
+            errors[key] = ex
+            continue
+        p = probe()
+        probe_log.append(p)
+        if p > episode_factor * baseline:
+            # the resample itself ran hot: keep it (the interleaved
+            # other pass still anchors the median) but count it so the
+            # artifact shows the episode outlived the guard's one retry
+            still_hot += 1
+        samples[key][pi] = v
+    meta = {
+        "baseline_sec": round(baseline, 3),
+        "probes": [round(p, 3) for p in probe_log],
+        "episode_factor": episode_factor,
+        "probe_every": probe_every,
+        "flagged": len(flagged),
+        "resampled": len(flagged) - sum(1 for k, _ in flagged if k in errors),
+        "still_hot": still_hot,
+    }
+    return samples, errors, meta
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -313,33 +416,62 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {}
     partial: dict[str, int] = {}
-    # GC nudge per rerun is ~0.3 s x 2 x 252 keys of pure overhead if
-    # done for every key; sub-second keys get a nudge every 20 reruns
-    # (same cadence as the first pass), slow keys get one each rerun.
+    # v10 rerun phase: pass-interleaved with an episode guard (see
+    # interleaved_reruns).  Order is descending first-pass cost within
+    # each pass — the expensive keys' reruns land while the JVM is
+    # freshly GC-nudged, same rationale as v9.
     rerun_order = [
         k for k, v in sorted(timings.items(), key=lambda kv: -kv[1]) if v > 0
     ]
-    for ri, key in enumerate(rerun_order):
-        samples[key] = [timings[key]]
-        heavy = timings[key] > 0.8
-        for _ in range(2):
-            if heavy or (ri and ri % 20 == 0):
-                _gc.collect()
-                spark.sparkContext._jvm.System.gc()
-            try:
-                spark.catalog.clearCache()
-            except Exception:
-                pass
-            t0 = time.time()
-            try:
-                qs[key](spark, sf_dir).count()
-                samples[key].append(round(time.time() - t0, 3))
-            except Exception as ex:
-                print(
-                    f"# rerun {key}: ERROR {type(ex).__name__}: {ex}",
-                    file=sys.stderr,
-                )
-                break
+    first_pass = dict(timings)
+    # GC nudge per rerun is ~0.3 s x 2 x 252 keys of pure overhead if
+    # done for every key; sub-second keys get a nudge every 20 reruns
+    # (same cadence as the first pass), slow keys get one each rerun.
+    _nmeasured = {"n": 0}
+
+    def _measure(key: str) -> float:
+        _nmeasured["n"] += 1
+        if first_pass[key] > 0.8 or _nmeasured["n"] % 20 == 0:
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        t0 = time.time()
+        qs[key](spark, sf_dir).count()
+        return round(time.time() - t0, 3)
+
+    def _micro_probe() -> float:
+        # ~1/4 the calibration probe: cheap enough to run every 20
+        # reruns (~30 probes x ~0.2s on a ~110s phase), still a pure
+        # JVM-side codegen job so it tracks host speed, not data
+        t0 = time.time()
+        spark.range(500_000_000).selectExpr(
+            "sum(xxhash64(id) % 1000000) s"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    rr_samples, rr_errors, guard_meta = interleaved_reruns(
+        rerun_order,
+        _measure,
+        _micro_probe,
+        log=lambda m: print(m, file=sys.stderr),
+    )
+    print(
+        f"# episode guard: baseline {guard_meta['baseline_sec']}s, "
+        f"{guard_meta['flagged']} flagged, {guard_meta['resampled']} resampled, "
+        f"{guard_meta['still_hot']} still hot",
+        file=sys.stderr,
+    )
+    for key in rerun_order:
+        samples[key] = [first_pass[key]] + rr_samples.get(key, [])
+        if key in rr_errors:
+            ex = rr_errors[key]
+            print(
+                f"# rerun {key}: ERROR {type(ex).__name__}: {ex}",
+                file=sys.stderr,
+            )
         got = sorted(samples[key])
         if len(got) == 3:
             timings[key] = got[1]
@@ -398,9 +530,12 @@ def main() -> None:
     # runs measured the same way (ADVICE r5: the r5 order change made
     # per-key rows incomparable to earlier rounds without saying so).
     protocol = {
-        "version": 9,
+        "version": 10,
         "order": "reversed-registration",
-        "variance_guard": "median-of-3-all-keys;partial-marked-min",
+        "variance_guard": (
+            "median-of-3-all-keys;pass-interleaved-reruns;"
+            "episode-guard-resample;partial-marked-min"
+        ),
         "calibration": "median-of-3-probes(pre/mid/post);spread-recorded",
     }
     line = json.dumps(
@@ -427,6 +562,12 @@ def main() -> None:
             # staged-index build passes absorbed by first runs this
             # session (per-artifact detail in BENCH_FULL "cold")
             "n_cold_builds": len(cold),
+            # episode guard summary: >0 flagged means a host stall
+            # episode crossed the rerun phase and the flagged samples
+            # were re-measured (full audit trail in BENCH_FULL)
+            "episode_guard": {
+                k: guard_meta[k] for k in ("flagged", "resampled", "still_hot")
+            },
             "queries": slowest,
         }
     )
@@ -444,6 +585,7 @@ def main() -> None:
         "queries": timings,
         "samples": samples,
         "partial": partial,
+        "episode_guard": guard_meta,
         # build-pass wall time for every staged artifact built during
         # this run (first pass of each staged key on a cold host);
         # per-key medians above are warm steady-state by construction.
