@@ -49,12 +49,34 @@ def interleaved_reruns(
     ``measure(key) -> float`` times one execution; ``probe() -> float``
     times the fixed reference job.  Returns ``(samples, errors, meta)``:
     ``samples[key]`` is one float per completed pass (resampled values
-    replacing flagged ones), ``errors[key]`` the first exception (the
-    key takes no further samples), ``meta`` the guard's audit trail
-    (baseline, probe log, flagged/resampled/still-hot counts).
+    replacing flagged ones; a flagged sample that could NOT be
+    re-measured — its key errored — is replaced with ``None`` so the
+    caller never publishes a known-hot sample as part of a clean
+    median), ``errors[key]`` the first exception (the key takes no
+    further samples), ``meta`` the guard's audit trail (baseline,
+    probe log, flagged/resampled/still-hot counts).
+
+    The probe is itself a real job that can fail transiently; a probe
+    failure must never abort the phase (per-key ``measure`` failures
+    don't).  A failed probe records ``-1.0`` in the probe log and the
+    window it closes is treated as unjudgeable (not flagged) — the
+    pass interleaving still protects those medians; if the BASELINE
+    probes all fail the guard is disabled for the run and the meta
+    says so.
     """
     log = log or (lambda m: None)
-    baseline = min(probe() for _ in range(3))
+
+    def safe_probe():
+        try:
+            return probe()
+        except Exception as ex:
+            log(f"# episode guard: probe failed ({type(ex).__name__}: {ex})")
+            return None
+
+    base_probes = [p for p in (safe_probe() for _ in range(3)) if p is not None]
+    baseline = min(base_probes) if base_probes else None
+    if baseline is None:
+        log("# episode guard DISABLED: all baseline probes failed")
     probe_log: list[float] = []
     samples: dict = {k: [] for k in keys}
     errors: dict = {}
@@ -63,11 +85,12 @@ def interleaved_reruns(
 
     def checkpoint() -> None:
         nonlocal window
-        if not window:
+        if not window or baseline is None:
+            window = []
             return
-        p = probe()
-        probe_log.append(p)
-        if p > episode_factor * baseline:
+        p = safe_probe()
+        probe_log.append(-1.0 if p is None else p)
+        if p is not None and p > episode_factor * baseline:
             flagged.extend(window)
             log(
                 f"# episode guard: probe {p:.3f}s > {episode_factor}x baseline "
@@ -89,29 +112,36 @@ def interleaved_reruns(
                 checkpoint()
         checkpoint()  # close the pass's tail window at the pass boundary
     still_hot = 0
+    resampled = 0
     for key, pi in flagged:
+        if key not in errors:
+            try:
+                v = measure(key)
+            except Exception as ex:
+                errors[key] = ex
         if key in errors:
+            # flagged but NOT re-measured: the sample is known-hot and
+            # must not survive into a 3-sample "median" — null it so
+            # the caller's partial/min path (stall only ever inflates,
+            # min is the robust pick) handles the key instead
+            samples[key][pi] = None
             continue
-        try:
-            v = measure(key)
-        except Exception as ex:
-            errors[key] = ex
-            continue
-        p = probe()
-        probe_log.append(p)
-        if p > episode_factor * baseline:
+        p = safe_probe()
+        probe_log.append(-1.0 if p is None else p)
+        if p is not None and p > episode_factor * baseline:
             # the resample itself ran hot: keep it (the interleaved
             # other pass still anchors the median) but count it so the
             # artifact shows the episode outlived the guard's one retry
             still_hot += 1
         samples[key][pi] = v
+        resampled += 1
     meta = {
-        "baseline_sec": round(baseline, 3),
+        "baseline_sec": None if baseline is None else round(baseline, 3),
         "probes": [round(p, 3) for p in probe_log],
         "episode_factor": episode_factor,
         "probe_every": probe_every,
         "flagged": len(flagged),
-        "resampled": len(flagged) - sum(1 for k, _ in flagged if k in errors),
+        "resampled": resampled,
         "still_hot": still_hot,
     }
     return samples, errors, meta
@@ -465,7 +495,12 @@ def main() -> None:
         file=sys.stderr,
     )
     for key in rerun_order:
-        samples[key] = [first_pass[key]] + rr_samples.get(key, [])
+        # None = flagged-hot sample whose resample errored: dropping it
+        # routes the key onto the partial/min path below instead of
+        # publishing a known-hot sample inside a clean-looking median
+        samples[key] = [first_pass[key]] + [
+            v for v in rr_samples.get(key, []) if v is not None
+        ]
         if key in rr_errors:
             ex = rr_errors[key]
             print(

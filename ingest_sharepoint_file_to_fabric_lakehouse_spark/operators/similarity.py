@@ -1271,8 +1271,12 @@ def _pq_train(spark: SparkSession, sf_dir: str, sv: DataFrame) -> list:
         # alone now decides the body — no unserialized branch left.)
         try:
             _os.remove(f"{cb_dir}/_SG_FINGERPRINT")
-        except OSError:
+        except FileNotFoundError:
             pass  # never stamped, or a racing repair already un-stamped
+        # any OTHER removal failure (EACCES/EROFS…) must propagate:
+        # swallowing it would leave the stamp current, staged_build
+        # would fast-path need=False, and the missing codebook would
+        # surface later as an unexplained FileNotFoundError
     with staged_build(spark, ck[1], cb_dir) as need:
         if need:
             rows = _collect_centroids(spark, sf_dir)

@@ -501,13 +501,21 @@ def _lease_keeper(
                     )
                     return
             except Exception:  # pragma: no cover - py4j teardown races
-                _LOG.warning(
-                    "merge lease keeper stopping: beat on %s failed "
-                    "(token %s; gateway teardown?)",
-                    target_path,
-                    token,
-                    exc_info=True,
-                )
+                # this path fires during interpreter/gateway teardown,
+                # where the logging machinery itself may already be
+                # torn down — the diagnostic is best-effort (no
+                # exc_info: formatting a live traceback at shutdown is
+                # exactly what breaks), and a logging failure must not
+                # replace the old silent exit with stderr noise
+                try:
+                    _LOG.warning(
+                        "merge lease keeper stopping: beat on %s failed "
+                        "(token %s; gateway teardown?)",
+                        target_path,
+                        token,
+                    )
+                except Exception:
+                    pass
                 return
 
     th = threading.Thread(target=beat, daemon=True, name="merge-lease-keeper")

@@ -150,3 +150,71 @@ def test_measure_error_stops_further_passes_and_keeps_partials():
     assert "b" in errors and calls["b"] == 1, "an errored key must not rerun"
     assert samples["a"] == [1.0, 1.0] and samples["c"] == [1.0, 1.0]
     assert samples["b"] == []
+
+
+def test_flagged_sample_whose_resample_errors_is_nulled():
+    # Review finding (r14): a stall-flagged sample whose resample
+    # errors must NOT survive into a clean-looking 3-sample median —
+    # the sampler nulls it so the caller's partial/min path takes over.
+    keys = ["a", "b"]
+    cost = {k: 1.0 for k in keys}
+    host = SimHost(cost, stall_from=0.5, stall_to=2.5, factor=5.0)
+    calls = {"n": 0}
+
+    def measure(key):
+        calls["n"] += 1
+        if calls["n"] > 4:  # both passes done: fail every resample
+            raise RuntimeError("resample boom")
+        return host.measure(key)
+
+    samples, errors, meta = bench.interleaved_reruns(
+        keys, measure, host.probe, probe_every=1
+    )
+    assert meta["flagged"] > 0 and meta["resampled"] == 0
+    assert errors  # the resample failures are reported
+    # every FLAGGED sample whose resample errored must be None — never
+    # a live hot value that a 3-sample median would launder.  (A hot
+    # sample the probe window missed entirely — key b here, its sample
+    # straddles the episode's end — is the interleaving's job: with a
+    # quiet first pass its median still lands on a clean sample.)
+    assert samples["a"][0] is None, samples["a"]
+    for k in keys:
+        clean = [v for v in samples[k] if v is not None and v < 1.5]
+        assert clean, f"{k}: no usable quiet sample left: {samples[k]}"
+        got = sorted([1.0] + [v for v in samples[k] if v is not None])
+        assert got[len(got) // 2] < 1.5, f"{k}: median kept the stall"
+
+
+def test_probe_failures_never_abort_the_phase():
+    # Review finding (r14): the probe is a real job that can fail
+    # transiently; a failing probe must not kill the rerun phase, and
+    # all-baseline-failure disables the guard rather than raising.
+    keys = [f"k{i}" for i in range(6)]
+
+    def bad_probe():
+        raise RuntimeError("probe boom")
+
+    samples, errors, meta = bench.interleaved_reruns(
+        keys, lambda k: 1.0, bad_probe, probe_every=2
+    )
+    assert not errors
+    assert meta["baseline_sec"] is None and meta["flagged"] == 0
+    assert all(samples[k] == [1.0, 1.0] for k in keys)
+
+    # mid-phase flake: baseline OK, every checkpoint probe fails ->
+    # windows are unjudgeable (not flagged), phase completes, the
+    # probe log records the failures as -1.0
+    flake = {"n": 0}
+
+    def flaky_probe():
+        flake["n"] += 1
+        if flake["n"] > 3:  # after the 3 baseline probes
+            raise RuntimeError("probe boom")
+        return 0.1
+
+    samples, errors, meta = bench.interleaved_reruns(
+        keys, lambda k: 1.0, flaky_probe, probe_every=2
+    )
+    assert not errors and meta["flagged"] == 0
+    assert meta["baseline_sec"] == 0.1
+    assert meta["probes"] and all(p == -1.0 for p in meta["probes"])

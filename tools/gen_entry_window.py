@@ -68,14 +68,23 @@ def main() -> int:
     engine.load_all()
     keys = set(engine.QUERIES)
     latest = latest_verdicts()
-    old = sorted(k for k, r in latest.items() if r <= 7)
+    # pins are excluded from the rotation queues (a pin whose verdict
+    # is also old must not appear twice), and the pad slice is floored
+    # at 0 (a negative stop would silently produce a WRONG non-empty
+    # pad when the age queue alone overflows the window)
+    old = sorted(k for k, r in latest.items() if r <= 7 and k not in CONSUMER_PINS)
+    if len(CONSUMER_PINS) + len(old) > 50:
+        # more aged keys than slots: take the oldest first, rest wait
+        old = sorted(old, key=lambda k: (latest[k], k))[: 50 - len(CONSUMER_PINS)]
     r8 = sorted(k for k, r in latest.items() if r == 8)
     pad = [k for k in r8 if k not in old and k not in CONSUMER_PINS][
-        : 50 - len(CONSUMER_PINS) - len(old)
+        : max(0, 50 - len(CONSUMER_PINS) - len(old))
     ]
     window = CONSUMER_PINS + old + pad
-    assert len(window) == 50 and len(set(window)) == 50, len(window)
-    assert all(k in keys for k in window)
+    assert len(set(window)) == len(window), "window has duplicate keys"
+    assert len(window) <= 50, f"window overflow: {len(window)}"
+    missing = [k for k in window if k not in keys]
+    assert not missing, f"window keys not in registry: {missing}"
     verified = sorted(keys - set(window))
     if "--check" in sys.argv:
         print(json.dumps({"window": window, "n_verified": len(verified)}, indent=1))
