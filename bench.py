@@ -22,9 +22,10 @@ def interleaved_reruns(
     passes: int = 2,
     probe_every: int = 20,
     episode_factor: float = 2.0,
+    prior_quiet_probe: float | None = None,
     log=None,
 ):
-    """Stall-robust rerun sampler (protocol v10's variance guard).
+    """Stall-robust rerun sampler (protocol v10.1's variance guard).
 
     v9 took a key's two reruns BACK-TO-BACK, so its three samples were
     maximally time-correlated: one contiguous multi-minute host stall
@@ -38,13 +39,47 @@ def interleaved_reruns(
       take sample 3.  A contiguous episode now hits each key in at most
       ONE pass, so the median of three keeps two clean samples.
     * **Episode guard** — a cheap fixed machine-speed probe runs every
-      ``probe_every`` measurements; when a window's closing probe
-      exceeds ``episode_factor`` x the baseline (min of 3 pre-phase
-      probes — min, because the baseline must be the QUIET speed), every
-      sample measured inside that window is re-measured once after the
-      passes finish, each resample bracketed by its own probe so a
-      still-stalled host is recorded in the artifact rather than
-      laundered into the medians.
+      ``probe_every`` measurements; a window whose closing probe
+      exceeds ``episode_factor`` x the quiet reference speed has every
+      sample inside it re-measured after the passes finish, each
+      resample bracketed by its own probe so a still-stalled host is
+      recorded in the artifact rather than laundered into the medians.
+
+    v10 derived the reference speed from 3 probes taken ONCE, at phase
+    start — so a stall already in progress there became the baseline
+    and the guard went silently blind for the whole run (``flagged=0,
+    still_hot=0`` while both interleaved passes of a short key list
+    could sit fully inside the episode; the r14 verdict's falsifying
+    example).  v10.1 closes that:
+
+    * the quiet reference is RUN-WIDE and ROBUST: the minimum of (a)
+      the 25th percentile of every successful pass-phase probe
+      (baseline + checkpoint + post-pass closing) and (b) the optional
+      ``prior_quiet_probe`` — a same-units probe value captured
+      earlier in the session, minutes before the rerun phase, so even
+      an episode spanning the entire phase is judged against a quiet
+      epoch.  The p25 (never a strict min, in either component) is
+      deliberate: the probe job's OWN quiet distribution spans ~2x in
+      a long session (JIT ramp + session aging — measured 0.16-0.38 s
+      with no host stall), so a single lucky probe admitted as the
+      reference cascades into flagging hundreds of healthy windows
+      (measured live, both strict-min cuts).  A stall episode long
+      enough to threaten a median must cover a key in BOTH passes and
+      therefore dominates whole stretches of the probe log, which the
+      p25 shrugs off as long as the episode covers under ~75 % of the
+      probes — and past that the prior seed takes over;
+    * window judgment is RETROACTIVE: every window is recorded with
+      its closing probe and judged only after the passes finish,
+      against the completed reference — a stall already in progress
+      at phase start (v10's blind spot) therefore cannot define the
+      reference.  The judge loop re-checks for fresh flags after each
+      resample round and terminates because the flagged set only
+      grows and windows are finite (with the reference fixed after
+      the passes it converges after one round by construction);
+    * one unconditional closing probe after the passes guarantees at
+      least one post-pass observation enters the reference, so an
+      episode covering every in-pass probe is still detected the
+      moment it ends.
 
     ``measure(key) -> float`` times one execution; ``probe() -> float``
     times the fixed reference job.  Returns ``(samples, errors, meta)``:
@@ -54,15 +89,15 @@ def interleaved_reruns(
     caller never publishes a known-hot sample as part of a clean
     median), ``errors[key]`` the first exception (the key takes no
     further samples), ``meta`` the guard's audit trail (baseline,
-    probe log, flagged/resampled/still-hot counts).
+    probe logs, flagged/resampled/still-hot counts).
 
     The probe is itself a real job that can fail transiently; a probe
     failure must never abort the phase (per-key ``measure`` failures
     don't).  A failed probe records ``-1.0`` in the probe log and the
-    window it closes is treated as unjudgeable (not flagged) — the
-    pass interleaving still protects those medians; if the BASELINE
-    probes all fail the guard is disabled for the run and the meta
-    says so.
+    window it closes is unjudgeable (not flagged) — the pass
+    interleaving still protects those medians; if NO probe ever
+    succeeds (and no prior seed was given) the guard is disabled for
+    the run and the meta says so.
     """
     log = log or (lambda m: None)
 
@@ -73,29 +108,50 @@ def interleaved_reruns(
             log(f"# episode guard: probe failed ({type(ex).__name__}: {ex})")
             return None
 
-    base_probes = [p for p in (safe_probe() for _ in range(3)) if p is not None]
-    baseline = min(base_probes) if base_probes else None
-    if baseline is None:
-        log("# episode guard DISABLED: all baseline probes failed")
-    probe_log: list[float] = []
+    pass_probes: list[float] = []  # successful pass-phase probes
+    tail_probes: list[float] = []  # successful resample-bracketing probes
+
+    def take_probe(into: list, records: list):
+        p = safe_probe()
+        into.append(-1.0 if p is None else p)
+        if p is not None:
+            records.append(p)
+        return p
+
+    def quiet_ref():
+        # NO strict-min component anywhere: the live r15 runs measured
+        # the probe's QUIET distribution spanning 0.16-0.38 s (JIT ramp
+        # + session aging), so any single lucky probe admitted as the
+        # reference cascades into mass-flagging healthy windows (first
+        # cut: run-wide min flagged 220/514; second cut kept a strict
+        # min over the resample-tail probes and STILL cascaded 20 ->
+        # 280 flags across 4 judge rounds).  The full-phase-stall case
+        # the tail-min existed for is covered by the prior seed, which
+        # bench.main always passes.
+        comps = []
+        if pass_probes:
+            comps.append(sorted(pass_probes)[len(pass_probes) // 4])  # p25
+        if prior_quiet_probe is not None:
+            comps.append(prior_quiet_probe)
+        return min(comps) if comps else None
+
+    base_log: list[float] = []
+    for _ in range(3):
+        take_probe(base_log, pass_probes)
+    probe_log: list[float] = []  # checkpoint + closing + resample probes
     samples: dict = {k: [] for k in keys}
     errors: dict = {}
-    flagged: list = []  # (key, pass_idx) measured inside a hot window
+    # windows are RECORDED here with their closing probe and judged
+    # retroactively (v10 judged at close time against a possibly-hot
+    # baseline — the blind spot)
+    windows: list = []  # (closing_probe | None, [(key, pass_idx), ...])
     window: list = []  # (key, pass_idx) since the last probe
 
     def checkpoint() -> None:
         nonlocal window
-        if not window or baseline is None:
-            window = []
+        if not window:
             return
-        p = safe_probe()
-        probe_log.append(-1.0 if p is None else p)
-        if p is not None and p > episode_factor * baseline:
-            flagged.extend(window)
-            log(
-                f"# episode guard: probe {p:.3f}s > {episode_factor}x baseline "
-                f"{baseline:.3f}s — {len(window)} samples queued for resample"
-            )
+        windows.append((take_probe(probe_log, pass_probes), window))
         window = []
 
     for pi in range(passes):
@@ -111,37 +167,73 @@ def interleaved_reruns(
             if len(window) >= probe_every:
                 checkpoint()
         checkpoint()  # close the pass's tail window at the pass boundary
-    still_hot = 0
+    # unconditional closing probe: the reference must contain at least
+    # one post-pass observation (see docstring)
+    take_probe(probe_log, pass_probes)
+
+    flagged_set: set = set()  # (key, pi) judged hot in any round
+    resample_probes: list = []  # closing probe of each successful resample
     resampled = 0
-    for key, pi in flagged:
-        if key not in errors:
-            try:
-                v = measure(key)
-            except Exception as ex:
-                errors[key] = ex
-        if key in errors:
-            # flagged but NOT re-measured: the sample is known-hot and
-            # must not survive into a 3-sample "median" — null it so
-            # the caller's partial/min path (stall only ever inflates,
-            # min is the robust pick) handles the key instead
-            samples[key][pi] = None
-            continue
-        p = safe_probe()
-        probe_log.append(-1.0 if p is None else p)
-        if p is not None and p > episode_factor * baseline:
-            # the resample itself ran hot: keep it (the interleaved
-            # other pass still anchors the median) but count it so the
-            # artifact shows the episode outlived the guard's one retry
-            still_hot += 1
-        samples[key][pi] = v
-        resampled += 1
+    rounds = 0
+    if quiet_ref() is None:
+        log("# episode guard DISABLED: no probe succeeded and no prior seed")
+    while True:
+        base = quiet_ref()
+        if base is None:
+            break
+        fresh = [
+            kp
+            for p, win in windows
+            if p is not None and p > episode_factor * base
+            for kp in win
+            if kp not in flagged_set
+        ]
+        if not fresh:
+            break
+        rounds += 1
+        flagged_set.update(fresh)
+        log(
+            f"# episode guard: round {rounds} flags {len(fresh)} samples "
+            f"(quiet reference {base:.3f}s)"
+        )
+        for key, pi in fresh:
+            if key not in errors:
+                try:
+                    v = measure(key)
+                except Exception as ex:
+                    errors[key] = ex
+            if key in errors:
+                # flagged but NOT re-measured: the sample is known-hot
+                # and must not survive into a 3-sample "median" — null
+                # it so the caller's partial/min path (stall only ever
+                # inflates, min is the robust pick) handles the key
+                samples[key][pi] = None
+                continue
+            resample_probes.append(take_probe(probe_log, tail_probes))
+            samples[key][pi] = v
+            resampled += 1
+        # loop: the resample probes may have LOWERED the reference
+        # (episode ended during the tail) — re-judge every window
+    # still_hot judged against the FINAL reference: resamples whose own
+    # bracketing probe reads hot mean the episode outlived the retries
+    # and the artifact must say so rather than launder it
+    final_base = quiet_ref()
+    still_hot = sum(
+        1
+        for p in resample_probes
+        if p is not None and final_base is not None and p > episode_factor * final_base
+    )
     meta = {
-        "baseline_sec": None if baseline is None else round(baseline, 3),
+        "baseline_sec": None if final_base is None else round(final_base, 3),
+        "reference": "min(p25(pass-phase-probes), prior-seed)",
+        "baseline_probes": [round(p, 3) for p in base_log],
+        "prior_quiet_probe": prior_quiet_probe,
         "probes": [round(p, 3) for p in probe_log],
         "episode_factor": episode_factor,
         "probe_every": probe_every,
-        "flagged": len(flagged),
+        "flagged": len(flagged_set),
         "resampled": resampled,
+        "judge_rounds": rounds,
         "still_hot": still_hot,
     }
     return samples, errors, meta
@@ -262,6 +354,13 @@ def main() -> None:
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
             .writeStream.format("noop")
+            # the stateful UDF declares update-mode output; the sink
+            # must match or the start() raises and ABORTS the rest of
+            # the warmup chain (observed r15: the two Python
+            # DataSource runner warmups below were silently skipped,
+            # landing their ~5s/~4s spin-up on the first datasource
+            # keys)
+            .outputMode("update")
             .option("checkpointLocation", f"{wtmp}/ck2")
             .trigger(availableNow=True)
             .start()
@@ -330,6 +429,52 @@ def main() -> None:
     except Exception as ex:
         print(f"# warmup partial: {type(ex).__name__}: {ex}", file=sys.stderr)
 
+    # Staged-frame prewarm (r14 verdict ask #4): on a warm-staging host
+    # the first key to read each staged layout paid its session-first
+    # materialization (schema inference, file listing, page-cache
+    # faults, the docs() checkpoint's shuffle) — measured 4.38 s
+    # session-first vs ~1.0 s steady state on dedup_jaccard_prefix.
+    # That is SESSION state, not operator cost; touch every already-
+    # stamped artifact (and the docs memo) untimed here so pass 1
+    # measures the operator.  A fresh host has no stamped artifacts
+    # yet — its first pass pays the BUILD, which stays attributed
+    # under "cold" exactly as before.  The prewarm's own wall time is
+    # recorded in the cold map so the artifact shows what was absorbed.
+    prewarm: dict[str, dict] = {}
+    try:
+        import glob as _glob
+
+        from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+            docs as _docs,
+            read_staged as _read_staged,
+        )
+
+        pw0 = time.time()
+        _docs(spark, sf_dir).count()
+        touched = ["docs_checkpoint"]
+        staged_base = f"/tmp/sgdata/{os.path.basename(sf_dir.rstrip('/'))}"
+        for stamp in sorted(_glob.glob(f"{staged_base}/*/_SG_FINGERPRINT")):
+            art = os.path.dirname(stamp)
+            try:
+                _read_staged(spark, art).count()
+                touched.append(os.path.basename(art))
+            except Exception:
+                pass  # non-parquet payload (e.g. a JSON codebook) — skip
+        pw_sec = round(time.time() - pw0, 3)
+        prewarm["__staged_frame_prewarm__"] = {
+            "build_pass_sec": pw_sec,
+            "built": touched,
+            "sf": sf_dir,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "source": "bench.py prewarm",
+        }
+        print(
+            f"# staged-frame prewarm: {len(touched)} frames in {pw_sec:.2f}s",
+            file=sys.stderr,
+        )
+    except Exception as ex:
+        print(f"# prewarm partial: {type(ex).__name__}: {ex}", file=sys.stderr)
+
     # Machine-speed calibration, protocol v9: identical code+data
     # measured 85.5 s on one boot and 110-133 s on the next (host/CPU-
     # frequency variance the variance guard can't remove).  Time a
@@ -353,6 +498,29 @@ def main() -> None:
     calib_probes = [_calib_probe()]
     print(f"# calibration probe (pre): {calib_probes[0]:.2f}s", file=sys.stderr)
 
+    def _micro_probe() -> float:
+        # ~1/4 the calibration probe: cheap enough to run every 20
+        # reruns (~30 probes x ~0.2s on a ~110s phase), still a pure
+        # JVM-side codegen job so it tracks host speed, not data
+        t0 = time.time()
+        spark.range(500_000_000).selectExpr(
+            "sum(xxhash64(id) % 1000000) s"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    # v10.1 guard seed: micro-probes taken NOW — minutes before the
+    # rerun phase — so an episode spanning that phase's own probes is
+    # still judged against a quiet epoch (the v10 blind spot: a stall
+    # covering the 3 phase-start baseline probes became the baseline
+    # and silently disabled the guard).  One throwaway first: the
+    # probe's first execution carries its codegen/JIT compile (~3 s
+    # measured vs ~0.25 s warm) and would make the seed useless.  The
+    # seed is the MIN of 3 warm runs; if THIS moment is the hot one
+    # instead, the guard's reference simply ignores the seed.
+    _micro_probe()  # throwaway: probe codegen/JIT compile
+    early_micro = min(_micro_probe() for _ in range(3))
+    print(f"# micro probe seed (session start): {early_micro:.2f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     # Execute in REVERSE registration order: queries() fronts the
@@ -364,15 +532,25 @@ def main() -> None:
     # unchanged in meaning.
     import gc as _gc
 
-    # Cold-build attribution: the staged indexes (minhash frames,
-    # PPJoin jp_*, BM25 inverted index, k-means codebook, …) are pure
-    # functions of the corpus, built once and fingerprint-gated.  On a
-    # fresh host /tmp/sgdata is empty, so each staged key's FIRST pass
-    # pays the build; stamp events landing during a pass mark it as a
-    # build pass, and its wall time is recorded under "cold" in
-    # BENCH_FULL so a staging win is never confused with a query win.
-    # The official per-key figure stays the median-of-3 (the two
-    # reruns are warm, so the median is a warm number by construction).
+    # Cold-build attribution + per-key warm execution: the staged
+    # indexes (minhash frames, PPJoin jp_*, BM25 inverted index,
+    # k-means codebook, …) are pure functions of the corpus, built once
+    # and fingerprint-gated.  Each key's first execution here is
+    # UNTIMED (wall recorded, not published): it absorbs (a) any staged
+    # build on a fresh host — stamp events landing during it mark it a
+    # build pass, recorded under "cold" in BENCH_FULL so a staging win
+    # is never confused with a query win — and (b) the key's OWN
+    # session-first costs: whole-stage-codegen compilation and JIT of
+    # its generated code, broadcast machinery, first-shuffle setup.
+    # (b) is new in r15: the r14 verdict adjudicated
+    # dedup_jaccard_prefix's recurring 2.8-4.4 s pass-1 samples as
+    # session warm-up settling to a ~1.0-1.2 s steady state — session
+    # state, not operator cost, and the staged-frame prewarm above
+    # proved insufficient because the dominant term is the plan's JIT
+    # (measured: 5.3 s first execution vs 1.24 s second in a fresh
+    # session with fully warm staging).  All three published samples
+    # (first pass + two interleaved reruns) are now steady-state by
+    # construction.
     from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import STAGING_EVENTS
 
     cold: dict[str, dict] = {}
@@ -398,24 +576,29 @@ def main() -> None:
         ev0 = len(STAGING_EVENTS)
         t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.time() - t0
-            timings[key] = round(dt, 3)
+            n = fn(spark, sf_dir).count()  # untimed warm execution
+            warm_dt = time.time() - t0
             if len(STAGING_EVENTS) > ev0:
                 built = [os.path.basename(p) for p, _ in STAGING_EVENTS[ev0:]]
                 # provenance per record (ADVICE r11): cold numbers from
                 # different fixtures/boots/code must be attributable,
                 # not silently mingled across runs
                 cold[key] = {
-                    "build_pass_sec": round(dt, 3),
+                    "build_pass_sec": round(warm_dt, 3),
                     "built": built,
                     "sf": sf_dir,
                     "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                     "source": "bench.py",
                 }
                 print(f"# {key}: cold build pass ({built})", file=sys.stderr)
-            print(f"# {key}: {dt:.2f}s rows={n}", file=sys.stderr)
+            t0 = time.time()
+            fn(spark, sf_dir).count()  # the published first-pass sample
+            dt = time.time() - t0
+            timings[key] = round(dt, 3)
+            print(
+                f"# {key}: {dt:.2f}s (warm-exec {warm_dt:.2f}s) rows={n}",
+                file=sys.stderr,
+            )
         except Exception as ex:  # keep benching; a broken query shows as -1
             timings[key] = -1.0
             print(f"# {key}: ERROR {type(ex).__name__}: {ex}", file=sys.stderr)
@@ -472,20 +655,11 @@ def main() -> None:
         qs[key](spark, sf_dir).count()
         return round(time.time() - t0, 3)
 
-    def _micro_probe() -> float:
-        # ~1/4 the calibration probe: cheap enough to run every 20
-        # reruns (~30 probes x ~0.2s on a ~110s phase), still a pure
-        # JVM-side codegen job so it tracks host speed, not data
-        t0 = time.time()
-        spark.range(500_000_000).selectExpr(
-            "sum(xxhash64(id) % 1000000) s"
-        ).collect()
-        return round(time.time() - t0, 3)
-
     rr_samples, rr_errors, guard_meta = interleaved_reruns(
         rerun_order,
         _measure,
         _micro_probe,
+        prior_quiet_probe=early_micro,
         log=lambda m: print(m, file=sys.stderr),
     )
     print(
@@ -565,11 +739,12 @@ def main() -> None:
     # runs measured the same way (ADVICE r5: the r5 order change made
     # per-key rows incomparable to earlier rounds without saying so).
     protocol = {
-        "version": 10,
+        "version": 10.1,
         "order": "reversed-registration",
         "variance_guard": (
-            "median-of-3-all-keys;pass-interleaved-reruns;"
-            "episode-guard-resample;partial-marked-min"
+            "median-of-3-all-keys;untimed-warm-exec-per-key;"
+            "pass-interleaved-reruns;episode-guard-p25-retro-judge;"
+            "prior-quiet-seed;partial-marked-min;staged-frame-prewarm"
         ),
         "calibration": "median-of-3-probes(pre/mid/post);spread-recorded",
     }
@@ -641,7 +816,7 @@ def main() -> None:
             prior = json.load(f)
     except (OSError, ValueError):
         prior = {}
-    full["cold"] = {**prior.get("cold", {}), **cold}
+    full["cold"] = {**prior.get("cold", {}), **prewarm, **cold}
     # sidecar maps other tools maintain (time_keys --force-distributed)
     # survive a bench rewrite untouched
     if prior.get("forced_distributed"):

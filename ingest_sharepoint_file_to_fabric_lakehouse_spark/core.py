@@ -302,7 +302,7 @@ def read_staged(spark: SparkSession, path: str) -> DataFrame:
 
 
 @contextmanager
-def staged_build(spark: SparkSession, token: str, *paths: str):
+def staged_build(spark: SparkSession, token: str, *paths: str, extra_need=None):
     """Serialize cross-process builders of one staged artifact group.
 
     The fingerprint gate alone is check-then-act: two processes racing
@@ -321,6 +321,19 @@ def staged_build(spark: SparkSession, token: str, *paths: str):
             if need:
                 ...write path_a, path_b...
 
+    ``extra_need`` (optional zero-arg callable) lets a caller force the
+    leased rebuild path even when every stamp is current — e.g. a
+    stamped-current artifact whose PAYLOAD sidecar was externally
+    removed (`_pq_train`'s codebook.json repair).  It is evaluated on
+    the lock-free fast path AND re-probed UNDER the lease, the same
+    double-checked discipline as the stamps, so two racing repairers
+    serialize and the loser reuses the winner's repaired payload.
+    (Before r15 the repair instead DELETED the stamp outside the lock
+    to force the leased path — correct but it let racer B un-stamp the
+    artifact A had just repaired and retrain redundantly; ADVICE r14.)
+    When ``extra_need`` is None the fast path is byte-identical to the
+    pre-r15 behavior — callers that don't pass it are unaffected.
+
     On clean exit after a build, ownership is re-verified before the
     artifacts are stamped — a build that outlived the lease TTL (its
     lock taken over, the thief rebuilding) must NOT stamp its possibly
@@ -330,7 +343,9 @@ def staged_build(spark: SparkSession, token: str, *paths: str):
     writes needs transactional storage (the Delta dispatch); the TTL
     (600 s vs single-digit-second builds) bounds the exposure.
     """
-    if all(staging_current(p, token) for p in paths):
+    if all(staging_current(p, token) for p in paths) and (
+        extra_need is None or not extra_need()
+    ):
         yield False
         return
     from .plans.merge import (
@@ -358,7 +373,9 @@ def staged_build(spark: SparkSession, token: str, *paths: str):
         # then only fires on real builder death) — the post-build
         # ownership check below stays as defense in depth
         with _lease_keeper(spark, lockbase, lease, 600.0):
-            need = not all(staging_current(p, token) for p in paths)
+            need = not all(staging_current(p, token) for p in paths) or bool(
+                extra_need and extra_need()
+            )
             yield need
             if need:
                 if not _hold_lease(spark, lockbase, lease):

@@ -1257,27 +1257,22 @@ def _pq_train(spark: SparkSession, sf_dir: str, sv: DataFrame) -> list:
         with open(cb_file) as fh:
             _PQ_CB_CACHE[ck] = _json.load(fh)
         return _PQ_CB_CACHE[ck]
-    if not _os.path.isfile(cb_file):
-        # Stamped-current but codebook.json externally removed: the
-        # repair MUST run under the build lease, and staged_build's
-        # fast path would skip the lock when every stamp is current —
-        # the prior `need or not isfile(cb_file)` body condition then
-        # let two processes in this state interleave cb_file writes
-        # unserialized (ADVICE r13).  Un-stamp first: this build is
-        # forced onto the leased path, the gate is re-probed UNDER the
-        # lock, and a racer that blocks behind the winner sees the
-        # fresh stamp and reuses the repaired file.  (Stamp-current
-        # implies cb_file exists once stamping is reached, so `need`
-        # alone now decides the body — no unserialized branch left.)
-        try:
-            _os.remove(f"{cb_dir}/_SG_FINGERPRINT")
-        except FileNotFoundError:
-            pass  # never stamped, or a racing repair already un-stamped
-        # any OTHER removal failure (EACCES/EROFS…) must propagate:
-        # swallowing it would leave the stamp current, staged_build
-        # would fast-path need=False, and the missing codebook would
-        # surface later as an unexplained FileNotFoundError
-    with staged_build(spark, ck[1], cb_dir) as need:
+    # Stamped-current but codebook.json externally removed: the repair
+    # MUST run under the build lease, and staged_build's lock-free fast
+    # path would skip the lock when every stamp is current.  The
+    # `extra_need` gate forces the leased path and is RE-PROBED UNDER
+    # the lock (double-checked, like the stamps), so of N racing
+    # repairers exactly one retrains; the losers block on the lease,
+    # re-probe, see the winner's repaired cb_file, and reuse it via the
+    # raced-read below.  (The pre-r15 shape instead DELETED the stamp
+    # outside the lock to force the leased path — correct, but racer
+    # B's isfile probe could precede winner A's repair, so B un-stamped
+    # the file A had just repaired and retrained redundantly, leaving
+    # the artifact transiently unstamped for concurrent fast-path
+    # readers; ADVICE r14 low #3.)
+    with staged_build(
+        spark, ck[1], cb_dir, extra_need=lambda: not _os.path.isfile(cb_file)
+    ) as need:
         if need:
             rows = _collect_centroids(spark, sf_dir)
             cb = [

@@ -1,0 +1,84 @@
+"""Regression gate: the COMMITTED BENCH_FULL.json must never ship
+stall-contaminated (r14 verdict ask #6).
+
+r13 shipped a driver artifact whose rerun ranks 24-55 were inflated
+2-6x by one contiguous host stall; `tools/bench_contamination_check.py`
+makes that shape mechanical to detect, but as a manual tool it only
+protects the rounds where someone remembers to run it.  This test runs
+it on every `pytest tests/` invocation, so a contaminated artifact
+fails CI the moment it would be committed.
+
+Also pins the tool's CLI arg parsing (ADVICE r14 low #1: the space
+form `--threshold 1.8` leaked its value token into the positionals and
+crashed on json.load).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo")
+
+import bench_contamination_check as bcc  # noqa: E402
+
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_FULL.json")
+
+
+def test_committed_bench_artifact_is_uncontaminated():
+    if not os.path.exists(ARTIFACT):
+        pytest.skip("no BENCH_FULL.json committed yet")
+    flagged, lines = bcc.check(ARTIFACT, threshold=1.8)
+    assert not flagged, (
+        "committed BENCH_FULL.json carries the r13 stall signature — "
+        "do not ship this artifact:\n" + "\n".join(lines)
+    )
+
+
+def test_parse_args_space_form_threshold_does_not_leak_into_positionals():
+    path, thr = bcc.parse_args(["--threshold", "1.8"])
+    assert thr == 1.8
+    assert path == bcc.DEFAULT_ARTIFACT  # NOT "1.8"
+
+
+def test_parse_args_equals_form_and_positional():
+    path, thr = bcc.parse_args(["--threshold=2.5", "/x/y.json"])
+    assert (path, thr) == ("/x/y.json", 2.5)
+    path, thr = bcc.parse_args(["/x/y.json", "--threshold", "3.0"])
+    assert (path, thr) == ("/x/y.json", 3.0)
+    path, thr = bcc.parse_args([])
+    assert (path, thr) == (bcc.DEFAULT_ARTIFACT, 1.8)
+
+
+def test_parse_args_rejects_unknown_flag_and_extra_positional():
+    with pytest.raises(SystemExit):
+        bcc.parse_args(["--bogus"])
+    with pytest.raises(SystemExit):
+        bcc.parse_args(["a.json", "b.json"])
+
+
+def test_check_flags_a_synthetic_contaminated_artifact(tmp_path):
+    """End-to-end through check(): 30 keys whose reruns are uniformly
+    3x the first pass must produce flagged bands; the same artifact
+    with warm reruns must not."""
+    import json
+
+    hot = {
+        "samples": {f"k{i:02d}": [1.0, 3.0, 3.1] for i in range(30)},
+        "episode_guard": {"flagged": 0, "resampled": 0, "still_hot": 0},
+        "protocol": {"version": 10.1},
+    }
+    p = tmp_path / "hot.json"
+    p.write_text(json.dumps(hot))
+    flagged, _ = bcc.check(str(p))
+    assert flagged, "uniform 3x rerun inflation must be flagged"
+
+    cool = dict(hot)
+    cool["samples"] = {f"k{i:02d}": [1.0, 0.9, 0.95] for i in range(30)}
+    p2 = tmp_path / "cool.json"
+    p2.write_text(json.dumps(cool))
+    flagged, _ = bcc.check(str(p2))
+    assert not flagged

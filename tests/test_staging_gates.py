@@ -270,9 +270,12 @@ def test_pq_codebook_repair_runs_under_build_lease(spark, sf_dir, monkeypatch):
     the repair must go through staged_build's LEASED path (ADVICE r13 —
     the prior `need or not isfile` body condition retrained on the
     lock-free fast path, so two repairers could interleave cb_file
-    writes).  _pq_train now un-stamps first; assert the rebuild enters
-    staged_build with need=True, restores the identical codebook, and
-    re-stamps."""
+    writes).  Since r15 _pq_train forces that via staged_build's
+    `extra_need` gate (re-probed under the lease; the stamp is never
+    deleted, so the artifact stays readable-current for concurrent
+    fast-path readers throughout — ADVICE r14 low #3); assert the
+    rebuild enters staged_build with need=True, restores the identical
+    codebook, and the stamp is current after."""
     import json
 
     from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
@@ -298,8 +301,8 @@ def test_pq_codebook_repair_runs_under_build_lease(spark, sf_dir, monkeypatch):
     from contextlib import contextmanager
 
     @contextmanager
-    def recording_staged_build(spark_, token, *paths):
-        with real_staged_build(spark_, token, *paths) as need:
+    def recording_staged_build(spark_, token, *paths, **kw):
+        with real_staged_build(spark_, token, *paths, **kw) as need:
             seen.append((paths[0], need))
             yield need
 
@@ -319,6 +322,58 @@ def test_pq_codebook_repair_runs_under_build_lease(spark, sf_dir, monkeypatch):
     )
 
     assert staging_current(cb_dir, source_fingerprint(sf_dir, "embeddings"))
+
+
+def test_staged_build_extra_need_is_double_checked(spark, tmp_path):
+    """staged_build's `extra_need` gate (r15): evaluated on the
+    lock-free fast path AND re-probed under the lease.  A gate that
+    reads True outside the lock but False under it (= a racing winner
+    repaired the payload while we waited on the lease) must yield
+    need=False — the loser reuses, never retrains.  A gate still True
+    under the lock forces need=True even with every stamp current, and
+    the stamp is NEVER deleted along the way (the pre-r15 un-stamp
+    trick left the artifact transiently unstamped for concurrent
+    fast-path readers)."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        staged_build,
+        staging_current,
+    )
+
+    p = str(tmp_path / "en_art")
+    with staged_build(spark, "tok1", p) as need:
+        assert need
+        spark.range(3).write.mode("overwrite").parquet(p)
+    assert staging_current(p, "tok1")
+
+    # None / gate-False: byte-identical fast path, body skipped
+    with staged_build(spark, "tok1", p) as need:
+        assert not need
+    with staged_build(spark, "tok1", p, extra_need=lambda: False) as need:
+        assert not need
+
+    # True outside the lock, False under it (winner repaired first):
+    # the loser must NOT rebuild
+    probes = {"n": 0}
+
+    def raced_gate():
+        probes["n"] += 1
+        return probes["n"] == 1  # fast path: damaged; under lease: repaired
+
+    with staged_build(spark, "tok1", p, extra_need=raced_gate) as need:
+        assert not need, "loser of a repair race must reuse, not retrain"
+    assert probes["n"] == 2, "gate must be re-probed under the lease"
+    assert staging_current(p, "tok1")
+
+    # still True under the lock: forces the rebuild with stamps current,
+    # and the stamp stays current throughout (no transient un-stamp)
+    entered = {"n": 0}
+    with staged_build(spark, "tok1", p, extra_need=lambda: True) as need:
+        assert need, "a persistent payload defect must force the rebuild"
+        assert staging_current(p, "tok1"), "stamp must never be deleted"
+        entered["n"] += 1
+        spark.range(3).write.mode("overwrite").parquet(p)
+    assert entered["n"] == 1
+    assert staging_current(p, "tok1")
 
 
 def test_staged_build_stamp_kill_matrix(spark, tmp_path, monkeypatch):

@@ -1,24 +1,27 @@
 """Regenerate __spark_entry__.py's _DRIVER_VERIFIED and _WINDOW_50
-blocks for the round-14 window.
+blocks for the round-15 window.
 
-Window composition (50 slots), per the r13 verdict's asks #2-#4 and
-the standing staleness rules (module docstring of __spark_entry__.py):
+Window composition (50 slots), per the r14 verdict's ask #5 and the
+standing staleness rules (module docstring of __spark_entry__.py):
 
-* 4 CONSUMER PINS — the keys whose executed code this round's edits
-  touched: ``sink_merge_partitioned`` + ``sink_delta_merge``
-  (plans/merge.py: NULL-part_col fail-fast in the partitioned MERGE;
-  keeper exit logging; keeper-interval cap) and ``sim_pq_adc_topk`` +
-  ``sim_topk_ivfpq`` (operators/similarity.py: _pq_train's
-  repair-under-lease fix).  Consumer sets confirmed mechanically by
-  tools/enumerate_consumers.py on the edited code.
-* 38 AGE ROTATIONS — every key whose latest verdict is r06/r07 (the
-  r13 verdict's ask #2: finish the rotation to a >=r08 floor).
-* 8 BONUS ROTATIONS — the oldest r08 verdicts, alphabetical, filling
-  the remaining slots.
+* CONSUMER PINS — the keys whose executed code this round's edits
+  touched: ``sim_pq_adc_topk`` + ``sim_topk_ivfpq`` (the only two
+  callers of ``_pq_train``, whose repair gate moved from the
+  un-stamp-outside-the-lock trick to staged_build's new ``extra_need``
+  parameter).  core.py's staged_build change is provably
+  behavior-identical for every caller that does NOT pass extra_need
+  (``all(...) and (None is None or ...)`` reduces to ``all(...)``;
+  ``need = not all(...) or bool(None and ...)`` reduces to
+  ``not all(...)``), which is the basis for NOT staling the other
+  staging consumers — same argument as the r14 keeper-interval cap.
+* AGE ROTATIONS — the remaining slots go to the OLDEST latest-verdict
+  keys, sorted (verdict round, key): after r14 the histogram is
+  r08:28, r09:28, ..., so 48 rotation slots cover all 28 r08 keys and
+  the first 20 r09 keys, moving the post-r15 floor to r09.
 
 _DRIVER_VERIFIED is regenerated as (all registered keys) - (window):
-after r13 every key has a green verdict on record, and window
-membership is what marks a verdict as being re-earned this round.
+every key has a green verdict on record, and window membership is what
+marks a verdict as being re-earned this round.
 
 Usage: python tools/gen_entry_window.py [--check]
   --check: print the proposed window and exit without writing.
@@ -34,11 +37,11 @@ import textwrap
 sys.path.insert(0, "/root/repo")
 
 CONSUMER_PINS = [
-    "sink_delta_merge",
-    "sink_merge_partitioned",
     "sim_pq_adc_topk",
     "sim_topk_ivfpq",
 ]
+
+WINDOW_SIZE = 50
 
 
 def latest_verdicts() -> dict[str, int]:
@@ -68,26 +71,33 @@ def main() -> int:
     engine.load_all()
     keys = set(engine.QUERIES)
     latest = latest_verdicts()
-    # pins are excluded from the rotation queues (a pin whose verdict
-    # is also old must not appear twice), and the pad slice is floored
-    # at 0 (a negative stop would silently produce a WRONG non-empty
-    # pad when the age queue alone overflows the window)
-    old = sorted(k for k, r in latest.items() if r <= 7 and k not in CONSUMER_PINS)
-    if len(CONSUMER_PINS) + len(old) > 50:
-        # more aged keys than slots: take the oldest first, rest wait
-        old = sorted(old, key=lambda k: (latest[k], k))[: 50 - len(CONSUMER_PINS)]
-    r8 = sorted(k for k, r in latest.items() if r == 8)
-    pad = [k for k in r8 if k not in old and k not in CONSUMER_PINS][
-        : max(0, 50 - len(CONSUMER_PINS) - len(old))
-    ]
-    window = CONSUMER_PINS + old + pad
+    # pins lead; the rest of the window is the oldest-verdict rotation
+    # queue, (round, key)-sorted so the floor rises monotonically
+    queue = sorted(
+        (k for k in latest if k not in CONSUMER_PINS),
+        key=lambda k: (latest[k], k),
+    )
+    window = CONSUMER_PINS + queue[: WINDOW_SIZE - len(CONSUMER_PINS)]
     assert len(set(window)) == len(window), "window has duplicate keys"
-    assert len(window) <= 50, f"window overflow: {len(window)}"
+    assert len(window) <= WINDOW_SIZE, f"window overflow: {len(window)}"
     missing = [k for k in window if k not in keys]
     assert not missing, f"window keys not in registry: {missing}"
     verified = sorted(keys - set(window))
     if "--check" in sys.argv:
-        print(json.dumps({"window": window, "n_verified": len(verified)}, indent=1))
+        rot = window[len(CONSUMER_PINS) :]
+        print(
+            json.dumps(
+                {
+                    "window": window,
+                    "n_verified": len(verified),
+                    "rotation_rounds": sorted({latest[k] for k in rot}),
+                    "post_round_floor": min(
+                        [latest[k] for k in keys if k not in window] or [99]
+                    ),
+                },
+                indent=1,
+            )
+        )
         return 0
 
     path = "/root/repo/__spark_entry__.py"
