@@ -270,6 +270,16 @@ def main() -> None:
         # 92 codegen'd queries in one JVM: default 240m code cache silently
         # disables the JIT when full — the classic long-session slowdown
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # Spark's whole-stage-codegen CLASS cache is a 100-entry LRU
+        # (CodeGenerator.cache): 257 registered queries evict every
+        # key's generated classes between its interleaved reruns, so
+        # each rerun re-paid janino compilation — measured 2.9 s vs
+        # 0.78 s on dedup_jaccard_prefix's first run after a 256-key
+        # sweep, and it was the whole "late-session aging" watch item
+        # from r14/r15.  Sized to hold the full registry's plans.  The
+        # same knob matters for any production session serving many
+        # distinct queries (static conf — must be set at session build).
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         # shuffle/spill/localCheckpoint blocks on the RAM disk: /tmp is
         # disk-backed here and sf0.1 scratch is tens of MB, so block
         # I/O (eager localCheckpoints especially) stops paying disk
@@ -495,6 +505,13 @@ def main() -> None:
         ).collect()
         return round(time.time() - t0, 3)
 
+    # Throwaway first: with the codegen class cache sized to the
+    # registry (see the session conf), the mid/post calibration probes
+    # reuse the cached generated class while a bare pre probe would
+    # pay its one-time janino compile — measured 0.639 vs 0.497/0.530,
+    # a 26.8 % spurious "spread" that reads as a noisy host.  All
+    # three published probes must measure the same (warm) thing.
+    _calib_probe()
     calib_probes = [_calib_probe()]
     print(f"# calibration probe (pre): {calib_probes[0]:.2f}s", file=sys.stderr)
 
