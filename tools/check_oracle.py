@@ -148,6 +148,11 @@ def main():
     cpus = os.environ.get("CHECK_CPUS", "8")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
+        # generated-class cache sized to the registry: the default
+        # 100-entry LRU evicts every plan in a 257-plan session and
+        # re-pays janino compilation per re-execution (SCALE.md,
+        # long-session ops #3)
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.shuffle.partitions", os.environ.get("CHECK_PARTS", cpus))
         .config("spark.driver.memory", "8g")
         .config("spark.sql.session.timeZone", "UTC")

@@ -90,6 +90,11 @@ def main() -> None:
 
     spark = (
         SparkSession.builder.master("local[8]")
+        # generated-class cache sized to the registry: the default
+        # 100-entry LRU evicts every plan in a 257-plan session and
+        # re-pays janino compilation per re-execution (SCALE.md,
+        # long-session ops #3)
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
