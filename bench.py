@@ -571,6 +571,7 @@ def main() -> None:
     from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import STAGING_EVENTS
 
     cold: dict[str, dict] = {}
+    warm_exec: dict[str, float] = {}  # untimed warm run's wall, per key
 
     ordered = list(reversed(qs.items()))
     for qi, (key, fn) in enumerate(ordered):
@@ -595,6 +596,7 @@ def main() -> None:
         try:
             n = fn(spark, sf_dir).count()  # untimed warm execution
             warm_dt = time.time() - t0
+            warm_exec[key] = round(warm_dt, 3)
             if len(STAGING_EVENTS) > ev0:
                 built = [os.path.basename(p) for p, _ in STAGING_EVENTS[ev0:]]
                 # provenance per record (ADVICE r11): cold numbers from
@@ -811,6 +813,12 @@ def main() -> None:
         "calib_normalized_median_key": calib_norm_median_key,
         "queries": timings,
         "samples": samples,
+        # the untimed warm execution's wall per key (session-first
+        # costs: plan codegen/JIT, staged builds, first shuffle) —
+        # lets an auditor verify pass-1 really measured steady state
+        # (warm_exec >> queries[key] on a key's first-ever session is
+        # the absorbed warm-up, not a hidden regression)
+        "warm_exec": warm_exec,
         "partial": partial,
         "episode_guard": guard_meta,
         # build-pass wall time for every staged artifact built during
