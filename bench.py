@@ -212,8 +212,11 @@ def interleaved_reruns(
             resample_probes.append(take_probe(probe_log, tail_probes))
             samples[key][pi] = v
             resampled += 1
-        # loop: the resample probes may have LOWERED the reference
-        # (episode ended during the tail) — re-judge every window
+        # loop back to re-judge: with the reference fixed after the
+        # passes (tail probes deliberately excluded — see quiet_ref)
+        # no new window can read hot, so this converges immediately;
+        # the structure stays a fixpoint loop so any future reference
+        # refinement inherits termination by flagged-set growth
     # still_hot judged against the FINAL reference: resamples whose own
     # bracketing probe reads hot mean the episode outlived the retries
     # and the artifact must say so rather than launder it
