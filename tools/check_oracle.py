@@ -163,6 +163,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # Out-of-core oracles: an in-memory connection has NO temp
+    # directory, so DuckDB cannot spill hash joins/aggregations and
+    # the heaviest near-dup oracle (dedup_fuzzy_minhash's banded
+    # replay) hit a hard Out-of-Memory at 10x synthesized scale
+    # (125 GiB host) instead of spilling.  A temp dir + an explicit
+    # limit below the host's RAM (leaving room for the Spark JVM)
+    # lets every oracle complete out-of-core.
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_spill.tmp'")
+    con.execute("PRAGMA memory_limit='80GB'")
     for name in TABLES:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')")
 
