@@ -95,6 +95,48 @@ def prep(spark: SparkSession) -> None:
     conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
 
 
+def recommended_session_conf(
+    shuffle_partitions: int | str | None = None,
+) -> dict[str, str]:
+    """Session-BUILD-time conf every long-lived engine session should
+    carry (the single source of truth for SCALE.md "long-session ops";
+    bench.py, tests/conftest.py, tools/check_oracle.py and
+    tools/plan_budget.py all consume this instead of repeating the
+    literals).
+
+    Apply on the builder::
+
+        b = SparkSession.builder.master("local[8]")
+        for k, v in recommended_session_conf(8).items():
+            b = b.config(k, v)
+
+    * ``spark.sql.codegen.cache.maxEntries`` — STATIC conf, read once
+      at session build, which is why this dict must go on the builder
+      and not through ``spark.conf.set``.  Spark's whole-stage-codegen
+      class cache is a 100-entry LRU; a session serving the full
+      registry (257 plans) evicts every generated class between a
+      query's own re-executions and silently re-pays janino compilation
+      per run (measured 2.9 s vs 0.78 s warm on dedup_jaccard_prefix —
+      the r14/r15 "late-session aging").  10000 holds every registered
+      plan (several generated classes each) with headroom.
+    * timezone / AQE / Arrow are runtime confs that :func:`prep` also
+      pins per query; carrying them from build time keeps warm-up work
+      that runs BEFORE any registered query on the same semantics.
+    * ``spark.sql.shuffle.partitions``: pass the session's local
+      parallelism (bench: ``$SPARK_GRAFT_CPUS``).  On a real cluster
+      size it to ~2-3x total executor cores and let AQE coalesce.
+    """
+    conf = {
+        "spark.sql.codegen.cache.maxEntries": "10000",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    return conf
+
+
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 

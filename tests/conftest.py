@@ -13,17 +13,18 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from pyspark.sql import SparkSession
 
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        recommended_session_conf,
+    )
+
+    # engine-recommended session conf (codegen class cache sized to the
+    # registry — STATIC, build-time only — plus UTC/AQE/Arrow): single
+    # source of truth; see core.recommended_session_conf
+    b = SparkSession.builder.master("local[4]")
+    for k, v in recommended_session_conf(4).items():
+        b = b.config(k, v)
     s = (
-        SparkSession.builder.master("local[4]")
-        # generated-class cache sized to the registry: the default
-        # 100-entry LRU evicts every plan in a 257-plan session and
-        # re-pays janino compilation per re-execution (SCALE.md,
-        # long-session ops #3)
-        .config("spark.sql.codegen.cache.maxEntries", "10000")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        b.config("spark.ui.enabled", "false")
         .appName("ingest-sharepoint-file-to-fabric-lakehouse-spark-tests")
         .getOrCreate()
     )

@@ -1,0 +1,54 @@
+"""recommended_session_conf is the single source of truth for the
+long-session ops conf (SCALE.md; r15 verdict ask #6): bench.py,
+tests/conftest.py, tools/check_oracle.py and tools/plan_budget.py all
+consume it instead of repeating the literals.  These tests pin (a) the
+contract of the function itself and (b) that the test session fixture
+actually CARRIES the conf — i.e. conftest really consumed it.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (  # noqa: E402
+    recommended_session_conf,
+)
+
+
+def test_conf_contract():
+    conf = recommended_session_conf()
+    # the codegen class cache is THE long-session knob (100-entry LRU
+    # default re-pays janino compile per re-execution on a full-registry
+    # session); it is static, so it must come from this dict at build
+    # time — never from prep()
+    assert conf["spark.sql.codegen.cache.maxEntries"] == "10000"
+    assert conf["spark.sql.session.timeZone"] == "UTC"
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.sql.execution.arrow.pyspark.enabled"] == "true"
+    assert "spark.sql.shuffle.partitions" not in conf  # only when asked
+    assert recommended_session_conf(8)["spark.sql.shuffle.partitions"] == "8"
+    assert recommended_session_conf("32")["spark.sql.shuffle.partitions"] == "32"
+
+
+def test_session_fixture_carries_the_recommended_conf(spark):
+    for k, v in recommended_session_conf(4).items():
+        assert spark.conf.get(k) == v, f"session dropped {k}"
+
+
+def test_harnesses_consume_the_single_source():
+    """No harness may re-introduce the literal: the conf name appears in
+    bench/conftest/check_oracle/plan_budget only via the import."""
+    for path in (
+        "/root/repo/bench.py",
+        "/root/repo/tests/conftest.py",
+        "/root/repo/tools/check_oracle.py",
+        "/root/repo/tools/plan_budget.py",
+    ):
+        src = open(path).read()
+        assert "recommended_session_conf" in src, path
+        assert "codegen.cache.maxEntries" not in src, (
+            f"{path} re-hardcodes the codegen cache literal instead of "
+            "consuming recommended_session_conf"
+        )
