@@ -129,8 +129,19 @@ def interleaved_reruns(
         # the tail-min existed for is covered by the prior seed, which
         # bench.main always passes.
         comps = []
-        if pass_probes:
-            comps.append(sorted(pass_probes)[len(pass_probes) // 4])  # p25
+        n = len(pass_probes)
+        if n > 1:
+            # p25, floored at index 1 so the smallest probe is NEVER
+            # the reference on its own (ADVICE r15: plain n//4 is
+            # index 0 — a strict min — whenever n <= 4, e.g. under
+            # heavy probe failure, re-admitting the lucky-probe
+            # cascade this whole design exists to prevent)
+            comps.append(sorted(pass_probes)[max(1, n // 4)])
+        elif n == 1 and prior_quiet_probe is None:
+            # a single successful probe is a strict min by
+            # construction; admit it only as the evidence of last
+            # resort (no prior seed) — better than disabling the guard
+            comps.append(pass_probes[0])
         if prior_quiet_probe is not None:
             comps.append(prior_quiet_probe)
         return min(comps) if comps else None
@@ -228,7 +239,7 @@ def interleaved_reruns(
     )
     meta = {
         "baseline_sec": None if final_base is None else round(final_base, 3),
-        "reference": "min(p25(pass-phase-probes), prior-seed)",
+        "reference": "min(p25-floored-above-min(pass-phase-probes), prior-seed)",
         "baseline_probes": [round(p, 3) for p in base_log],
         "prior_quiet_probe": prior_quiet_probe,
         "probes": [round(p, 3) for p in probe_log],
@@ -256,33 +267,30 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        recommended_session_conf,
+    )
+
+    builder = SparkSession.builder.master(f"local[{cpus}]")
+    # engine-recommended session conf (codegen class cache sized to the
+    # registry, UTC, AQE, Arrow, shuffle partitions = local parallelism)
+    # — single source of truth in core.recommended_session_conf; the
+    # codegen cache entry is STATIC and must be set here at build time
+    for k, v in recommended_session_conf(cpus).items():
+        builder = builder.config(k, v)
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
+        builder
         # deliberately modest heap: with an oversized (24g) heap the JVM
         # never GCs, Spark's GC-driven ContextCleaner never frees
         # broadcast/shuffle state, and the session degrades 3-4x over
         # ~100 queries; 8g keeps cleanup flowing (measured 95-103s vs
         # 328-420s total at sf0.1)
         .config("spark.driver.memory", "8g")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         # 92 codegen'd queries in one JVM: default 240m code cache silently
         # disables the JIT when full — the classic long-session slowdown
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
-        # Spark's whole-stage-codegen CLASS cache is a 100-entry LRU
-        # (CodeGenerator.cache): 257 registered queries evict every
-        # key's generated classes between its interleaved reruns, so
-        # each rerun re-paid janino compilation — measured 2.9 s vs
-        # 0.78 s on dedup_jaccard_prefix's first run after a 256-key
-        # sweep, and it was the whole "late-session aging" watch item
-        # from r14/r15.  Sized to hold the full registry's plans.  The
-        # same knob matters for any production session serving many
-        # distinct queries (static conf — must be set at session build).
-        .config("spark.sql.codegen.cache.maxEntries", "10000")
         # shuffle/spill/localCheckpoint blocks on the RAM disk: /tmp is
         # disk-backed here and sf0.1 scratch is tens of MB, so block
         # I/O (eager localCheckpoints especially) stops paying disk
@@ -474,7 +482,7 @@ def main() -> None:
             except Exception:
                 pass  # non-parquet payload (e.g. a JSON codebook) — skip
         pw_sec = round(time.time() - pw0, 3)
-        prewarm["__staged_frame_prewarm__"] = {
+        prewarm["staged_frame_prewarm"] = {
             "build_pass_sec": pw_sec,
             "built": touched,
             "sf": sf_dir,
@@ -573,6 +581,33 @@ def main() -> None:
     # construction.
     from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import STAGING_EVENTS
 
+    # Janino-compile guard (r15 verdict ask #3, root-caused this round):
+    # ONE untimed warm execution is not always enough — sql_api_q2's
+    # AQE-final plan generates 7 classes on its SECOND execution whose
+    # source differs from the first execution's 32 (measured via
+    # CodegenMetrics: deltas 32, 7, 0, 0, 0 across five runs), so the
+    # timed pass-1 paid ~0.3-0.5 s of janino compilation and published
+    # 2.6-2.8x its steady state.  Rather than guessing which keys need
+    # a second warm-up, READ the JVM's compilation counter around the
+    # timed pass: a nonzero delta means the sample is session-first
+    # compile cost, not operator cost — re-measure once and record the
+    # event under "jit_retimed" so the artifact shows what was absorbed.
+    def _codegen_compile_counter():
+        try:
+            jvm = spark.sparkContext._jvm
+            cls = jvm.java.lang.Class.forName(
+                "org.apache.spark.metrics.source.CodegenMetrics$"
+            )
+            hist = cls.getField("MODULE$").get(None).METRIC_COMPILATION_TIME()
+            hist.getCount()  # probe it works
+            return lambda: hist.getCount()
+        except Exception as ex:
+            print(f"# jit guard unavailable: {type(ex).__name__}: {ex}", file=sys.stderr)
+            return None
+
+    compile_count = _codegen_compile_counter()
+    jit_retimed: dict[str, dict] = {}
+
     cold: dict[str, dict] = {}
     warm_exec: dict[str, float] = {}  # untimed warm run's wall, per key
 
@@ -613,9 +648,34 @@ def main() -> None:
                     "source": "bench.py",
                 }
                 print(f"# {key}: cold build pass ({built})", file=sys.stderr)
+            c0 = compile_count() if compile_count else 0
             t0 = time.time()
             fn(spark, sf_dir).count()  # the published first-pass sample
             dt = time.time() - t0
+            newly = (compile_count() - c0) if compile_count else 0
+            if newly > 0:
+                # the timed pass generated + janino-compiled fresh
+                # classes (plan variants the warm exec didn't produce —
+                # the sql_api_q2 mechanism): that wall is session
+                # state.  Re-measure ONCE; record both walls and the
+                # class count, and whether the retime itself compiled
+                # (a per-execution-source plan would — none known).
+                c1 = compile_count()
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                retimed_dt = time.time() - t0
+                jit_retimed[key] = {
+                    "classes": int(newly),
+                    "contaminated_sec": round(dt, 3),
+                    "retimed_sec": round(retimed_dt, 3),
+                    "retime_compiled": int(compile_count() - c1),
+                }
+                print(
+                    f"# {key}: pass-1 compiled {newly} classes "
+                    f"({dt:.2f}s) -> retimed {retimed_dt:.2f}s",
+                    file=sys.stderr,
+                )
+                dt = retimed_dt
             timings[key] = round(dt, 3)
             print(
                 f"# {key}: {dt:.2f}s (warm-exec {warm_dt:.2f}s) rows={n}",
@@ -761,10 +821,11 @@ def main() -> None:
     # runs measured the same way (ADVICE r5: the r5 order change made
     # per-key rows incomparable to earlier rounds without saying so).
     protocol = {
-        "version": 10.1,
+        "version": 10.2,
         "order": "reversed-registration",
         "variance_guard": (
             "median-of-3-all-keys;untimed-warm-exec-per-key;"
+            "jit-compile-guarded-pass1;"
             "pass-interleaved-reruns;episode-guard-p25-retro-judge;"
             "prior-quiet-seed;partial-marked-min;staged-frame-prewarm"
         ),
@@ -794,6 +855,9 @@ def main() -> None:
             # staged-index build passes absorbed by first runs this
             # session (per-artifact detail in BENCH_FULL "cold")
             "n_cold_builds": len(cold),
+            # keys whose timed pass-1 compiled fresh generated classes
+            # and was re-measured (detail in BENCH_FULL "jit_retimed")
+            "n_jit_retimed": len(jit_retimed),
             # episode guard summary: >0 flagged means a host stall
             # episode crossed the rerun phase and the flagged samples
             # were re-measured (full audit trail in BENCH_FULL)
@@ -822,6 +886,12 @@ def main() -> None:
         # (warm_exec >> queries[key] on a key's first-ever session is
         # the absorbed warm-up, not a hidden regression)
         "warm_exec": warm_exec,
+        # keys whose TIMED first pass janino-compiled fresh generated
+        # classes (plan variants the warm exec didn't reach — the
+        # sql_api_q2 second-execution mechanism) and were re-measured
+        # once; both walls + class counts recorded so the absorption
+        # is auditable
+        "jit_retimed": jit_retimed,
         "partial": partial,
         "episode_guard": guard_meta,
         # build-pass wall time for every staged artifact built during
@@ -835,6 +905,18 @@ def main() -> None:
         # run are carried forward (their provenance fields say when/
         # where they were measured).
         "cold": cold,
+        # the untimed staged-frame prewarm's own record lives in its
+        # OWN field — it is not a registry query, and parking it inside
+        # the per-query cold map under a pseudo-key broke any consumer
+        # iterating cold entries as query names (ADVICE r15)
+        "prewarm": prewarm,
+        # per-rank-decile median s2/s1 + s3/s1 drift bands, recorded at
+        # write time so sub-threshold host drift (e.g. the r15 driver
+        # host's uniform 1.19-1.20 late bands) is visible in the
+        # committed JSON without running the contamination tool by
+        # hand; tests/test_bench_artifact.py asserts these match a
+        # recomputation from "samples"
+        "drift_bands": [],
     }
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -844,7 +926,15 @@ def main() -> None:
             prior = json.load(f)
     except (OSError, ValueError):
         prior = {}
-    full["cold"] = {**prior.get("cold", {}), **prewarm, **cold}
+    prior_cold = dict(prior.get("cold", {}))
+    # r15 artifacts parked the prewarm record inside cold under a
+    # pseudo-key; migrate it out so cold holds only query keys
+    prior_cold.pop("__staged_frame_prewarm__", None)
+    full["cold"] = {**prior_cold, **cold}
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_contamination_check import band_stats
+
+    full["drift_bands"] = band_stats(full)
     # sidecar maps other tools maintain (time_keys --force-distributed)
     # survive a bench rewrite untouched
     if prior.get("forced_distributed"):

@@ -60,6 +60,49 @@ def test_parse_args_rejects_unknown_flag_and_extra_positional():
         bcc.parse_args(["a.json", "b.json"])
 
 
+def test_parse_args_threshold_bad_value_is_a_clean_usage_error():
+    """ADVICE r15: a trailing `--threshold` with no value crashed with a
+    raw StopIteration, a non-numeric one with a raw ValueError; both
+    must be the same clean SystemExit the other bad inputs raise."""
+    with pytest.raises(SystemExit, match="threshold"):
+        bcc.parse_args(["--threshold"])
+    with pytest.raises(SystemExit, match="threshold"):
+        bcc.parse_args(["--threshold", "abc"])
+    with pytest.raises(SystemExit, match="threshold"):
+        bcc.parse_args(["--threshold=abc"])
+
+
+def test_committed_drift_bands_match_recomputation():
+    """r15 verdict ask #4: bench.py records the per-decile s2/s1+s3/s1
+    drift medians into the artifact at write time; the recorded list
+    must equal a fresh band_stats() recomputation from `samples` —
+    anything else means the artifact's drift summary is stale/forged."""
+    import json
+
+    if not os.path.exists(ARTIFACT):
+        pytest.skip("no BENCH_FULL.json committed yet")
+    d = json.load(open(ARTIFACT))
+    if "drift_bands" not in d:
+        pytest.skip("pre-r16 artifact: drift_bands not yet recorded")
+    assert d["drift_bands"] == bcc.band_stats(d)
+
+
+def test_prewarm_record_is_not_inside_the_cold_map():
+    """ADVICE r15: the staged-frame prewarm record must live in its own
+    top-level `prewarm` field — a pseudo-key inside the per-query cold
+    map breaks consumers iterating cold entries as query names."""
+    import json
+
+    if not os.path.exists(ARTIFACT):
+        pytest.skip("no BENCH_FULL.json committed yet")
+    d = json.load(open(ARTIFACT))
+    if "prewarm" not in d:
+        pytest.skip("pre-r16 artifact: prewarm field not yet recorded")
+    assert "__staged_frame_prewarm__" not in d.get("cold", {})
+    for rec in d["prewarm"].values():
+        assert {"build_pass_sec", "built", "sf", "ts", "source"} <= set(rec)
+
+
 def test_check_flags_a_synthetic_contaminated_artifact(tmp_path):
     """End-to-end through check(): 30 keys whose reruns are uniformly
     3x the first pass must produce flagged bands; the same artifact

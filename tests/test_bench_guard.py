@@ -277,6 +277,61 @@ def test_noisy_quiet_host_does_not_mass_flag():
     )
 
 
+def test_few_probes_reference_is_never_the_strict_min():
+    """ADVICE r15: plain n//4 indexes the smallest probe whenever 4 or
+    fewer pass probes succeeded — a strict min, exactly what the p25
+    exists to prevent.  Model heavy probe failure: only the 3 baseline
+    probes succeed, one of them a lucky 4x-fast outlier.  The reference
+    must NOT be the outlier (which would flag every healthy window)."""
+    keys = [f"k{i}" for i in range(12)]
+    seq = iter([0.05, 0.2, 0.2])  # lucky outlier + two honest probes
+
+    def probe():
+        try:
+            return next(seq)
+        except StopIteration:
+            raise RuntimeError("probe infra down")  # every later probe fails
+
+    samples, errors, meta = bench.interleaved_reruns(
+        keys, lambda k: 1.0, probe, probe_every=4
+    )
+    assert not errors
+    assert meta["baseline_sec"] == 0.2, (
+        f"reference degraded to the lucky strict-min probe: {meta}"
+    )
+    assert meta["flagged"] == 0
+
+
+def test_single_probe_defers_to_prior_seed():
+    """With exactly ONE successful pass probe, the reference must be the
+    prior quiet seed (a single probe is a strict min by construction);
+    without a seed the lone probe is still admitted — better than
+    disabling the guard outright."""
+    keys = ["a", "b", "c"]
+
+    def one_probe_factory():
+        state = {"n": 0}
+
+        def probe():
+            state["n"] += 1
+            if state["n"] == 1:
+                return 0.05  # lone (lucky) probe
+            raise RuntimeError("probe infra down")
+
+        return probe
+
+    _, _, meta = bench.interleaved_reruns(
+        keys, lambda k: 1.0, one_probe_factory(), probe_every=2,
+        prior_quiet_probe=0.2,
+    )
+    assert meta["baseline_sec"] == 0.2, meta
+
+    _, _, meta = bench.interleaved_reruns(
+        keys, lambda k: 1.0, one_probe_factory(), probe_every=2
+    )
+    assert meta["baseline_sec"] == 0.05, meta  # evidence of last resort
+
+
 from hypothesis import example, given, settings, strategies as st  # noqa: E402
 
 

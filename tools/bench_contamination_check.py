@@ -33,32 +33,68 @@ DEFAULT_ARTIFACT = os.path.join(
 )
 
 
+def band_stats(data: dict) -> list[dict]:
+    """Per-rank-decile drift statistics of one BENCH_FULL-shaped dict.
+
+    Reruns execute in descending first-pass-cost order (bench.py);
+    rebuild that order and report, per decile of it, the median s2/s1
+    and s3/s1 rerun/first-pass ratios (quiet expectation ~0.7-1.0).
+    Sub-threshold host drift — e.g. the r15 driver host's uniform
+    1.19-1.20 late-rank bands — is visible HERE without tripping the
+    contamination flag, which is why bench.py records this list into
+    the artifact's ``drift_bands`` field at write time (r15 verdict
+    ask #4).  Returns ``[]`` when there are fewer than 20 3-sample
+    keys to band over.
+    """
+    s = data.get("samples", {})
+    trip = {k: v for k, v in s.items() if len(v) == 3 and v[0] > 0.02}
+    order = sorted(trip, key=lambda k: -trip[k][0])
+    n = len(order)
+    if n < 20:
+        return []
+    width = max(10, n // 10)
+    bands = []
+    for lo in range(0, n, width):
+        grp = order[lo : lo + width]
+        bands.append(
+            {
+                "rank_lo": lo,
+                "rank_hi": lo + len(grp) - 1,
+                "s2_s1_median": round(
+                    statistics.median(trip[k][1] / trip[k][0] for k in grp), 3
+                ),
+                "s3_s1_median": round(
+                    statistics.median(trip[k][2] / trip[k][0] for k in grp), 3
+                ),
+            }
+        )
+    return bands
+
+
 def check(path: str, threshold: float = 1.8) -> tuple[list, list[str]]:
     """Band-check one BENCH_FULL artifact.  Returns ``(flagged, lines)``:
     ``flagged`` is a list of ``(rank_lo, rank_hi, med_s2s1, med_s3s1)``
     tuples for every rank band whose median rerun/first-pass ratio
     exceeds ``threshold`` in BOTH reruns; ``lines`` the human report."""
     d = json.load(open(path))
-    s = d.get("samples", {})
-    # rerun order is descending first-pass cost (bench.py); rebuild it
-    trip = {k: v for k, v in s.items() if len(v) == 3 and v[0] > 0.02}
-    order = sorted(trip, key=lambda k: -trip[k][0])
-    n = len(order)
+    bands = band_stats(d)
     lines: list[str] = []
-    if n < 20:
+    if not bands:
+        n = sum(
+            1
+            for v in d.get("samples", {}).values()
+            if len(v) == 3 and v[0] > 0.02
+        )
         lines.append(f"only {n} 3-sample keys — not enough to band-check")
         return [], lines
-    width = max(10, n // 10)
     flagged = []
-    for lo in range(0, n, width):
-        grp = order[lo : lo + width]
-        m2 = statistics.median(trip[k][1] / trip[k][0] for k in grp)
-        m3 = statistics.median(trip[k][2] / trip[k][0] for k in grp)
+    for b in bands:
+        m2, m3 = b["s2_s1_median"], b["s3_s1_median"]
         hot = m2 > threshold and m3 > threshold
         if hot:
-            flagged.append((lo, lo + len(grp) - 1, round(m2, 2), round(m3, 2)))
+            flagged.append((b["rank_lo"], b["rank_hi"], round(m2, 2), round(m3, 2)))
         lines.append(
-            f"ranks {lo:3d}-{lo + len(grp) - 1:3d}: median s2/s1={m2:.2f} "
+            f"ranks {b['rank_lo']:3d}-{b['rank_hi']:3d}: median s2/s1={m2:.2f} "
             f"s3/s1={m3:.2f}{'  << BAND' if hot else ''}"
         )
     g = d.get("episode_guard", {})
@@ -79,10 +115,16 @@ def parse_args(argv: list[str]) -> tuple[str, float]:
     threshold = 1.8
     it = iter(argv)
     for a in it:
-        if a == "--threshold":
-            threshold = float(next(it))
-        elif a.startswith("--threshold="):
-            threshold = float(a.split("=", 1)[1])
+        if a == "--threshold" or a.startswith("--threshold="):
+            # both bad-value shapes get the same clean usage error the
+            # other flags raise (ADVICE r15: a missing value crashed
+            # with a raw StopIteration, a non-numeric one with a raw
+            # ValueError traceback)
+            try:
+                raw = a.split("=", 1)[1] if "=" in a else next(it)
+                threshold = float(raw)
+            except (StopIteration, ValueError):
+                raise SystemExit("--threshold requires a numeric value")
         elif a.startswith("--"):
             raise SystemExit(f"unknown flag: {a}")
         elif path is None:
