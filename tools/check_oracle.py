@@ -145,17 +145,21 @@ def main():
     import __spark_entry__ as e
     from pyspark.sql import SparkSession
 
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        recommended_session_conf,
+    )
+
     cpus = os.environ.get("CHECK_CPUS", "8")
+    # engine-recommended session conf (codegen class cache sized to the
+    # registry — STATIC, build-time only — plus UTC/AQE/Arrow): single
+    # source of truth; see core.recommended_session_conf
+    builder = SparkSession.builder.master(f"local[{cpus}]")
+    for k, v in recommended_session_conf(
+        os.environ.get("CHECK_PARTS", cpus)
+    ).items():
+        builder = builder.config(k, v)
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        # generated-class cache sized to the registry: the default
-        # 100-entry LRU evicts every plan in a 257-plan session and
-        # re-pays janino compilation per re-execution (SCALE.md,
-        # long-session ops #3)
-        .config("spark.sql.codegen.cache.maxEntries", "10000")
-        .config("spark.sql.shuffle.partitions", os.environ.get("CHECK_PARTS", cpus))
-        .config("spark.driver.memory", "8g")
-        .config("spark.sql.session.timeZone", "UTC")
+        builder.config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .appName("check_oracle")
         .getOrCreate()
@@ -171,11 +175,40 @@ def main():
     # limit below the host's RAM (leaving room for the Spark JVM)
     # lets every oracle complete out-of-core.
     con.execute("PRAGMA temp_directory='/tmp/duckdb_spill.tmp'")
-    con.execute("PRAGMA memory_limit='80GB'")
+    # The limit must sit BELOW physical RAM (leaving room for the Spark
+    # JVM) or DuckDB ooms instead of spilling — and a hardcoded 80GB is
+    # itself above RAM on a smaller host (ADVICE r15).  Derive it:
+    # 65% of physical RAM, capped at the 80GB the documented 125 GiB
+    # host gets, overridable via CHECK_DUCKDB_MEM.
+    mem = os.environ.get("CHECK_DUCKDB_MEM")
+    if not mem:
+        try:
+            ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+            mem = f"{max(1, min(80, int(ram_gb * 0.65)))}GB"
+        except (ValueError, OSError, AttributeError):
+            mem = "4GB"
+    con.execute(f"PRAGMA memory_limit='{mem}'")
+    print(f"# duckdb memory_limit={mem}", file=sys.stderr)
     for name in TABLES:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # CHECK_STAGED_ORACLE=1: swap the monolithic single-statement
+    # oracle for its staged temp-table replay on the keys registered
+    # below.  The driver contract keeps the single-statement form; the
+    # staged form exists for synthesized-scale sweeps (10x) where the
+    # monolith's list intermediates are non-spillable and OOM DuckDB
+    # (r15 verdict ask #2).  Equivalence is GATED, not assumed:
+    # tests/test_staged_oracle.py pins staged == monolithic bit-exact
+    # at fixture scale, and staged_minhash_oracle --compare re-proves
+    # it at any sf both forms can hold.
+    staged_replays = {}
+    if os.environ.get("CHECK_STAGED_ORACLE") == "1":
+        sys.path.insert(0, "/root/repo/tools")
+        import staged_minhash_oracle
+
+        staged_replays["dedup_fuzzy_minhash"] = staged_minhash_oracle.run_staged
+        print("# staged-oracle replay active for:", sorted(staged_replays), file=sys.stderr)
     n_pass = n_fail = n_weak = 0
     for key, fn in qs.items():
         if only and key not in only:
@@ -196,10 +229,13 @@ def main():
             n_weak += 1
             continue
         try:
-            res = con.execute(oracles[key])
+            osql = oracles[key]
+            if key in staged_replays:
+                osql = staged_replays[key](con)  # materializes temp stages
+            res = con.execute(osql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
-            dpdf = con.execute(oracles[key]).df()
+            dpdf = con.execute(osql).df()
         except Exception as ex:
             print(f"FAIL {key}: duckdb error: {ex}")
             n_fail += 1
