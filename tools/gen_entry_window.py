@@ -1,23 +1,19 @@
 """Regenerate __spark_entry__.py's _DRIVER_VERIFIED and _WINDOW_50
-blocks for the round-15 window.
+blocks for the round-16 window.
 
-Window composition (50 slots), per the r14 verdict's ask #5 and the
+Window composition (50 slots), per the r15 verdict's ask #1 and the
 standing staleness rules (module docstring of __spark_entry__.py):
 
-* CONSUMER PINS — the keys whose executed code this round's edits
-  touched: ``sim_pq_adc_topk`` + ``sim_topk_ivfpq`` (the only two
-  callers of ``_pq_train``, whose repair gate moved from the
-  un-stamp-outside-the-lock trick to staged_build's new ``extra_need``
-  parameter).  core.py's staged_build change is provably
-  behavior-identical for every caller that does NOT pass extra_need
-  (``all(...) and (None is None or ...)`` reduces to ``all(...)``;
-  ``need = not all(...) or bool(None and ...)`` reduces to
-  ``not all(...)``), which is the basis for NOT staling the other
-  staging consumers — same argument as the r14 keeper-interval cap.
-* AGE ROTATIONS — the remaining slots go to the OLDEST latest-verdict
-  keys, sorted (verdict round, key): after r14 the histogram is
-  r08:28, r09:28, ..., so 48 rotation slots cover all 28 r08 keys and
-  the first 20 r09 keys, moving the post-r15 floor to r09.
+* CONSUMER PINS — keys whose executed code this round's edits touched:
+  NONE in r16.  The round's engine diff is ``recommended_session_conf``
+  (a new core.py function consumed only by the harnesses — bench,
+  conftest, check_oracle, plan_budget; no registered query calls it)
+  plus harness/tool changes, so no query's executed code changed and
+  the staleness policy pins nothing.
+* AGE ROTATIONS — all 50 slots go to the OLDEST latest-verdict keys,
+  sorted (verdict round, key): after r15 the histogram floor is r09:8,
+  then r10:43, so the window is the 8 r09 keys + the first 42 r10
+  keys, moving the post-r16 floor to r10.
 
 _DRIVER_VERIFIED is regenerated as (all registered keys) - (window):
 every key has a green verdict on record, and window membership is what
@@ -36,10 +32,7 @@ import textwrap
 
 sys.path.insert(0, "/root/repo")
 
-CONSUMER_PINS = [
-    "sim_pq_adc_topk",
-    "sim_topk_ivfpq",
-]
+CONSUMER_PINS: list[str] = []
 
 WINDOW_SIZE = 50
 
