@@ -21,6 +21,25 @@ regression shows up as a LOST broadcast) live beside the fixture
 lockfile instead of overwriting it: per the round-10 verdict the
 TPC-H heads' 10x shapes are pinned in tools/plan_budget_x10.json.
 
+EXECUTED-MODE LOCKFILE (r15 verdict ask #5): AQE-final shapes for the
+full registry are pinned in ``tools/plan_budget_exec.json``; refresh /
+check with ``--execute --out=tools/plan_budget_exec.json
+/root/testdata/sf0.01``.  Two rules learned recording it:
+
+* COUNTING — a finalized AdaptiveSparkPlan's toString() renders BOTH
+  a "Final Plan" and an "Initial Plan" section, so naive counting
+  doubles every node (the r15 2x-on-214-keys reading); shape_of cuts
+  the string at the Initial Plan marker.  Never compare an --execute
+  run against the static lockfile — modes pin different plans.
+* SCALE — executed shapes are DATA-dependent: at sf0.001 AQE's
+  empty-relation propagation collapses whole join trees to
+  LocalTableScan when a stage materializes 0 rows (sql_api_q7/q11
+  read as exchanges=0, joins={}), which reads as a broadcast
+  demotion but is emptiness, not strategy.  The exec lockfile
+  therefore records at sf0.01 (the driver's own gate scale, where
+  every key returns rows); static mode stays at sf0.001 since
+  unexecuted shapes are sf-independent.
+
 Shapes also record join-node counts by strategy; check mode fails a
 key whose BroadcastHashJoin count DROPPED or whose SortMergeJoin /
 ShuffledHashJoin / BroadcastNestedLoopJoin count ROSE vs its budget —
@@ -58,12 +77,60 @@ _JOIN_NODES = (
 )
 
 
+def strip_initial_sections(plan: str) -> str:
+    """Drop every "== Initial Plan ==" SECTION from an executed-plan
+    string, by indentation.
+
+    COUNTING RULE (executed mode): once an AdaptiveSparkPlan
+    finalizes, toString() renders BOTH its "Final Plan" and its
+    "Initial Plan" section, so a naive count sees every Exchange /
+    join / scan twice (the r15 verdict's 214-key 2x reading against
+    the static lockfile was exactly this).  A simple cut at the first
+    marker is ALSO wrong: subquery AdaptiveSparkPlans nest inline
+    inside the main Final section with their own Final/Initial pairs
+    (sql_api_q11's string interleaves main-final > subquery-final >
+    subquery-initial > main-final-continued > main-initial), so the
+    cut dropped most of the real final plan and q11 read as a
+    broadcast demotion.  Instead, skip each Initial section by
+    indentation: the section spans from its marker line to the first
+    line indented at or left of the marker.  Static mode renders a
+    single section with no markers and passes through unchanged.
+    """
+    def depth(line: str) -> int:
+        # tree depth = column of the first non-tree-drawing character;
+        # the prefix alphabet is spaces plus the branch glyphs ": + -
+        # |" (a nested subquery renders every line behind a ":" rail,
+        # so plain leading-whitespace length misreads its depth).
+        # Section content renders AT the marker's "==" column (first
+        # child) or deeper (its subtree), so the section spans while
+        # depth >= marker depth; the first shallower line — the
+        # enclosing tree resuming — ends it.
+        i = 0
+        while i < len(line) and line[i] in " :+-|":
+            i += 1
+        return i
+
+    out = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        if skip_depth is not None:
+            if line.strip() and depth(line) >= skip_depth:
+                continue
+            skip_depth = None  # section ended; re-process this line
+        if "== Initial Plan ==" in line:
+            skip_depth = depth(line)
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def shape_of(df, execute: bool = False) -> dict:
     if execute:
         # Materialize so AdaptiveSparkPlan finalizes; the collected
         # rows are discarded — only the plan is read.
         df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = strip_initial_sections(plan)
     scans = Counter(re.findall(r"(\w+)\.parquet", plan))
     joins = {n: len(re.findall(rf"\b{n}\b", plan)) for n in _JOIN_NODES}
     return {
@@ -88,16 +155,18 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        recommended_session_conf,
+    )
+
+    # engine-recommended session conf (codegen class cache sized to the
+    # registry — STATIC, build-time only — plus UTC/AQE/Arrow): single
+    # source of truth; see core.recommended_session_conf
+    builder = SparkSession.builder.master("local[8]")
+    for k, v in recommended_session_conf(8).items():
+        builder = builder.config(k, v)
     spark = (
-        SparkSession.builder.master("local[8]")
-        # generated-class cache sized to the registry: the default
-        # 100-entry LRU evicts every plan in a 257-plan session and
-        # re-pays janino compilation per re-execution (SCALE.md,
-        # long-session ops #3)
-        .config("spark.sql.codegen.cache.maxEntries", "10000")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+        builder.config("spark.ui.enabled", "false")
         .appName("plan_budget")
         .getOrCreate()
     )
