@@ -87,6 +87,29 @@ def test_committed_drift_bands_match_recomputation():
     assert d["drift_bands"] == bcc.band_stats(d)
 
 
+def test_jit_retimed_records_are_well_formed():
+    """Protocol v10.2: a timed pass-1 that janino-compiled fresh
+    classes is re-measured once and recorded under jit_retimed.  Each
+    record must carry the full audit tuple, and a retime that itself
+    compiled MORE classes than the contaminated pass would mean a
+    per-execution-source plan — flag it for investigation rather than
+    letting the artifact normalize it."""
+    import json
+
+    if not os.path.exists(ARTIFACT):
+        pytest.skip("no BENCH_FULL.json committed yet")
+    d = json.load(open(ARTIFACT))
+    if "jit_retimed" not in d:
+        pytest.skip("pre-v10.2 artifact")
+    for key, rec in d["jit_retimed"].items():
+        assert {"classes", "contaminated_sec", "retimed_sec", "retime_compiled"} <= set(rec), key
+        assert rec["classes"] > 0, key
+        assert rec["retime_compiled"] <= rec["classes"] + 4, (
+            f"{key}: retime compiled MORE classes than the pass it replaced "
+            f"({rec}) — per-execution generated source, investigate"
+        )
+
+
 def test_prewarm_record_is_not_inside_the_cold_map():
     """ADVICE r15: the staged-frame prewarm record must live in its own
     top-level `prewarm` field — a pseudo-key inside the per-query cold
