@@ -48,7 +48,11 @@ def band_stats(data: dict) -> list[dict]:
     """
     s = data.get("samples", {})
     trip = {k: v for k, v in s.items() if len(v) == 3 and v[0] > 0.02}
-    order = sorted(trip, key=lambda k: -trip[k][0])
+    # tie-break by key name: rank order must be TOTAL, or the band
+    # boundaries depend on dict iteration order and the recorded
+    # bands stop matching a recomputation after the sort_keys JSON
+    # round-trip (many sub-0.1s keys tie at 3 decimals)
+    order = sorted(trip, key=lambda k: (-trip[k][0], k))
     n = len(order)
     if n < 20:
         return []
