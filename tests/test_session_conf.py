@@ -45,6 +45,7 @@ def test_harnesses_consume_the_single_source():
         "/root/repo/tests/conftest.py",
         "/root/repo/tools/check_oracle.py",
         "/root/repo/tools/plan_budget.py",
+        "/root/repo/tools/time_keys.py",
     ):
         src = open(path).read()
         assert "recommended_session_conf" in src, path

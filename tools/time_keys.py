@@ -47,19 +47,20 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark.core import (
+        recommended_session_conf,
+    )
+
+    builder = SparkSession.builder.master("local[32]")
+    # engine-recommended session conf (single source of truth in
+    # core.recommended_session_conf; the codegen class cache entry is
+    # static — builder-time only)
+    for k, v in recommended_session_conf(32).items():
+        builder = builder.config(k, v)
     spark = (
-        SparkSession.builder.master("local[32]")
-        # generated-class cache sized to the registry: the default
-        # 100-entry LRU evicts every plan in a 257-plan session and
-        # re-pays janino compilation per re-execution (SCALE.md,
-        # long-session ops #3)
-        .config("spark.sql.codegen.cache.maxEntries", "10000")
-        .config("spark.sql.shuffle.partitions", "32")
+        builder
         .config("spark.driver.memory", "8g")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config(
