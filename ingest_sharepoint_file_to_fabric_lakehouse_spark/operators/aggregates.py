@@ -1046,16 +1046,20 @@ def agg_exact_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.expr("cast(o_totalprice * 100 as bigint)").alias("cents"),
     )
+    # No orderBy before the collect: the global sort added an extra
+    # exchange + sort stage for rows the driver walks anyway, and the
+    # driver-side sort of a control-plane-sized histogram is free
+    # (r16 optimization; guide §2.4 "orderBy used only to make output
+    # deterministic").
     hist = (
         o.groupBy("grp", (F.col("cents") / binw).cast("bigint").alias("bin"))
         .agg(F.count("*").alias("cnt"))
-        .orderBy("grp", "bin")
         .collect()
     )
     from collections import defaultdict
 
     per_group: dict = defaultdict(list)
-    for r in hist:
+    for r in sorted(hist, key=lambda r: (r.grp, r.bin)):
         per_group[r.grp].append((r.bin, r.cnt))
     targets = []  # (grp, bin, rank_in_bin, n)
     for grp, rows in per_group.items():

@@ -924,12 +924,16 @@ def vocab_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Top-20 via sort+limit first (TakeOrderedAndProject — partial
+    # per-partition top-k, no |V|²-wide single-task window), then rank
+    # the 20 survivors; (pmi desc, w1, w2) is a total order so set and
+    # ranks are identical (the vocab_topk shape; guide §2.4).
+    top = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)
     w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
     return (
-        scored.select(
+        top.select(
             "w1", "w2", "c2", "pmi", F.row_number().over(w).cast("long").alias("rnk")
         )
-        .filter(F.col("rnk") <= 20)
         .orderBy("rnk")
     )
 

@@ -909,14 +909,22 @@ def dedup_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     zero = cand.filter(F.col("hamming") == 0).select("doc_a", "doc_b")
-    recalled = pairs.join(zero, ["doc_a", "doc_b"], "left_semi")
+    # r16 optimization (guide §2.3): the total-pair count and the
+    # recalled-pair count used to be two separate consumers of
+    # ``pairs`` (an agg + a left-semi-then-agg), each replaying the
+    # token-set self-join subtree.  One left-outer join against the
+    # DISTINCT zero-Hamming candidates (semi-join semantics need the
+    # dedup — a pair surfacing in several bands must count once)
+    # tags each pair, and a single aggregate emits both counts.
+    zero_hit = zero.distinct().withColumn("hit", F.lit(1))
+    pair_stats = pairs.join(zero_hit, ["doc_a", "doc_b"], "left_outer").agg(
+        F.count("*").alias("tokenset_dup_pairs"),
+        F.count("hit").alias("dup_pairs_recalled"),
+    )
     n_docs = d.agg(F.count("*").alias("n_docs"))
-    n_pairs = pairs.agg(F.count("*").alias("tokenset_dup_pairs"))
-    n_rec = recalled.agg(F.count("*").alias("dup_pairs_recalled"))
     hmax = cand.agg(F.coalesce(F.max("hamming"), F.lit(0)).alias("hmax"))
     return (
-        n_docs.crossJoin(F.broadcast(n_pairs))
-        .crossJoin(F.broadcast(n_rec))
+        n_docs.crossJoin(F.broadcast(pair_stats))
         .crossJoin(F.broadcast(hmax))
         .select(
             "n_docs",

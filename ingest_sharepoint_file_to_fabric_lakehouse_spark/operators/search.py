@@ -199,13 +199,19 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("s").cast("double"), 6).alias("score"),
         F.count("*").alias("n_terms_hit"),
     )
+    # Top-k via sort+limit FIRST (TakeOrderedAndProject: per-partition
+    # partial top-20, no global-sort exchange), then rank the <=20
+    # survivors — the (score, doc_id) order is total, so the kept set
+    # and ranks are identical to a global row_number; the window's
+    # single task now sees 20 rows instead of every scoring doc (the
+    # sort_multi_nulls / vocab_topk shape; guide §2.4).
+    top = ranked.orderBy(F.col("score").desc(), "doc_id").limit(20)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return (
-        ranked.select(
+        top.select(
             "doc_id", "score", "n_terms_hit", F.row_number().over(w).cast("long").alias("rnk")
         )
         .orderBy("rnk")
-        .limit(20)
     )
 
 
@@ -302,15 +308,22 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q_vec"))
-    w = Window.orderBy(
-        F.round(cosine(F.col("q_vec"), F.col("v")), 6).desc(), F.col("vec_id")
-    )
-    vec = (
+    # Same top-k discipline as the lexical arm: score map-side, keep
+    # the top 20 via sort+limit (TakeOrderedAndProject — per-partition
+    # partial top-k, no corpus-wide single-task window), then rank the
+    # 20 survivors.  (cs desc, doc_id) is a total order, so the kept
+    # set and ranks match the previous global row_number exactly.
+    vec_scored = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
-        .select(F.col("vec_id").alias("doc_id"), F.row_number().over(w).alias("rnk_vec"))
-        .filter(F.col("rnk_vec") <= 20)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("q_vec"), F.col("v")), 6).alias("cs"),
+        )
     )
+    vec_top = vec_scored.orderBy(F.col("cs").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("cs").desc(), "doc_id")
+    vec = vec_top.select("doc_id", F.row_number().over(w).alias("rnk_vec"))
     fused = (
         lex.join(vec, "doc_id", "full_outer")
         .select(

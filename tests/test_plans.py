@@ -574,25 +574,32 @@ def test_q17_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
     assert "Subquery" not in plan  # fully decorrelated, no per-row subquery node
 
 
-def test_q21_double_correlation_plans_semi_and_anti(spark, sf_dir):
-    """EXISTS and NOT EXISTS against the same fact must become one
-    LEFT SEMI and one LEFT ANTI join, both hashing l_orderkey — the
-    co-partitioning is shared, the suppkey cross-reference rides as a
-    residual predicate."""
+def test_q21_single_fact_scan_single_fact_exchange(spark, sf_dir):
+    """r16 optimization contract: the Spark-side Q21 folds the spec's
+    EXISTS/NOT-EXISTS (which decorrelate to a LEFT SEMI + LEFT ANTI,
+    each with its own full lineitem scan+shuffle) into ONE two-level
+    per-order rollup — the plan must scan lineitem exactly once, and
+    the explicit REPARTITION(l_orderkey) must be the only
+    lineitem-sized exchange (both aggregation levels and the orders
+    join reuse it, so no semi/anti trees and no repeated fact scan)."""
     df = engine.QUERIES["sql_api_q21"](spark, sf_dir)
     plan = plan_of(df)
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    # the values the correlations tested still gate the output
+    assert "n_supp" in plan and "n_flagged" in plan
 
 
 def test_q22_scalar_threshold_evaluates_once(spark, sf_dir):
-    """The global-average threshold must be a one-shot scalar subquery
-    (Subquery scalar-subquery / ReusedSubquery nodes), and NOT EXISTS
-    must plan as a LEFT ANTI join on c_custkey."""
+    """r16 optimization contract: the count and sum threshold
+    aggregates ride ONE 1-row aggregate cross-joined in (the spec's
+    two scalar subqueries each re-scanned customer), and NOT EXISTS
+    still plans as a LEFT ANTI join on c_custkey.  Customer appears
+    exactly twice: the outer scan and the threshold scan."""
     df = engine.QUERIES["sql_api_q22"](spark, sf_dir)
     plan = plan_of(df)
     assert "LeftAnti" in plan
-    assert "scalar-subquery" in plan or "Subquery" in plan
+    assert plan.count("customer.parquet") == 2
 
 
 def test_q8_deep_star_broadcasts_every_dim(spark, sf_dir):
