@@ -1716,11 +1716,12 @@ def orders_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = ranked.withColumn(
         "local_cum", F.sum("cents").over(local_w)
     ).localCheckpoint(eager=True)
-    totals = (
-        local.groupBy("_part")
-        .agg(F.sum("cents").alias("part_total"))
-        .orderBy("_part")
-        .collect()
+    # no orderBy before the collect (r16): the global sort of the
+    # <= n_parts rows added a range-sampling job + exchange; the
+    # driver sorts the control-plane list instead.
+    totals = sorted(
+        local.groupBy("_part").agg(F.sum("cents").alias("part_total")).collect(),
+        key=lambda r: r["_part"],
     )
     offsets, running = {}, 0
     for row in totals:

@@ -1989,12 +1989,21 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    tp = cand.join(truth, ["doc_a", "doc_b"], "left_semi").agg(F.count("*").alias("tp"))
+    # r16 optimization (guide §2.3): the candidate-volume count and
+    # the true-positive count fold into ONE left-outer-join aggregate
+    # over the checkpointed candidates (truth is distinct (doc_a,
+    # doc_b) by construction — the groupBy upstream of the staged
+    # write — so the outer join preserves cand's row count and the
+    # hit marker reproduces the semi-join count); only n_truth still
+    # reads the staged truth alone (a parquet-read agg).
+    truth_hit = truth.withColumn("thit", F.lit(1))
+    cand_stats = cand.join(truth_hit, ["doc_a", "doc_b"], "left_outer").agg(
+        F.count("*").alias("n_candidates"),
+        F.count("thit").alias("tp"),
+    )
     n_truth = truth.agg(F.count("*").alias("n_truth"))
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
     return (
-        tp.crossJoin(n_truth)
-        .crossJoin(n_cand)
+        cand_stats.crossJoin(F.broadcast(n_truth))
         .select(
             "n_truth",
             "n_candidates",

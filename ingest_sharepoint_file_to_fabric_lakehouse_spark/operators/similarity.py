@@ -889,12 +889,20 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = read_staged(spark, truth_path)
     cand = _portable_lsh_candidates(spark, sf_dir).select("q_id", "vec_id")
     cand = cand.localCheckpoint(eager=True)
-    n_truth = truth.agg(F.count("*").alias("n_truth"))
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_rec = truth.join(cand, ["q_id", "vec_id"], "left_semi").agg(
-        F.count("*").alias("n_recalled")
+    # r16 optimization (guide §2.3): n_truth and n_recalled fold into
+    # ONE left-outer-join aggregate (semi-join semantics preserved by
+    # deduplicating the candidate side — a pair surfacing from several
+    # bands must count once), replacing two separate passes over
+    # truth; only the candidate-volume count still reads cand alone.
+    hit = cand.distinct().withColumn("hit", F.lit(1))
+    truth_stats = truth.join(hit, ["q_id", "vec_id"], "left_outer").agg(
+        F.count("*").alias("n_truth"),
+        F.count("hit").alias("n_recalled"),
     )
-    return n_truth.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_rec))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    return truth_stats.crossJoin(F.broadcast(n_cand)).select(
+        "n_truth", "n_candidates", "n_recalled"
+    )
 
 
 _KMEANS_ORACLE = """
