@@ -457,6 +457,22 @@ def source_bytes(sf_dir: str, *tables: str) -> int:
     return total
 
 
+def staged_file_width(
+    sf_dir: str, *tables: str, target: int = 128 << 20, cap: int = 4096
+) -> int:
+    """File count for a staged-artifact parquet write, derived from the
+    SOURCE tables' size (guide-§6 file sizing: aim for 100 MB-1 GB
+    files).  Derived indexes (signatures, posting lists, shingle
+    dictionaries) are a bounded multiple of their source, so
+    ``source_bytes/target`` gives one output file per ~128 MB of
+    source — 1 file at fixture scale instead of one near-empty file
+    per shuffle partition (measured: several staged layouts shipped as
+    32 x ~10 KB files, taxing every steady-state read with 32 file
+    opens + 32 scan tasks), and hundreds of well-sized files at
+    100 TB.  Scale-adaptive by construction, never a constant."""
+    return max(1, min(cap, -(-source_bytes(sf_dir, *tables) // target)))
+
+
 def checkpoint_if_large(df, sf_dir: str, *tables: str, threshold: int = 256 << 20):
     """Cost-based materialization for a relation consumed by several
     subtrees: above ``threshold`` source bytes the eager checkpoint

@@ -419,6 +419,9 @@ def boiler_shingle_layouts(
     token = source_fingerprint(sf_dir, "documents")
     with staged_build(spark, token, sh_path, df_path) as need:
         if need:
+            from ..core import staged_file_width
+
+            width = staged_file_width(sf_dir, "documents")
             d = docs(spark, sf_dir)
             (
                 d.select(
@@ -427,6 +430,7 @@ def boiler_shingle_layouts(
                         "shingle"
                     ),
                 )
+                .coalesce(width)
                 .write.mode("overwrite")
                 .parquet(sh_path)
             )
@@ -434,6 +438,7 @@ def boiler_shingle_layouts(
                 spark.read.parquet(sh_path)
                 .groupBy("shingle")
                 .agg(F.count("*").alias("df"))
+                .coalesce(width)
                 .write.mode("overwrite")
                 .parquet(df_path)
             )

@@ -419,6 +419,8 @@ def _dedup_cluster_components(
                 d.join(spark.read.parquet(canon_path), "doc_id")
                 .select("doc_id", shingles(F.col("text"), 3).alias("sh"))
             )
+            from ..core import staged_file_width
+
             (
                 sh.select(
                     "doc_id",
@@ -426,6 +428,7 @@ def _dedup_cluster_components(
                         *[F.array_min(F.transform("sh", _mh(k))) for k in range(n_hashes)]
                     ).alias("sig"),
                 )
+                .coalesce(staged_file_width(sf_dir, "documents"))
                 .write.mode("overwrite")
                 .parquet(sig_path)
             )

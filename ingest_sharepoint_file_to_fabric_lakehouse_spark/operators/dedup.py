@@ -560,9 +560,11 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token = source_fingerprint(sf_dir, "documents")
     with staged_build(spark, token, sig_path) as need:
         if need:
-            _mh_xxhash_signatures(d, n_hashes).write.mode("overwrite").parquet(
-                sig_path
-            )
+            from ..core import staged_file_width
+
+            _mh_xxhash_signatures(d, n_hashes).coalesce(
+                staged_file_width(sf_dir, "documents")
+            ).write.mode("overwrite").parquet(sig_path)
     sig = read_staged(spark, sig_path)
     banded = _mh_xxhash_banded(sig, bands, rows_per_band)
     cand = (
@@ -1819,7 +1821,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token = source_fingerprint(sf_dir, "documents")
     with staged_build(spark, token, idx_path) as need:
         if need:
-            _mh_banded(_mh_signature(base)).write.mode("overwrite").parquet(idx_path)
+            from ..core import staged_file_width
+
+            _mh_banded(_mh_signature(base)).coalesce(
+                staged_file_width(sf_dir, "documents")
+            ).write.mode("overwrite").parquet(idx_path)
     index = read_staged(spark, idx_path)
 
     delta_banded = _mh_banded(_mh_signature(delta).localCheckpoint(eager=True))

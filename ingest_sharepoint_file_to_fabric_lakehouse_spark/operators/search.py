@@ -120,7 +120,11 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
                 .write.mode("overwrite")
                 .parquet(df_path)
             )
-            dl_b.write.mode("overwrite").parquet(dl_path)
+            from ..core import staged_file_width
+
+            dl_b.coalesce(staged_file_width(sf_dir, "documents")).write.mode(
+                "overwrite"
+            ).parquet(dl_path)
             stats = dl_b.agg(
                 F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
             ).first()

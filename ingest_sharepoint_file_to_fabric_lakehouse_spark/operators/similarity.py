@@ -1943,7 +1943,11 @@ def _mmr_body(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         rel.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 20)
         .drop("rn")
-        .localCheckpoint(eager=True)
+        # lazy: materializes inside the key's single action and is
+        # shared by every consumer there (the dedup_edit_distance
+        # eager->lazy measurement: eager checkpoints serialize into
+        # py4j job barriers at CONSTRUCTION time)
+        .localCheckpoint(eager=False)
     )
     # Vector fetch for the shortlist: broadcast the 60-row cand against
     # the corpus scan (map-side, no corpus shuffle — carrying v through
@@ -1955,7 +1959,7 @@ def _mmr_body(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     cv = (
         cand.join(e, "vec_id")
         .select("q_id", "vec_id", "v")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a, b = cv.alias("a"), cv.alias("b")
     sims = a.join(
