@@ -1386,13 +1386,17 @@ def dedup_jaccard_prefix(
             # The stored prefix probes the dictionary id too — the
             # candidate self-join is the hottest steady-state stage, and
             # an int key halves it vs the string form.
+            from ..core import staged_file_width
+
+            _w = staged_file_width(sf_dir, "documents")
             (
                 pb_build.join(F.broadcast(vocab), "shingle")
                 .select("doc_id", "sid", "rn", "n_sh")
+                .coalesce(_w)
                 .write.mode("overwrite")
                 .parquet(pfx_path)
             )
-            shi_build.write.mode("overwrite").parquet(se_path)
+            shi_build.coalesce(_w).write.mode("overwrite").parquet(se_path)
             # Control-plane scalar for the large-doc gate, stamped at build
             # so steady-state runs read a file instead of running a job.
             import json as _json
@@ -1423,6 +1427,7 @@ def dedup_jaccard_prefix(
                 .join(small_build, "doc_id", "left_semi")
                 .groupBy("doc_id")
                 .agg(F.collect_list("sid").alias("shs"), F.count("*").alias("n_sh"))
+                .coalesce(_w)
                 .write.mode("overwrite")
                 .parquet(ds_path)
             )
