@@ -1463,28 +1463,46 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     du = ev.select(
         F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
-    ).distinct().localCheckpoint(eager=True)
-    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
-
-    def trailing(n: int, name: str):
-        fan = du.select(
-            F.explode(
-                F.expr(f"sequence(day, date_add(day, {n - 1}), interval 1 day)")
-            ).alias("day_end"),
-            "user_id",
-        )
-        ends = du.select(F.col("day").alias("day_end")).distinct()
-        return (
-            fan.join(ends, "day_end")
-            .groupBy("day_end")
-            .agg(F.countDistinct("user_id").alias(name))
-            .withColumnRenamed("day_end", "day")
-        )
-
+    ).distinct()
+    # r16 restructure (guide §2.3/§2.4): ONE 28-day fan-out serves DAU,
+    # WAU and MAU together — each distinct (day, user) pair explodes to
+    # the window-ends it contributes to, carrying flags for "within the
+    # 7-day window" and "is the day itself".  An explicit
+    # REPARTITION(day_end) then lets BOTH aggregation levels (per
+    # (day_end, user) flag-OR, then per day_end counts) and everything
+    # downstream reuse a single exchange (the Q21 pattern) — no
+    # countDistinct Expand, no separate WAU/MAU fan-outs + joins, no
+    # ends relation (a day_end is an observed day iff its DAU >= 1),
+    # no checkpoint (du now has exactly one consumer).  Was: 2
+    # fan-outs, 2 distinct aggregates, an ends dedup and 2 day-keyed
+    # joins (12 exchanges); now: the du dedup, the repartition, and
+    # the output sort.
+    fan = du.select(
+        F.explode(
+            F.expr("sequence(day, date_add(day, 27), interval 1 day)")
+        ).alias("day_end"),
+        "day",
+        "user_id",
+    ).hint("repartition", "day_end")
+    per_user = fan.groupBy("day_end", "user_id").agg(
+        F.max(F.expr("day_end < date_add(day, 7)").cast("int")).alias("in7"),
+        F.max((F.col("day") == F.col("day_end")).cast("int")).alias("on_day"),
+    )
     out = (
-        dau.join(trailing(7, "wau"), "day")
-        .join(trailing(28, "mau"), "day")
-        .withColumn("stickiness_ppm", F.expr("(dau * 1000000) div mau"))
+        per_user.groupBy("day_end")
+        .agg(
+            F.sum("on_day").alias("dau"),
+            F.sum("in7").alias("wau"),
+            F.count("*").alias("mau"),
+        )
+        .filter(F.col("dau") >= 1)
+        .select(
+            F.col("day_end").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.expr("(dau * 1000000) div mau").alias("stickiness_ppm"),
+        )
         .orderBy("day")
     )
     return out
