@@ -72,13 +72,38 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_PREP_PINNED: set = set()
+_CONF_DIRTY = False
+
+
+def mark_conf_dirty() -> None:
+    """A query that leaves session conf mutated past its own call (the
+    runtime-bloom toggles — everything else restores in ``finally``)
+    must call this so the NEXT :func:`prep` re-pins the defaults
+    instead of skipping as already-pinned."""
+    global _CONF_DIRTY
+    _CONF_DIRTY = True
+
+
 def prep(spark: SparkSession) -> None:
     """Session settings applied before every query (runtime-safe confs).
 
     UTC session tz keeps collected timestamps byte-identical to the
     DuckDB oracle's naive parquet timestamps.  AQE handles runtime
     coalescing + skew-join splitting at scale.
+
+    MEMOIZED per application (r16): the seven ``conf.set`` py4j round
+    trips cost a few ms per query call and the values never change
+    between calls — ~1300 query executions per bench session re-sent
+    identical pins.  The first call per session pins; later calls
+    skip unless a conf-mutating query marked the session dirty
+    (:func:`mark_conf_dirty`).  Self-restoring mutators (width pins
+    under ``finally``) need no mark.
     """
+    global _CONF_DIRTY
+    app = spark.sparkContext.applicationId
+    if app in _PREP_PINNED and not _CONF_DIRTY:
+        return
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
     conf.set("spark.sql.adaptive.enabled", "true")
@@ -93,6 +118,8 @@ def prep(spark: SparkSession) -> None:
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"
     )
     conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    _PREP_PINNED.add(app)
+    _CONF_DIRTY = False
 
 
 def recommended_session_conf(

@@ -736,12 +736,18 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``prep`` before the next query.  ``tests/test_plans.py`` asserts
     ``might_contain`` guards the lineitem scan.
     """
+    from ..core import mark_conf_dirty
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1"
     )
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    # the toggles must OUTLIVE this call (the plan optimizes at action
+    # time), so flag the session for the next prep's re-pin instead of
+    # restoring here
+    mark_conf_dirty()
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     rev = money(F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))))

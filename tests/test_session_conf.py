@@ -53,3 +53,24 @@ def test_harnesses_consume_the_single_source():
             f"{path} re-hardcodes the codegen cache literal instead of "
             "consuming recommended_session_conf"
         )
+
+
+def test_prep_is_memoized_until_marked_dirty(spark):
+    """r16: prep() pins once per application and skips its seven py4j
+    conf.set round trips on later calls — UNLESS a conf-mutating query
+    (join_runtime_bloom's toggles) marked the session dirty, in which
+    case the very next prep must re-pin the defaults."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark import core
+
+    core.prep(spark)  # ensure pinned
+    # memo active: an external (harness-level) mutation is NOT repaired
+    # by a plain prep call...
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    core.prep(spark)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    # ...but a dirty mark forces the re-pin (the engine's own mutators
+    # either restore in finally or call mark_conf_dirty)
+    core.mark_conf_dirty()
+    core.prep(spark)
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10MB"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
