@@ -32,7 +32,25 @@ import textwrap
 
 sys.path.insert(0, "/root/repo")
 
-CONSUMER_PINS: list[str] = []
+# r16 (optimization round): every key whose EXECUTED code this round's
+# optimization edits touch — 14 direct query-body rewrites, the
+# conf-dirty mark in join_runtime_bloom, and the mechanical reader set
+# of the staged layouts whose write sites changed (enumerated by
+# instrumenting core.read_staged over the full registry; see
+# OPTIMIZATION_r16.md).  core.prep's memoization is value-identical
+# for every caller (same pins, fewer round trips) — adjudicated under
+# the r14 _lease_keeper precedent, not staled.
+CONSUMER_PINS: list[str] = [
+    "agg_exact_quantile_grouped", "agg_heavy_hitters_exact",
+    "corpus_dedup_keep_best", "corpus_dedup_pipeline",
+    "corpus_quality_pipeline", "dedup_fuzzy_minhash",
+    "dedup_incremental_minhash", "dedup_jaccard_prefix",
+    "dedup_lsh_eval", "dedup_simhash_stats", "dq_expectations",
+    "events_dau_wau_mau", "join_runtime_bloom", "orders_pareto_abc",
+    "search_bm25", "search_hybrid_rrf", "sim_lsh_recall_eval",
+    "sim_mmr_diversify", "sql_api_q21", "sql_api_q22",
+    "text_boilerplate_ratio", "vocab_pmi_collocations",
+]
 
 WINDOW_SIZE = 50
 
