@@ -253,6 +253,35 @@ def interleaved_reruns(
     return samples, errors, meta
 
 
+def full_artifact_path(base_dir: str, cpus: int) -> tuple[str, dict]:
+    """Pick the BENCH_FULL artifact this run may write, v10.3 (r16
+    verdict item 2): BENCH_FULL.json is canonical for the core count
+    that wrote it; a run at a DIFFERENT core count (the driver's
+    scaling sweep) goes to BENCH_FULL.c<N>.json instead of clobbering
+    the full-core per-key map — r16 lost its only driver 32-core
+    per-key data to the 8-core sweep's last-writer-wins overwrite.
+    Returns (path, prior artifact at that path), so the cold-map
+    carry-forward never mingles records measured at different widths.
+    A pre-v10.3 prior (no "cpus" field) keeps canonical ownership —
+    its per-key data is already mixed-provenance and the next write
+    stamps the field."""
+
+    def _load(p: str) -> dict:
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    path = os.path.join(base_dir, "BENCH_FULL.json")
+    prior = _load(path)
+    prior_cpus = prior.get("cpus")
+    if prior_cpus is not None and int(prior_cpus) != cpus:
+        path = os.path.join(base_dir, f"BENCH_FULL.c{cpus}.json")
+        prior = _load(path)
+    return path, prior
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -516,6 +545,27 @@ def main() -> None:
         ).collect()
         return round(time.time() - t0, 3)
 
+    def _calib_par_probe() -> float:
+        # v10.3 (r16 verdict item 2): the scalar probe is a single
+        # WholeStageCodegen sum — it tracks CPU clock but was blind to
+        # the r16 host episode that slowed MULTI-TASK work 1.6-1.7x
+        # (scheduling fan-out, memory bandwidth, shuffle I/O) while the
+        # scalar probe read ~0.59 s on both sides.  This second probe
+        # is a fixed, data-independent SHUFFLE job: ~48M rows hashed
+        # and exchanged across the session's full width, then reduced —
+        # so it exercises task scheduling, exchange write+fetch and the
+        # memory subsystem.  Both scalars are recorded; neither is used
+        # to rescale the other.
+        t0 = time.time()
+        (
+            spark.range(48_000_000)
+            .selectExpr("xxhash64(id) h")
+            .repartition("h")
+            .selectExpr("sum(h % 1000003) s")
+            .collect()
+        )
+        return round(time.time() - t0, 3)
+
     # Throwaway first: with the codegen class cache sized to the
     # registry (see the session conf), the mid/post calibration probes
     # reuse the cached generated class while a bare pre probe would
@@ -523,8 +573,14 @@ def main() -> None:
     # a 26.8 % spurious "spread" that reads as a noisy host.  All
     # three published probes must measure the same (warm) thing.
     _calib_probe()
+    _calib_par_probe()
     calib_probes = [_calib_probe()]
-    print(f"# calibration probe (pre): {calib_probes[0]:.2f}s", file=sys.stderr)
+    calib_par_probes = [_calib_par_probe()]
+    print(
+        f"# calibration probe (pre): {calib_probes[0]:.2f}s "
+        f"(parallel {calib_par_probes[0]:.2f}s)",
+        file=sys.stderr,
+    )
 
     def _micro_probe() -> float:
         # ~1/4 the calibration probe: cheap enough to run every 20
@@ -630,10 +686,12 @@ def main() -> None:
         except Exception:
             pass
         ev0 = len(STAGING_EVENTS)
+        cw0 = compile_count() if compile_count else 0
         t0 = time.time()
         try:
             n = fn(spark, sf_dir).count()  # untimed warm execution
             warm_dt = time.time() - t0
+            warm_compiled = (compile_count() - cw0) if compile_count else 0
             warm_exec[key] = round(warm_dt, 3)
             if len(STAGING_EVENTS) > ev0:
                 built = [os.path.basename(p) for p, _ in STAGING_EVENTS[ev0:]]
@@ -653,7 +711,19 @@ def main() -> None:
             fn(spark, sf_dir).count()  # the published first-pass sample
             dt = time.time() - t0
             newly = (compile_count() - c0) if compile_count else 0
-            if newly > 0:
+            if newly > 0 and warm_compiled > 0:
+                # v10.3 (r16 verdict item 3): the WARM exec compiled
+                # too, so compilation is per-execution steady state for
+                # this key (data-dependent plan literals — the
+                # corpus_dedup/sql_api_q2 class); a retime would just
+                # compile again and publish the same number.  Keep the
+                # pass-1 sample, record the event as steady-state.
+                jit_retimed[key] = {
+                    "classes": int(newly),
+                    "steady_state_compile": True,
+                    "warm_compiled": int(warm_compiled),
+                }
+            elif newly > 0:
                 # the timed pass generated + janino-compiled fresh
                 # classes (plan variants the warm exec didn't produce —
                 # the sql_api_q2 mechanism): that wall is session
@@ -707,7 +777,12 @@ def main() -> None:
     # recorded alongside, total/calib is the machine-independent
     # comparison figure.
     calib_probes.append(_calib_probe())
-    print(f"# calibration probe (mid): {calib_probes[-1]:.2f}s", file=sys.stderr)
+    calib_par_probes.append(_calib_par_probe())
+    print(
+        f"# calibration probe (mid): {calib_probes[-1]:.2f}s "
+        f"(parallel {calib_par_probes[-1]:.2f}s)",
+        file=sys.stderr,
+    )
 
     samples: dict[str, list[float]] = {}
     partial: dict[str, int] = {}
@@ -781,7 +856,21 @@ def main() -> None:
     total = sum(v for v in timings.values() if v > 0)
 
     calib_probes.append(_calib_probe())
-    print(f"# calibration probe (post): {calib_probes[-1]:.2f}s", file=sys.stderr)
+    calib_par_probes.append(_calib_par_probe())
+    print(
+        f"# calibration probe (post): {calib_probes[-1]:.2f}s "
+        f"(parallel {calib_par_probes[-1]:.2f}s)",
+        file=sys.stderr,
+    )
+    positive_par = sorted(p for p in calib_par_probes if p > 0)
+    calib_par_sec = positive_par[len(positive_par) // 2] if positive_par else 0.0
+    calib_par_spread_pct = (
+        round(
+            100.0 * (positive_par[-1] - positive_par[0]) / calib_par_sec, 1
+        )
+        if calib_par_sec
+        else None
+    )
     positive_probes = sorted(p for p in calib_probes if p > 0)
     calib_sec = positive_probes[len(positive_probes) // 2] if positive_probes else 0.0
     calib_spread_pct = (
@@ -821,15 +910,28 @@ def main() -> None:
     # runs measured the same way (ADVICE r5: the r5 order change made
     # per-key rows incomparable to earlier rounds without saying so).
     protocol = {
-        "version": 10.2,
+        "version": 10.3,
         "order": "reversed-registration",
         "variance_guard": (
             "median-of-3-all-keys;untimed-warm-exec-per-key;"
-            "jit-compile-guarded-pass1;"
+            "jit-compile-guarded-pass1;steady-state-compile-skip;"
             "pass-interleaved-reruns;episode-guard-p25-retro-judge;"
             "prior-quiet-seed;partial-marked-min;staged-frame-prewarm"
         ),
-        "calibration": "median-of-3-probes(pre/mid/post);spread-recorded",
+        # v10.3: a second, SHUFFLE-shaped probe (multi-task exchange)
+        # recorded alongside the scalar codegen probe — the r16 host
+        # episode slowed multi-task work 1.6-1.7x while the scalar
+        # probe was flat, so "machine-independent" normalization
+        # silently failed; two scalars make that visible.  Also:
+        # per-cpus BENCH_FULL artifacts (a scaling sweep at a lower
+        # core count no longer clobbers the full-core per-key map),
+        # and the jit retime is skipped for keys whose WARM exec also
+        # compiled (per-execution steady-state compilation — a retime
+        # just re-measures the same thing).
+        "calibration": (
+            "median-of-3-probes(pre/mid/post);spread-recorded;"
+            "parallel-shuffle-probe-recorded"
+        ),
     }
     line = json.dumps(
         {
@@ -842,6 +944,11 @@ def main() -> None:
             "calib_sec": calib_sec,
             "calib_probes": calib_probes,
             "calib_spread_pct": calib_spread_pct,
+            # v10.3: the multi-task (shuffle) probe's median — a host
+            # episode that degrades parallel work but not CPU clock
+            # shows here while calib_sec stays flat
+            "calib_par_sec": calib_par_sec,
+            "calib_par_spread_pct": calib_par_spread_pct,
             # machine-independent figures (None when calibration failed):
             # total/calib/n_keys for continuity with r8-r10, plus the
             # v9 headline — the normalized per-key MEDIAN, robust to a
@@ -876,8 +983,14 @@ def main() -> None:
         "calib_sec": calib_sec,
         "calib_probes": calib_probes,
         "calib_spread_pct": calib_spread_pct,
+        "calib_par_sec": calib_par_sec,
+        "calib_par_probes": calib_par_probes,
+        "calib_par_spread_pct": calib_par_spread_pct,
         "calib_normalized_per_key": calib_norm_per_key,
         "calib_normalized_median_key": calib_norm_median_key,
+        # v10.3: the core count this artifact was measured at — per-cpus
+        # artifact files keep scaling sweeps from clobbering this map
+        "cpus": int(cpus),
         "queries": timings,
         "samples": samples,
         # the untimed warm execution's wall per key (session-first
@@ -918,14 +1031,15 @@ def main() -> None:
         # recomputation from "samples"
         "drift_bands": [],
     }
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
-    try:
-        with open(full_path) as f:
-            prior = json.load(f)
-    except (OSError, ValueError):
-        prior = {}
+    base_dir = os.path.dirname(os.path.abspath(__file__))
+    full_path, prior = full_artifact_path(base_dir, int(cpus))
+    if os.path.basename(full_path) != "BENCH_FULL.json":
+        print(
+            f"# prior BENCH_FULL.json was measured at a different core "
+            f"count; writing this {cpus}-core run to "
+            f"{os.path.basename(full_path)}",
+            file=sys.stderr,
+        )
     prior_cold = dict(prior.get("cold", {}))
     # r15 artifacts parked the prewarm record inside cold under a
     # pseudo-key; migrate it out so cold holds only query keys

@@ -73,16 +73,19 @@ def query(name: str, oracle: str | None = None):
 
 
 _PREP_PINNED: set = set()
-_CONF_DIRTY = False
 
 
-def mark_conf_dirty() -> None:
+def mark_conf_dirty(spark: SparkSession) -> None:
     """A query that leaves session conf mutated past its own call (the
     runtime-bloom toggles — everything else restores in ``finally``)
     must call this so the NEXT :func:`prep` re-pins the defaults
-    instead of skipping as already-pinned."""
-    global _CONF_DIRTY
-    _CONF_DIRTY = True
+    instead of skipping as already-pinned.
+
+    The mark is PER APPLICATION (r17, ADVICE fix): a process-global
+    flag would let a prep() on session B consume session A's mark,
+    leaving A un-re-pinned (broadcast joins silently disabled for the
+    rest of A's life when two sessions coexist in one process)."""
+    _PREP_PINNED.discard(spark.sparkContext.applicationId)
 
 
 def prep(spark: SparkSession) -> None:
@@ -96,13 +99,13 @@ def prep(spark: SparkSession) -> None:
     trips cost a few ms per query call and the values never change
     between calls — ~1300 query executions per bench session re-sent
     identical pins.  The first call per session pins; later calls
-    skip unless a conf-mutating query marked the session dirty
-    (:func:`mark_conf_dirty`).  Self-restoring mutators (width pins
-    under ``finally``) need no mark.
+    skip unless a conf-mutating query marked THIS application dirty
+    (:func:`mark_conf_dirty` drops it from the pinned set).
+    Self-restoring mutators (width pins under ``finally``) need no
+    mark.
     """
-    global _CONF_DIRTY
     app = spark.sparkContext.applicationId
-    if app in _PREP_PINNED and not _CONF_DIRTY:
+    if app in _PREP_PINNED:
         return
     conf = spark.conf
     conf.set("spark.sql.session.timeZone", "UTC")
@@ -119,7 +122,6 @@ def prep(spark: SparkSession) -> None:
     )
     conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
     _PREP_PINNED.add(app)
-    _CONF_DIRTY = False
 
 
 def recommended_session_conf(

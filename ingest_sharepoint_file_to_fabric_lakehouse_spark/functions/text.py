@@ -294,9 +294,15 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     token = source_fingerprint(sf_dir, "documents")
     with staged_build(spark, token, docbg_path) as need:
         if need:
+            from ..core import staged_file_width
+
             (
                 bg.groupBy("doc_id", "w1", "w2")
                 .agg(F.count("*").alias("n"))
+                # r17 (guide §6): size the staged per-doc bigram table
+                # like the other staged artifacts (was AQE-default file
+                # count)
+                .repartition(staged_file_width(sf_dir, "documents"))
                 .write.mode("overwrite")
                 .parquet(docbg_path)
             )
@@ -430,7 +436,10 @@ def boiler_shingle_layouts(
                         "shingle"
                     ),
                 )
-                .coalesce(width)
+                # repartition, not coalesce (r17, ADVICE fix): keeps
+                # the map-side shingle explode parallel; only the
+                # output lands as `width` files
+                .repartition(width)
                 .write.mode("overwrite")
                 .parquet(sh_path)
             )
@@ -438,7 +447,7 @@ def boiler_shingle_layouts(
                 spark.read.parquet(sh_path)
                 .groupBy("shingle")
                 .agg(F.count("*").alias("df"))
-                .coalesce(width)
+                .repartition(width)
                 .write.mode("overwrite")
                 .parquet(df_path)
             )

@@ -977,29 +977,38 @@ def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.struct(F.lit(j).alias("j"), bucket(j).alias("b")) for j in range(4)])
         ).alias("s"),
     ).select("key", "s.j", "s.b")
-    # r16 optimization: the sketch is FIXED-SIZE control plane (d x w
-    # <= 16384 cells regardless of corpus size — the same class as the
-    # `stats` scalar above), so collect it ONCE and feed the four
-    # probe joins from driver-LOCAL relations: a BroadcastExchange
-    # over a LocalTableScan materializes driver-side without a Spark
-    # job, where the previous per-j filtered builds over the
-    # checkpointed cells ran four separate broadcast-build jobs per
-    # execution (plus the checkpoint job).  Probing is unchanged —
-    # four map-side BroadcastHashJoins in one codegen span.
+    # r17 optimization: the probe needs only the PREDICATE
+    # min_j(cell[j][b_j(key)]) >= thr, never the estimate itself, and
+    # that factors as AND_j(cell[j][b_j(key)] >= thr) — a per-j BUCKET
+    # SET membership test.  The r16 design shipped the cells as four
+    # broadcast-joined relations, but ``spark.createDataFrame(pandas)``
+    # is NOT a LocalTableScan: it parallelizes into
+    # defaultParallelism partitions, so each of the four broadcast
+    # builds ran a 32-task Spark job per execution (measured:
+    # 4 jobs x 32 tasks, ~40% of the key's per-execution tasks).  The
+    # sets are driver-resident control plane (<= w = 4096 ints per j),
+    # so the probe is now four InSet FILTERS — no joins, no broadcast
+    # builds, one codegen span over the scan.  Data-adaptive encoding
+    # keeps the literal small at every scale: whichever of
+    # {heavy buckets} / {light buckets} is smaller is the set (true
+    # heavy-hitter corpora have sparse heavy sets; uniform fixtures
+    # have sparse light sets).  Answer-preserving for the same reason
+    # as before: every row's bucket is present in the cells relation
+    # (its own count contributes), so NOT-IN(light) === IN(heavy)
+    # === cell >= thr, a SUPERSET of the true heavy keys, and the
+    # exact HAVING below removes false positives.
     cell_pdf = (
         hashed.groupBy("j", "b").agg(F.count("*").alias("cell")).toPandas()
     )  # Arrow transfer — 16k rows, ~ms; plain collect() rows are 10x+
-    probed = li
+    cond = F.lit(True)
     for j in range(4):
-        pj = cell_pdf[cell_pdf["j"] == j][["b", "cell"]].rename(
-            columns={"b": f"b{j}", "cell": f"cell{j}"}
-        )
-        cj = spark.createDataFrame(pj)  # Arrow path (local relation)
-        probed = probed.withColumn(f"b{j}", bucket(j)).join(
-            F.broadcast(cj), f"b{j}"
-        )
-    est = F.least(*[F.col(f"cell{j}") for j in range(4)])
-    survivors = probed.filter(est >= F.lit(thr)).select("key")
+        pj = cell_pdf[cell_pdf["j"] == j]
+        # native ints: pandas yields numpy scalars, which F.lit rejects
+        heavy = [int(b) for b in pj.loc[pj["cell"] >= thr, "b"]]
+        light = [int(b) for b in pj.loc[pj["cell"] < thr, "b"]]
+        bj = bucket(j)
+        cond = cond & (~bj.isin(light) if len(light) <= len(heavy) else bj.isin(heavy))
+    survivors = li.filter(cond).select("key")
     return (
         survivors.groupBy(F.col("key").alias("l_partkey"))
         .agg(F.count("*").alias("n_lines"))

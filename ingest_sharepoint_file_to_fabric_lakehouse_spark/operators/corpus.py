@@ -403,10 +403,16 @@ def _dedup_cluster_components(
         if need:
             # 1. exact dedup: canonical = min doc_id per content digest
             # (feeds both the survivor slice and the final funnel)
+            from ..core import staged_file_width
+
+            _w = staged_file_width(sf_dir, "documents")
             (
                 d.groupBy(F.md5("text").alias("h"))
                 .agg(F.min("doc_id").alias("doc_id"))
                 .select("doc_id")
+                # r17 (guide §6, VERDICT item 7): size the canonical-id
+                # table like the other staged artifacts
+                .repartition(_w)
                 .write.mode("overwrite")
                 .parquet(canon_path)
             )
@@ -419,8 +425,6 @@ def _dedup_cluster_components(
                 d.join(spark.read.parquet(canon_path), "doc_id")
                 .select("doc_id", shingles(F.col("text"), 3).alias("sh"))
             )
-            from ..core import staged_file_width
-
             (
                 sh.select(
                     "doc_id",
@@ -428,7 +432,9 @@ def _dedup_cluster_components(
                         *[F.array_min(F.transform("sh", _mh(k))) for k in range(n_hashes)]
                     ).alias("sig"),
                 )
-                .coalesce(staged_file_width(sf_dir, "documents"))
+                # repartition, not coalesce (r17, ADVICE fix): keeps
+                # the map-side signature build parallel
+                .repartition(_w)
                 .write.mode("overwrite")
                 .parquet(sig_path)
             )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core import docs, query, read_staged, t
+from ..core import docs, query, read_staged, staged_file_width, t
 
 
 @query(
@@ -320,7 +320,17 @@ def dedup_minhash_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     production-path witnesses).
     """
     d = docs(spark, sf_dir)
-    base = d.filter(F.col("doc_id") < 3)
+    # r17 (guide §2.3/§5): ``docs()`` is a 32-partition checkpointed
+    # RDD with no filter pushdown, and this witness's two signature
+    # consumers used to replay the full scan each (measured: 193
+    # tasks/execution for a 6-row computation).  The ≤3-row base and
+    # the 6-row signature relation are bounded CONTROL PLANE at any
+    # corpus size (doc_id < 3), so each is computed once into a lazy
+    # single-partition localCheckpoint that materializes inside the
+    # key's single action and is shared by every consumer.
+    base = (
+        d.filter(F.col("doc_id") < 3).coalesce(1).localCheckpoint(eager=False)
+    )
     dups = base.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         *[c for c in base.columns if c != "doc_id"],
@@ -329,7 +339,9 @@ def dedup_minhash_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs it compares (3 real + 3 planted copies) — the production
     # signature path is exercised identically and corpus rows can
     # never contribute to an (orig, orig+1e6) pair
-    sig = _mh_xxhash_signatures(base.unionByName(dups))
+    sig = _mh_xxhash_signatures(base.unionByName(dups)).localCheckpoint(
+        eager=False
+    )
     a = sig.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("orig_id"), F.col("sig").alias("sig_a")
     )
@@ -408,7 +420,17 @@ def dedup_minhash_pipeline_witness(spark: SparkSession, sf_dir: str) -> DataFram
     expected relation from the source alone.
     """
     d = docs(spark, sf_dir)
-    base = d.filter(F.col("doc_id") < 3)
+    # r17 (guide §2.3/§5): four consumers (banded self-join x/y, siga,
+    # sigb) used to replay the signature subtree — and with it the
+    # 32-partition ``docs()`` RDD scan — four times (measured: 387
+    # tasks/execution for a 6-row computation).  The ≤3-row base and
+    # 6-row sig are bounded control plane at any corpus size
+    # (doc_id < 3), so each is computed once into a lazy
+    # single-partition localCheckpoint shared by all consumers,
+    # materializing inside the key's single action.
+    base = (
+        d.filter(F.col("doc_id") < 3).coalesce(1).localCheckpoint(eager=False)
+    )
     dups = base.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         *[c for c in base.columns if c != "doc_id"],
@@ -417,7 +439,9 @@ def dedup_minhash_pipeline_witness(spark: SparkSession, sf_dir: str) -> DataFram
     # pipeline over exactly the 6 docs it tests (3 real + 3 planted):
     # same code path, and corpus rows can never form an
     # (orig, orig+1e6) pair in the candidate join below
-    sig = _mh_xxhash_signatures(base.unionByName(dups))
+    sig = _mh_xxhash_signatures(base.unionByName(dups)).localCheckpoint(
+        eager=False
+    )
     banded = _mh_xxhash_banded(sig)
     pair_bands = (
         banded.alias("x")
@@ -562,7 +586,12 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         if need:
             from ..core import staged_file_width
 
-            _mh_xxhash_signatures(d, n_hashes).coalesce(
+            # repartition, not coalesce (r17, ADVICE fix): coalesce(1)
+            # at fixture scale propagated up the narrow plan and ran
+            # the whole 12-hashes-per-shingle signature build in ONE
+            # task; repartition keeps the map stage parallel and only
+            # the write lands as `width` files.
+            _mh_xxhash_signatures(d, n_hashes).repartition(
                 staged_file_width(sf_dir, "documents")
             ).write.mode("overwrite").parquet(sig_path)
     sig = read_staged(spark, sig_path)
@@ -894,7 +923,15 @@ def dedup_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     its real hot path (the md5 ``dedup_simhash_portable`` twin checks
     the construction; this checks the production hash's output).
     """
-    cand = dedup_simhash(spark, sf_dir)  # staged banded signatures
+    # r17 (guide §2.3): cand has TWO consumers (the zero-Hamming slice
+    # and the hamming-bound max), and each used to replay the staged-
+    # signature self-join + distinct subtree — the formatted plan held
+    # the whole candidate subtree twice.  A lazy localCheckpoint
+    # materializes it once inside the key's single action; both
+    # consumers read the blocks.
+    cand = dedup_simhash(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # staged banded signatures
     d = docs(spark, sf_dir)
     tokenset_key = F.sha2(
         F.concat_ws("\x1f", F.array_sort(F.array_distinct(F.split("text", " ")))),
@@ -1389,14 +1426,20 @@ def dedup_jaccard_prefix(
             from ..core import staged_file_width
 
             _w = staged_file_width(sf_dir, "documents")
+            # repartition, not coalesce (r17, ADVICE fix): these two
+            # writes sit directly over map-side broadcast joins, so a
+            # coalesce(width) at fixture scale serialized the whole
+            # shingle-encode build into `width` tasks; repartition
+            # keeps the build parallel, only the output is `width`
+            # files.
             (
                 pb_build.join(F.broadcast(vocab), "shingle")
                 .select("doc_id", "sid", "rn", "n_sh")
-                .coalesce(_w)
+                .repartition(_w)
                 .write.mode("overwrite")
                 .parquet(pfx_path)
             )
-            shi_build.coalesce(_w).write.mode("overwrite").parquet(se_path)
+            shi_build.repartition(_w).write.mode("overwrite").parquet(se_path)
             # Control-plane scalar for the large-doc gate, stamped at build
             # so steady-state runs read a file instead of running a job.
             import json as _json
@@ -1427,7 +1470,10 @@ def dedup_jaccard_prefix(
                 .join(small_build, "doc_id", "left_semi")
                 .groupBy("doc_id")
                 .agg(F.collect_list("sid").alias("shs"), F.count("*").alias("n_sh"))
-                .coalesce(_w)
+                # repartition keeps the final aggregation at shuffle
+                # width (coalesce would fold it into `width` tasks);
+                # rows move whole, so each doc's list is unchanged
+                .repartition(_w)
                 .write.mode("overwrite")
                 .parquet(ds_path)
             )
@@ -1689,9 +1735,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     mn = F.least(F.col("sa.n_sh"), F.col("sb.n_sh"))
+    # r17 (guide §3.1): per-doc size lookups are bounded by the doc
+    # sample; broadcast them like the dedup_ngram_jaccard twin does
+    # (they planned as sort-merge — two extra exchanges + sorts).
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(F.col("n_common") * 10 >= mn * 3)
         .select(
             "doc_a",
@@ -1828,12 +1877,20 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         if need:
             from ..core import staged_file_width
 
-            _mh_banded(_mh_signature(base)).coalesce(
+            # repartition, not coalesce (r17, ADVICE fix): keeps the
+            # map-side signature+banding build parallel; only the
+            # output lands as `width` files.
+            _mh_banded(_mh_signature(base)).repartition(
                 staged_file_width(sf_dir, "documents")
             ).write.mode("overwrite").parquet(idx_path)
     index = read_staged(spark, idx_path)
 
-    delta_banded = _mh_banded(_mh_signature(delta).localCheckpoint(eager=True))
+    # lazy (r17): the checkpoint's job is to be an optimizer BARRIER
+    # (without it CollapseProject inlines the 12-hash signature into
+    # every band struct under the Generate); eager=False keeps the
+    # barrier but folds the materialization into the key's single
+    # action instead of a dedicated synchronous job.
+    delta_banded = _mh_banded(_mh_signature(delta).localCheckpoint(eager=False))
     cand = (
         delta_banded.select("doc_id", "band", "bucket", F.col("sig").alias("sig_d"))
         .join(
@@ -1983,6 +2040,10 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(F.broadcast(sb), "doc_b")
                 .filter(5 * F.col("i") >= 2 * (F.col("na") + F.col("nb") - F.col("i")))
                 .select("doc_a", "doc_b")
+                # r17 (guide §6, VERDICT item 7): size the truth table
+                # like every other staged artifact — one file per
+                # 128 MB of source instead of one per shuffle partition
+                .repartition(staged_file_width(sf_dir, "documents"))
                 .write.mode("overwrite")
                 .parquet(truth_path)
             )
@@ -1998,8 +2059,11 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # r17: the eager localCheckpoint that used to sit here predates the
+    # r16 single-aggregate fold — cand now has exactly ONE consumer
+    # (cand_stats), so materializing it was a pure extra job + storage
+    # write per execution with nothing left to share it with.
     # r16 optimization (guide §2.3): the candidate-volume count and
     # the true-positive count fold into ONE left-outer-join aggregate
     # over the checkpointed candidates (truth is distinct (doc_a,

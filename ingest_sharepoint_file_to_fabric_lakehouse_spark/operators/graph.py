@@ -335,10 +335,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # r17 (guide §3.1): the checkpointed edge relation carries no
+    # stats, so the planner defaulted both wedge joins to sort-merge —
+    # four exchanges + sorts over a relation bounded by #nations²
+    # (≤ ~300 rows at ANY corpus size; the node set is the nation
+    # dimension).  Explicit broadcasts are the deliberate strategy
+    # here, not a fixture tune.
     tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
         )
         .select(
@@ -450,12 +456,19 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     ).distinct()
     x, y = adj.alias("x"), adj.alias("y")
+    # r17 (guide §3.1): adjacency and canonical-edge relations are
+    # bounded by #nations² and carry no stats (checkpointed RDD), so
+    # the planner defaulted the wedge join and the anti-join to
+    # sort-merge; broadcast both small sides explicitly.
     common = (
-        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")))
+        x.join(
+            F.broadcast(y),
+            (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
+        )
         .groupBy(F.col("x.v").alias("a"), F.col("y.v").alias("b"))
         .agg(F.count("*").alias("n_common"))
     )
-    predicted = common.join(canon, ["a", "b"], "left_anti")
+    predicted = common.join(F.broadcast(canon), ["a", "b"], "left_anti")
     da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
     return (
@@ -630,9 +643,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_arg = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
     for _ in range(3):
+        # r17 (guide §3.1): the label table is #nodes rows (bounded by
+        # the nation dimension at any corpus size) and the checkpointed
+        # adjacency has no stats, so each round's join planned as
+        # sort-merge (two exchanges + sorts per round); broadcast the
+        # label side explicitly.
         votes = (
             adj.join(
-                labels.select(F.col("node").alias("v"), "lbl"), "v"
+                F.broadcast(labels.select(F.col("node").alias("v"), "lbl")), "v"
             )
             .groupBy(F.col("u").alias("node"), "lbl")
             .agg(F.count("*").alias("c"))

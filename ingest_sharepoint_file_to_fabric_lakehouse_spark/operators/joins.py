@@ -747,7 +747,7 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the toggles must OUTLIVE this call (the plan optimizes at action
     # time), so flag the session for the next prep's re-pin instead of
     # restoring here
-    mark_conf_dirty()
+    mark_conf_dirty(spark)
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     rev = money(F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))))

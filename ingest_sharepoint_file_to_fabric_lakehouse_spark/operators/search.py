@@ -105,8 +105,17 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
                 .groupBy("doc_id", "token")
                 .agg(F.count("*").alias("tf"))
             )
+            from ..core import staged_file_width
+
+            width = staged_file_width(sf_dir, "documents")
+            # r17 (guide §6, VERDICT item 7): the postings' range-
+            # partition count is now source-size-derived like every
+            # other staged artifact (was a constant 8) — one token-
+            # sorted ~128 MB file per 128 MB of source at any scale,
+            # so token-range file pruning keeps working at 100 TB
+            # while the fixture stops paying 8 near-empty file opens.
             (
-                tf_b.repartitionByRange(8, "token")
+                tf_b.repartitionByRange(width, "token")
                 .sortWithinPartitions("token")
                 .write.mode("overwrite")
                 .parquet(tf_path)
@@ -117,14 +126,13 @@ def _bm25_index(spark: SparkSession, sf_dir: str):
                 spark.read.parquet(tf_path)
                 .groupBy("token")
                 .agg(F.count("*").alias("df"))
+                .repartition(width)
                 .write.mode("overwrite")
                 .parquet(df_path)
             )
-            from ..core import staged_file_width
-
-            dl_b.coalesce(staged_file_width(sf_dir, "documents")).write.mode(
-                "overwrite"
-            ).parquet(dl_path)
+            # repartition, not coalesce (r17, ADVICE fix): keeps the
+            # map-side tokenize+size pass parallel
+            dl_b.repartition(width).write.mode("overwrite").parquet(dl_path)
             stats = dl_b.agg(
                 F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
             ).first()

@@ -25,6 +25,7 @@ from ..core import (
     read_staged,
     source_fingerprint,
     staged_build,
+    staged_file_width,
     staging_current,
     t,
 )
@@ -416,14 +417,26 @@ def sim_lsh_dup_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    base = e.filter(F.col("vec_id") < 3)
+    # r17 (guide §2.3/§5): the banded relation is consumed twice (the
+    # query side and the hit side of the self-join), and each replay
+    # re-scanned embeddings and re-computed the 16-band plane dots
+    # (measured: 8 scans in the formatted plan, 43 tasks/execution for
+    # a 6-row computation).  base (≤3 rows) and banded (≤3·2·L rows)
+    # are bounded control plane at any corpus size, so each is
+    # computed once into a lazy single-partition localCheckpoint that
+    # materializes inside the key's single action.
+    base = (
+        e.filter(F.col("vec_id") < 3).coalesce(1).localCheckpoint(eager=False)
+    )
     dups = base.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "v")
     # banding is ROW-LOCAL (each bucket is a function of the row's own
     # vector), so the witness bands exactly the 6 rows it tests — the
     # 3 real corpus vectors and their planted copies; corpus rows can
     # never contribute to a (q_id, q_id+1e6) pair, and the signature
     # path exercised is identical
-    banded = _xxhash_banded(spark, base.unionByName(dups))
+    banded = _xxhash_banded(spark, base.unionByName(dups)).localCheckpoint(
+        eager=False
+    )
     q = banded.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("q_vec"),
@@ -883,6 +896,9 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pairs.select("q_id", "vec_id", F.row_number().over(w).alias("rnk"))
                 .filter(F.col("rnk") <= 10)
                 .select("q_id", "vec_id")
+                # r17 (guide §6, VERDICT item 7): size the truth table
+                # like every other staged artifact
+                .repartition(staged_file_width(sf_dir, "embeddings"))
                 .write.mode("overwrite")
                 .parquet(truth_path)
             )
@@ -1538,7 +1554,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         e.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
-        .localCheckpoint(eager=True)
+        # lazy (r17): materializes inside the first consumer's job
+        # instead of paying a dedicated synchronous checkpoint job;
+        # the later consumers still reuse the materialized blocks
+        .localCheckpoint(eager=False)
     )
     lut = q.select("q_id", "q_vec", F.explode(_pq_cb_lit(cb)).alias("c")).select(
         "q_id",
@@ -1767,7 +1786,11 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         e.filter(F.col("vec_id") < 3)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec"))
-        .localCheckpoint(eager=True)
+        # lazy (r17): the probes.collect() below materializes it as
+        # part of its own job; a dedicated eager checkpoint job bought
+        # nothing (the lut/re-rank broadcasts reuse the blocks either
+        # way)
+        .localCheckpoint(eager=False)
     )
     probes = q.select("q_id", F.explode(best_cells(F.col("q_vec"), 2)).alias("cell_id"))
     # Physical cell pruning: the probed cell set is control-plane-sized

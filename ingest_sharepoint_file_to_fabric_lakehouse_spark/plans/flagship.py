@@ -1051,17 +1051,54 @@ LIMIT 100
 _Q2_SQL = _SUPPLY_CTE + _Q2_SELECT
 
 
+# Spark-side form (r17, guide §2.3/§2.4): the spec's correlated MIN
+# decorrelates to a per-part min() aggregate over a SECOND copy of the
+# supply⋈supplier⋈nation⋈region tree, joined back on (partkey, cost) —
+# the whole inner tree (scan + broadcast dims + partkey exchange) ran
+# once more per execution.  The min is computable as a WINDOW over the
+# outer tree itself: the window partition is p_partkey, and the only
+# outer-tree filters the inner tree lacks (p_size, p_type) are PART
+# attributes — constant within a p_partkey partition — so for every
+# surviving part the window's input rows are exactly the inner tree's
+# correlated slice, and MIN OVER (PARTITION BY p_partkey) equals the
+# correlated scalar.  Ties keep every min-cost supplier in both forms.
+# The oracle runs the spec text; values are hash-verified identical.
+_Q2_SPARK_SQL = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       ps_supplycost_cents
+FROM (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+         ps_supplycost_cents,
+         MIN(ps_supplycost_cents)
+           OVER (PARTITION BY p_partkey) AS min_cost_cents
+  FROM part, supply, supplier, nation, region
+  WHERE p_partkey = ps_partkey
+    AND s_suppkey = ps_suppkey
+    AND p_size = 15
+    AND p_type = 'SMALL'
+    AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'
+)
+WHERE ps_supplycost_cents = min_cost_cents
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
 @query("sql_api_q2", _Q2_SQL)
 def sql_api_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
     European supplier(s) offering it at the region-wide minimum cost —
     the correlated-MIN pattern (a scalar subquery correlated on the
     OUTER part key, over the same join tree the outer query walks).
-    Catalyst decorrelates it into a per-part min() aggregate joined
-    back on (partkey, cost) — the inner tree runs ONCE, not once per
-    part.  At 100 TB both trees hash-shuffle on partkey and the dims
-    (supplier/nation/region) broadcast through both sides; the cost
-    rollup is supply-cardinality-sized.  The supply relation derives
+    Spark runs ``_Q2_SPARK_SQL`` (r17): the correlated min as a WINDOW
+    over the single join tree — Catalyst's decorrelation ran the whole
+    supply⋈dims tree a second time and joined it back; the window form
+    scans and shuffles the supply relation ONCE (equivalence proof at
+    the SQL text).  At 100 TB the tree hash-shuffles on partkey once
+    and the dims (supplier/nation/region) broadcast; the window reuses
+    the partkey exchange.  The supply relation derives
     from lineitem (no partsupp in the fixture): min unit price in
     exact integer cents, so the min-equality join — where a float
     would break — compares exact integers on both engines.  Spark
@@ -1075,7 +1112,7 @@ def sql_api_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("part", "supplier", "nation", "region"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     _supply_view(spark, sf_dir)
-    return spark.sql(_Q2_SELECT)
+    return spark.sql(_Q2_SPARK_SQL)
 
 
 _Q9_SQL = """

@@ -385,3 +385,31 @@ def test_property_single_stall_never_owns_a_median(
         f"stall [{start:.1f},{start + dur:.1f}) x{factor:.1f} "
         f"probe_every={probe_every} leaked into medians: {bad} (meta {meta})"
     )
+
+
+def test_full_artifact_path_is_per_cpus(tmp_path):
+    """v10.3 (r16 verdict item 2): a run at a different core count than
+    the canonical BENCH_FULL.json must write a per-cpus sidecar (and
+    read its own prior), never clobber the canonical map; same-cpus and
+    legacy (no cpus field) priors keep canonical ownership."""
+    import json
+    import bench
+
+    base = str(tmp_path)
+    # no prior at all -> canonical
+    p, prior = bench.full_artifact_path(base, 32)
+    assert p.endswith("BENCH_FULL.json") and prior == {}
+    # canonical prior at 32 cores
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps({"cpus": 32, "queries": {"k": 1.0}}))
+    p, prior = bench.full_artifact_path(base, 32)
+    assert p.endswith("BENCH_FULL.json") and prior["queries"] == {"k": 1.0}
+    # 8-core sweep -> sidecar, with ITS OWN prior
+    p8, prior8 = bench.full_artifact_path(base, 8)
+    assert p8.endswith("BENCH_FULL.c8.json") and prior8 == {}
+    (tmp_path / "BENCH_FULL.c8.json").write_text(json.dumps({"cpus": 8, "queries": {"k": 4.0}}))
+    p8, prior8 = bench.full_artifact_path(base, 8)
+    assert p8.endswith("BENCH_FULL.c8.json") and prior8["queries"] == {"k": 4.0}
+    # legacy prior without cpus field keeps canonical ownership
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps({"queries": {"k": 2.0}}))
+    p, prior = bench.full_artifact_path(base, 8)
+    assert p.endswith("BENCH_FULL.json") and prior["queries"] == {"k": 2.0}

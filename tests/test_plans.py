@@ -11,6 +11,19 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def n_scans(plan: str, table: str) -> int:
+    """Count SCAN OPERATORS over ``table`` (r17, ADVICE fix): a raw
+    ``plan.count("x.parquet")`` substring count is brittle to the path
+    also appearing in detail fields; count lines that are scan nodes
+    and mention the table's file instead."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if ("Scan parquet" in line or "FileScan parquet" in line)
+        and f"{table}.parquet" in line
+    )
+
+
 def test_flagship_broadcasts_dim_and_pushes_filters(spark, sf_dir):
     df = engine.QUERIES["flagship_q3_topk"](spark, sf_dir)
     plan = df._jdf.queryExecution().explainString(
@@ -518,13 +531,16 @@ def test_q13_outer_join_survives_to_physical_plan(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(c_custkey") <= 1
 
 
-def test_q2_correlated_min_decorrelates_to_aggregate_join(spark, sf_dir):
-    """Q2's correlated MIN(ps_supplycost) scalar subquery must plan as
-    a per-partkey min rollup joined back on (partkey, cost) — the
-    inner join tree runs once, no per-row subquery node survives."""
+def test_q2_correlated_min_is_a_window_over_one_tree(spark, sf_dir):
+    """r17 optimization contract: Q2's correlated MIN(ps_supplycost)
+    runs as a window over the SINGLE outer join tree (the decorrelated
+    aggregate-join form re-ran the whole supply⋈dims tree a second
+    time) — one staged-supply scan, a min window on p_partkey, no
+    per-row subquery node."""
     df = engine.QUERIES["sql_api_q2"](spark, sf_dir)
     plan = plan_of(df)
-    assert "partial_min" in plan
+    assert "min(ps_supplycost_cents" in plan  # the window aggregate
+    assert plan.count("tpch_supply_v1") == 1  # supply scanned once
     assert "Subquery" not in plan
 
 
@@ -535,7 +551,7 @@ def test_q9_single_fact_exchange(spark, sf_dir):
     100 TB cost)."""
     df = engine.QUERIES["sql_api_q9"](spark, sf_dir)
     plan = plan_of(df)
-    assert plan.count("lineitem.parquet") == 1
+    assert n_scans(plan, "lineitem") == 1
     assert "BroadcastHashJoin" in plan
 
 
@@ -585,7 +601,7 @@ def test_q21_single_fact_scan_single_fact_exchange(spark, sf_dir):
     df = engine.QUERIES["sql_api_q21"](spark, sf_dir)
     plan = plan_of(df)
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
-    assert plan.count("lineitem.parquet") == 1
+    assert n_scans(plan, "lineitem") == 1
     # the values the correlations tested still gate the output
     assert "n_supp" in plan and "n_flagged" in plan
 
@@ -599,7 +615,7 @@ def test_q22_scalar_threshold_evaluates_once(spark, sf_dir):
     df = engine.QUERIES["sql_api_q22"](spark, sf_dir)
     plan = plan_of(df)
     assert "LeftAnti" in plan
-    assert plan.count("customer.parquet") == 2
+    assert n_scans(plan, "customer") == 2
 
 
 def test_q8_deep_star_broadcasts_every_dim(spark, sf_dir):

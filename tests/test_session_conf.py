@@ -70,7 +70,24 @@ def test_prep_is_memoized_until_marked_dirty(spark):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
     # ...but a dirty mark forces the re-pin (the engine's own mutators
     # either restore in finally or call mark_conf_dirty)
-    core.mark_conf_dirty()
+    core.mark_conf_dirty(spark)
     core.prep(spark)
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10MB"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+def test_mark_conf_dirty_is_per_application(spark):
+    """r17 (ADVICE fix): the dirty mark must not be a process-global —
+    marking session A dirty may not consume a mark another session
+    relies on, and prep() on B must not clear A's mark.  The mark is
+    now 'discard this app from the pinned set', so other apps' pins
+    survive and this app's next prep re-pins."""
+    from ingest_sharepoint_file_to_fabric_lakehouse_spark import core
+
+    core.prep(spark)  # ensure pinned
+    core._PREP_PINNED.add("some-other-application-id")
+    core.mark_conf_dirty(spark)
+    assert "some-other-application-id" in core._PREP_PINNED
+    assert spark.sparkContext.applicationId not in core._PREP_PINNED
+    core._PREP_PINNED.discard("some-other-application-id")
+    core.prep(spark)  # re-pin for the rest of the suite
+    assert spark.sparkContext.applicationId in core._PREP_PINNED
