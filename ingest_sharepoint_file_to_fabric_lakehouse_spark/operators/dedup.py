@@ -923,15 +923,15 @@ def dedup_simhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     its real hot path (the md5 ``dedup_simhash_portable`` twin checks
     the construction; this checks the production hash's output).
     """
-    # r17 (guide §2.3): cand has TWO consumers (the zero-Hamming slice
-    # and the hamming-bound max), and each used to replay the staged-
-    # signature self-join + distinct subtree — the formatted plan held
-    # the whole candidate subtree twice.  A lazy localCheckpoint
-    # materializes it once inside the key's single action; both
-    # consumers read the blocks.
-    cand = dedup_simhash(spark, sf_dir).localCheckpoint(
-        eager=False
-    )  # staged banded signatures
+    # r17 measured NEGATIVE result, left as the plain replay: cand has
+    # two consumers (zero-Hamming slice, hamming-bound max) and the
+    # subtree appears twice in the plan — but it is a cheap staged-
+    # parquet read + broadcast self-join, while a localCheckpoint must
+    # materialize the full candidate pair set.  Same-session A/B at
+    # sf0.1 (5 passes): none med 1.48 s / 9 jobs, lazy 2.73 s / 11
+    # jobs, eager 2.58 s / 12 jobs.  Replaying a cheap subtree beats
+    # materializing a large intermediate.
+    cand = dedup_simhash(spark, sf_dir)  # staged banded signatures
     d = docs(spark, sf_dir)
     tokenset_key = F.sha2(
         F.concat_ws("\x1f", F.array_sort(F.array_distinct(F.split("text", " ")))),

@@ -554,7 +554,13 @@ def graph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("dist", F.lit(d))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # r17: no checkpoint on the union — every component (root and
+        # each round's nxt) is ALREADY a materialized checkpoint, so
+        # re-materializing the union paid one extra job per round (4
+        # per execution) to store blocks that mere union-of-block-reads
+        # reproduces without recompute; the anti-join and the final
+        # action read the same blocks either way.
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select("node", F.col("dist").cast("long")).orderBy("dist", "node")
 

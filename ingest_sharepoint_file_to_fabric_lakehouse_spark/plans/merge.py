@@ -151,7 +151,18 @@ except ImportError:
 def write_table(df: DataFrame, path: str, part_col: str | None = None) -> None:
     """Seed a merge target: Delta format when delta-spark is on the
     classpath, plain parquet otherwise.  One seam, so the whole MERGE
-    surface flips to real Delta by installing the package."""
+    surface flips to real Delta by installing the package.
+
+    Partitioned seeds cluster by the partition column via the AQE
+    REBALANCE hint (r17, guide §6): an unclustered partitionBy write
+    emits one file per (task x partition value) — the seeded target
+    shipped ~4 near-empty files per year and every later merge/read
+    paid ~30 scan tasks for it.  REBALANCE is the skew-safe form (it
+    SPLITS oversized partition values to the advisory size instead of
+    funneling a hot year into one task, which a plain
+    repartition(part_col) would)."""
+    if part_col is not None:
+        df = df.hint("rebalance", part_col)
     w = df.write.mode("overwrite")
     if part_col is not None:
         w = w.partitionBy(part_col)
@@ -985,7 +996,19 @@ def merge_upsert_partitioned(
             merged = _merged_frame(target, source, key)
             # Step 2: stage the merged TOUCHED partitions off to the side —
             # the live table is not written until the rename swaps.
-            merged.write.mode("overwrite").partitionBy(part_col).parquet(jptmp.toString())
+            # REBALANCE by the partition column (r17, guide §6): the
+            # join output's partitioning is the merge key's, so an
+            # unclustered partitionBy write emitted one file per
+            # (task x touched partition); the AQE rebalance clusters
+            # by partition value at the advisory size — few well-sized
+            # files per partition dir at any scale, skew-split if one
+            # partition value dominates.
+            (
+                merged.hint("rebalance", part_col)
+                .write.mode("overwrite")
+                .partitionBy(part_col)
+                .parquet(jptmp.toString())
+            )
             crashpoint("after_stage_write")
             # Step 3: the plan — the staged partition dir names, taken from
             # the filesystem (not re-encoded from values, so the names are

@@ -41,15 +41,21 @@ sys.path.insert(0, "/root/repo")
 # for every caller (same pins, fewer round trips) — adjudicated under
 # the r14 _lease_keeper precedent, not staled.
 CONSUMER_PINS: list[str] = [
-    "agg_exact_quantile_grouped", "agg_heavy_hitters_exact",
-    "corpus_dedup_keep_best", "corpus_dedup_pipeline",
-    "corpus_quality_pipeline", "dedup_fuzzy_minhash",
+    # r17 optimization-touched keys (query-body rewrites, checkpoint
+    # restructures, and every consumer of a re-laid-out staged
+    # artifact — bm25 tf/df, LSH truth tables, cdp canon/sigs,
+    # lm_docbg, minhash/PPJoin build widths)
+    "agg_heavy_hitters_exact", "corpus_dedup_keep_best",
+    "corpus_dedup_pipeline", "corpus_quality_pipeline",
+    "dedup_containment", "dedup_fuzzy_minhash",
     "dedup_incremental_minhash", "dedup_jaccard_prefix",
-    "dedup_lsh_eval", "dedup_simhash_stats", "dq_expectations",
-    "events_dau_wau_mau", "join_runtime_bloom", "orders_pareto_abc",
-    "search_bm25", "search_hybrid_rrf", "sim_lsh_recall_eval",
-    "sim_mmr_diversify", "sql_api_q21", "sql_api_q22",
-    "text_boilerplate_ratio", "vocab_pmi_collocations",
+    "dedup_lsh_eval", "dedup_minhash_dup_witness",
+    "dedup_minhash_pipeline_witness", "dedup_simhash_stats",
+    "graph_label_propagation", "graph_link_prediction",
+    "graph_triangle_count", "join_runtime_bloom", "search_bm25",
+    "search_hybrid_rrf", "sim_lsh_dup_witness", "sim_lsh_recall_eval",
+    "sim_pq_adc_topk", "sim_topk_ivfpq", "sink_merge_partitioned",
+    "sql_api_q2", "text_boilerplate_ratio", "text_lm_quality",
 ]
 
 WINDOW_SIZE = 50
